@@ -1,10 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship tier pipeline; ``queries()`` /
+``oracle_sql()`` register SURVEY.md §2 operators for the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -13,26 +10,35 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from engine import io as eio
+from engine import rollup as erollup
+from engine.queries import ORACLE_SQL, QUERIES
+
+# importing these modules registers their queries into QUERIES/ORACLE_SQL
+import engine.tier_queries  # noqa: F401,E402
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: adapt the events fixture to
+    transcript shape, roll through hourly→daily→monthly continuous-aggregate
+    tiers, return the monthly tier (mean/min/max/count for turn_rate,
+    token_count, tool_invocations per conversation-month)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = eio.read_table(spark, SF0001, "events")
+    t0 = eio.transcripts_from_events(events)
+    tiers = erollup.build_tiers(t0)
+    return erollup.tier_view(tiers["monthly"], "monthly")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (plus the
+    training-data-pipeline extensions). Each callable takes (spark, sf_dir)
+    and returns a DataFrame whose column names match oracle_sql()."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents, keyed like queries()."""
+    return dict(ORACLE_SQL)

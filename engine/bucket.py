@@ -1,0 +1,93 @@
+"""Projection, derivation, masking and time-bucketing over T0 (SURVEY.md §2 B/C).
+
+Reference analogue: the unpack/index step of the climate stack — assigning
+each daily layer to its month index before ``stackApply`` — re-expressed as
+``date_trunc`` column expressions so Catalyst keeps everything inside
+whole-stage codegen (no shuffle is introduced here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+T0_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+#: tier name -> date_trunc unit + bucket span in seconds (monthly spans vary;
+#: None means "derive from calendar", see bucket_span_seconds)
+TIER_UNIT = {"hourly": "hour", "daily": "day", "monthly": "month"}
+TIER_ORDER = ["hourly", "daily", "monthly"]
+FIXED_SPAN_S = {"hourly": 3600, "daily": 86400}
+
+
+def mask_valid(df: DataFrame) -> DataFrame:
+    """Validity mask (B3) — the engine's analogue of ``raster::mask``:
+    out-of-domain rows (null key or null event time) are excluded before any
+    aggregation, exactly as NA cells outside the study region are."""
+    return df.filter(
+        F.col("conv_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("turn_idx").isNotNull()
+    )
+
+
+def clip_time_range(df: DataFrame, lo=None, hi=None) -> DataFrame:
+    """Time clip (B2) — ``crop()`` analogue; pushes to parquet row groups."""
+    if lo is not None:
+        df = df.filter(F.col("ts") >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col("ts") < F.lit(hi))
+    return df
+
+
+def dedup_turns(df: DataFrame) -> DataFrame:
+    """Stable-order dedup of replayed turns (E2): keep the earliest ts per
+    (conv_id, turn_idx); ties broken deterministically by ts."""
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("ts").asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def with_metrics(df: DataFrame) -> DataFrame:
+    """Derive per-turn metric columns (B4): token_count proxy =
+    length(text), tool invocation indicator."""
+    return df.withColumns(
+        {
+            "token_count": F.length("text").cast("long"),
+            "is_tool": F.col("tool").isNotNull().cast("long"),
+        }
+    )
+
+
+def with_bucket(df: DataFrame, tier: str, ts_col: str = "ts") -> DataFrame:
+    """Tumbling calendar bucket (C1/C2), UTC."""
+    return df.withColumn("bucket_start", F.date_trunc(TIER_UNIT[tier], F.col(ts_col)))
+
+
+def with_conv_bucket(df: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Iceberg-style hidden partition column bucket(conv_id, B), emulated."""
+    return df.withColumn(
+        "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def bucket_span_seconds(tier: str, bucket_col="bucket_start"):
+    """Span of a bucket in seconds as a Column. Calendar months vary
+    (28/29/30/31 d) — computed from real month edges, never 86400*30."""
+    if tier in FIXED_SPAN_S:
+        return F.lit(FIXED_SPAN_S[tier]).cast("long")
+    nxt = F.add_months(F.col(bucket_col), 1)
+    return (F.unix_timestamp(nxt) - F.unix_timestamp(F.col(bucket_col))).cast("long")

@@ -1,0 +1,163 @@
+"""Continuous-aggregate tier algebra (SURVEY.md §2 D1/D2) — the core of the
+engine, mirroring the reference's daily→monthly ``stackApply(mean/min/max)``
+semantics (BASELINE.json:6) over transcripts.
+
+Bit-exactness design (SURVEY.md §7.3 foot-gun #1): tier state is stored
+INTEGER-backed (longs). Floating-point appears only in *derived* columns
+(mean = sum/count, turn_rate = turns/span) computed by a single division at
+view time. Integer sums/mins/maxes are associative and exact regardless of
+partitioning or aggregation order, so hourly→daily→monthly composition is
+bit-identical to a single-node pandas recomputation by construction — no
+Kahan tricks, no ordered sums.
+
+Tier state schema (one row per (conv_id, bucket_start)):
+    n_turns          long  -- turns under the bucket
+    token_sum/min/max long -- per-turn length(text) stats
+    tool_sum/min/max  long -- per-turn tool-invocation indicator stats
+    hours_count      long  -- hourly leaf buckets under this row (1 at hourly)
+    hturns_min/max   long  -- min/max per-hour turn count under this row
+
+turn_rate semantics: the *hourly* rate series r_h = n_turns(h)/3600 is the
+leaf metric (analogue of the daily climate layer); daily/monthly tiers report
+mean/min/max/count over the hourly rates they cover. Because
+Σ r_h = (Σ n_h)/3600 exactly in ℝ, the engine composes the integer Σ n_h and
+divides once — bit-exact and identical to pandas summing rates only when the
+division is deferred, which the pandas oracle mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bucket import TIER_ORDER, TIER_UNIT, bucket_span_seconds, with_metrics
+
+STATE_COLS = [
+    "n_turns",
+    "token_sum",
+    "token_min",
+    "token_max",
+    "tool_sum",
+    "tool_min",
+    "tool_max",
+    "hours_count",
+    "hturns_min",
+    "hturns_max",
+]
+
+HOUR_S = 3600.0
+
+
+def rollup_hourly(t0: DataFrame) -> DataFrame:
+    """Leaf rollup D1: raw turns → hourly tier state.
+
+    One hash aggregate (partial map-side combine + final after a shuffle on
+    the group keys) — Catalyst's two-phase HashAggregateExec is exactly the
+    reference's per-cell stackApply, distributed.
+    """
+    df = with_metrics(t0)
+    hourly = (
+        df.groupBy("conv_id", F.date_trunc("hour", "ts").alias("bucket_start"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum("token_count").alias("token_sum"),
+            F.min("token_count").alias("token_min"),
+            F.max("token_count").alias("token_max"),
+            F.sum("is_tool").alias("tool_sum"),
+            F.min("is_tool").alias("tool_min"),
+            F.max("is_tool").alias("tool_max"),
+        )
+        .withColumns(
+            {
+                "hours_count": F.lit(1).cast("long"),
+                "hturns_min": F.col("n_turns"),
+                "hturns_max": F.col("n_turns"),
+            }
+        )
+    )
+    return hourly.withColumn("tier", F.lit("hourly"))
+
+
+def rollup_up(lower: DataFrame, to_tier: str) -> DataFrame:
+    """Tier re-rollup D2: compose aggregates WITHOUT touching raw data.
+
+    sum←sum(sum), count←sum(count), min←min(min), max←max(max) — the
+    algebraic-aggregate composition the reference gets by recomputing from
+    daily layers; composing is cheaper (reads the lower tier only) and equal
+    for these aggregates.
+    """
+    assert to_tier in TIER_ORDER[1:], to_tier
+    unit = TIER_UNIT[to_tier]
+    return (
+        lower.groupBy(
+            "conv_id", F.date_trunc(unit, "bucket_start").alias("bucket_start")
+        )
+        .agg(
+            F.sum("n_turns").alias("n_turns"),
+            F.sum("token_sum").alias("token_sum"),
+            F.min("token_min").alias("token_min"),
+            F.max("token_max").alias("token_max"),
+            F.sum("tool_sum").alias("tool_sum"),
+            F.min("tool_min").alias("tool_min"),
+            F.max("tool_max").alias("tool_max"),
+            F.sum("hours_count").alias("hours_count"),
+            F.min("hturns_min").alias("hturns_min"),
+            F.max("hturns_max").alias("hturns_max"),
+        )
+        .withColumn("tier", F.lit(to_tier))
+    )
+
+
+def build_tiers(t0: DataFrame) -> dict[str, DataFrame]:
+    """raw → {hourly, daily, monthly} tier-state DataFrames."""
+    hourly = rollup_hourly(t0)
+    daily = rollup_up(hourly, "daily")
+    monthly = rollup_up(daily, "monthly")
+    return {"hourly": hourly, "daily": daily, "monthly": monthly}
+
+
+def tier_view(state: DataFrame, tier: str) -> DataFrame:
+    """Expose the FIXTURES.md tier-row shape: per metric m ∈ {turn_rate,
+    token_count, tool_invocations}: m_sum/m_count/m_min/m_max (+ m_mean
+    derived) as doubles. Means are a single division — exact and
+    deterministic given integer-backed state.
+    """
+    d = F.lit(HOUR_S)
+    out = state.select(
+        "conv_id",
+        "bucket_start",
+        F.lit(tier).alias("tier"),
+        # turn_rate: stats over the hourly rate series under this bucket
+        (F.col("n_turns") / d).alias("turn_rate_sum"),
+        F.col("hours_count").alias("turn_rate_count"),
+        (F.col("hturns_min") / d).alias("turn_rate_min"),
+        (F.col("hturns_max") / d).alias("turn_rate_max"),
+        ((F.col("n_turns") / d) / F.col("hours_count")).alias("turn_rate_mean"),
+        # token_count: stats over per-turn text lengths
+        F.col("token_sum").cast("double").alias("token_count_sum"),
+        F.col("n_turns").alias("token_count_count"),
+        F.col("token_min").cast("double").alias("token_count_min"),
+        F.col("token_max").cast("double").alias("token_count_max"),
+        (F.col("token_sum") / F.col("n_turns")).alias("token_count_mean"),
+        # tool_invocations: stats over the 0/1 per-turn indicator
+        F.col("tool_sum").cast("double").alias("tool_invocations_sum"),
+        F.col("n_turns").alias("tool_invocations_count"),
+        F.col("tool_min").cast("double").alias("tool_invocations_min"),
+        F.col("tool_max").cast("double").alias("tool_invocations_max"),
+        (F.col("tool_sum") / F.col("n_turns")).alias("tool_invocations_mean"),
+        F.lit(False).alias("filled"),
+        F.lit(None).cast("string").alias("fill_method"),
+    )
+    return out
+
+
+def bucket_rate_view(state: DataFrame, tier: str) -> DataFrame:
+    """Per-bucket whole-span turn rate (turns/sec across the actual bucket
+    span — calendar-aware for monthly)."""
+    span = bucket_span_seconds(tier)
+    return state.select(
+        "conv_id",
+        "bucket_start",
+        (F.col("n_turns") / span).alias("bucket_turn_rate"),
+        "n_turns",
+    )

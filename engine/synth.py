@@ -1,0 +1,135 @@
+"""Deterministic synthetic transcript generator (T0).
+
+Shape mandated by BASELINE.json:15: (conv_id string, turn_idx int32,
+role string, text string, tool string, ts timestamp). Generation rules are
+FIXTURES.md §1: everything is hash-derived from (cid, turn_idx) with
+pyspark's xxhash64 — zero per-row Python, zero RNG state, zero wall clock —
+so the same call reproduces the same table at any parallelism.
+
+Scale design: conversations get a Zipf-like turn budget
+``n_turns(c) = max(2, floor(C / (c+1)^1.1))`` which makes conversation 0 a
+"hot" key (C turns) — deliberately skewed input for the salting path
+(engine/skew.py). Turn rows are produced by a two-level sequence/explode so
+no single driver-side row ever materializes a multi-million element array;
+at 10^9+ turns the generator is just `range -> explode -> window cumsum`,
+all JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+BASE_TS = "2026-01-01 00:00:00"
+_BLOCK = 4096  # max elements per exploded sequence row
+
+_TOOLS = ["search", "exec", "fetch", "calc"]
+
+
+def _h(*cols):
+    """xxhash64 over columns — the only entropy source."""
+    return F.xxhash64(*cols)
+
+
+def conv_turn_counts(spark: SparkSession, n_convs: int, hot_turns: int) -> DataFrame:
+    """Per-conversation turn budget with Zipf-like (s≈1.1) skew."""
+    return spark.range(n_convs).select(
+        F.col("id").alias("cid"),
+        F.greatest(
+            F.lit(2),
+            F.floor(F.lit(float(hot_turns)) / F.pow(F.col("id") + 1, F.lit(1.1))),
+        )
+        .cast("int")
+        .alias("n_turns"),
+    )
+
+
+def synth_transcripts(
+    spark: SparkSession,
+    n_convs: int = 200,
+    hot_turns: int = 400,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic T0 table. Total turns ≈ hot_turns * H_{1.1}(n_convs).
+
+    ~5k turns: (200, 400); ~200k turns: (2000, 12000); bench 5–20M:
+    (20000, 250000..1000000).
+    """
+    convs = conv_turn_counts(spark, n_convs, hot_turns)
+
+    # two-level explode: blocks of <=_BLOCK turn indices per row
+    blocks = convs.select(
+        "cid",
+        "n_turns",
+        F.explode(
+            F.sequence(F.lit(0), ((F.col("n_turns") - 1) / _BLOCK).cast("int"))
+        ).alias("blk"),
+    )
+    if partitions:
+        blocks = blocks.repartition(partitions, "cid", "blk")
+    turns = blocks.select(
+        "cid",
+        F.explode(
+            F.sequence(
+                F.col("blk") * _BLOCK,
+                F.least(F.col("n_turns") - 1, (F.col("blk") + 1) * _BLOCK - 1),
+            )
+        ).alias("turn_idx"),
+    ).withColumn("turn_idx", F.col("turn_idx").cast("int"))
+
+    cid, tix = F.col("cid"), F.col("turn_idx")
+    role_h = F.pmod(_h(cid, tix, F.lit(1)), F.lit(20))
+    role = (
+        F.when(role_h < 9, "user").when(role_h < 18, "assistant").otherwise("tool")
+    )
+    text = F.concat(
+        F.lit("t-"),
+        cid.cast("string"),
+        F.lit("-"),
+        tix.cast("string"),
+        F.lit("-"),
+        F.repeat(F.lit("x"), F.pmod(_h(cid, tix, F.lit(7)), F.lit(180)).cast("int")),
+    )
+    tool = F.when(
+        F.col("role") == "tool",
+        F.element_at(
+            F.array(*[F.lit(t) for t in _TOOLS]),
+            (1 + F.pmod(_h(cid, tix, F.lit(11)), F.lit(4))).cast("int"),
+        ),
+    )
+
+    # inter-turn gap: 5..244 s, with a 1-in-19 injected 2–6 h gap so hourly
+    # buckets go missing (exercises LOCF / linear interpolation)
+    gap_s = F.lit(5) + F.pmod(_h(cid, tix, F.lit(13)), F.lit(240))
+    gap_s = gap_s + F.when(
+        F.pmod(_h(cid, tix, F.lit(17)), F.lit(19)) == 0,
+        F.lit(7200) + F.pmod(_h(cid, tix, F.lit(19)), F.lit(14401)),
+    ).otherwise(0)
+
+    w = Window.partitionBy("cid").orderBy("turn_idx")
+    # ~1% of turns jittered backwards <=90 s (late / out-of-order data)
+    late_s = F.when(
+        F.pmod(_h(cid, tix, F.lit(23)), F.lit(100)) == 0,
+        F.lit(1) + F.pmod(_h(cid, tix, F.lit(29)), F.lit(90)),
+    ).otherwise(0)
+
+    out = (
+        turns.withColumn("role", role)
+        .withColumn("gap_s", gap_s)
+        .withColumn("cum_gap", F.sum("gap_s").over(w))
+        .select(
+            F.concat(F.lit("conv-"), F.lpad(cid.cast("string"), 8, "0")).alias(
+                "conv_id"
+            ),
+            tix.alias("turn_idx"),
+            F.col("role"),
+            text.alias("text"),
+            tool.alias("tool"),
+            F.timestamp_micros(
+                F.unix_micros(F.to_timestamp(F.lit(BASE_TS)))
+                + cid * 977 * 1_000_000
+                + (F.col("cum_gap") - late_s) * 1_000_000
+            ).alias("ts"),
+        )
+    )
+    return out

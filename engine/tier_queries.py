@@ -1,0 +1,189 @@
+"""Driver-verified tier-pipeline queries: the engine's headline semantics
+(hourly→daily→monthly continuous aggregates, gap-fill LOCF, delta-of-delta
+prep) expressed over the driver's `events` fixture so DuckDB can replay them
+as plain ANSI SQL (SURVEY.md §2 C/D/E, §5.7).
+
+The Spark side goes through the real engine modules (io.transcripts_from_events,
+rollup.build_tiers, rollup.tier_view) — these queries ARE the engine, not a
+re-implementation for the oracle's benefit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import io as eio
+from . import rollup as erollup
+from .queries import _t, register
+
+# Shared DuckDB CTE chain: events -> T0 -> integer-backed tier state.
+# Mirrors engine/rollup.py exactly: all state integer (BIGINT), floats only
+# in the final single-division view columns.
+_TIER_CTE = """
+WITH t0 AS (
+  SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+         ts,
+         CAST(length(props) AS BIGINT) AS token_count,
+         CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS BIGINT) AS is_tool
+  FROM events
+),
+hourly AS (
+  SELECT conv_id, date_trunc('hour', ts) AS bucket_start,
+         COUNT(*) AS n_turns,
+         CAST(SUM(token_count) AS BIGINT) AS token_sum,
+         MIN(token_count) AS token_min, MAX(token_count) AS token_max,
+         CAST(SUM(is_tool) AS BIGINT) AS tool_sum,
+         MIN(is_tool) AS tool_min, MAX(is_tool) AS tool_max,
+         CAST(1 AS BIGINT) AS hours_count,
+         COUNT(*) AS hturns_min, COUNT(*) AS hturns_max
+  FROM t0 GROUP BY 1, 2
+),
+daily AS (
+  SELECT conv_id, date_trunc('day', bucket_start) AS bucket_start,
+         CAST(SUM(n_turns) AS BIGINT) AS n_turns,
+         CAST(SUM(token_sum) AS BIGINT) AS token_sum,
+         MIN(token_min) AS token_min, MAX(token_max) AS token_max,
+         CAST(SUM(tool_sum) AS BIGINT) AS tool_sum,
+         MIN(tool_min) AS tool_min, MAX(tool_max) AS tool_max,
+         CAST(SUM(hours_count) AS BIGINT) AS hours_count,
+         MIN(hturns_min) AS hturns_min, MAX(hturns_max) AS hturns_max
+  FROM hourly GROUP BY 1, 2
+),
+monthly AS (
+  SELECT conv_id, date_trunc('month', bucket_start) AS bucket_start,
+         CAST(SUM(n_turns) AS BIGINT) AS n_turns,
+         CAST(SUM(token_sum) AS BIGINT) AS token_sum,
+         MIN(token_min) AS token_min, MAX(token_max) AS token_max,
+         CAST(SUM(tool_sum) AS BIGINT) AS tool_sum,
+         MIN(tool_min) AS tool_min, MAX(tool_max) AS tool_max,
+         CAST(SUM(hours_count) AS BIGINT) AS hours_count,
+         MIN(hturns_min) AS hturns_min, MAX(hturns_max) AS hturns_max
+  FROM daily GROUP BY 1, 2
+)
+"""
+
+_TIER_VIEW = """
+SELECT conv_id,
+       CAST(bucket_start AS TIMESTAMP) AS bucket_start,
+       '{tier}' AS tier,
+       n_turns / 3600.0 AS turn_rate_sum,
+       hours_count AS turn_rate_count,
+       hturns_min / 3600.0 AS turn_rate_min,
+       hturns_max / 3600.0 AS turn_rate_max,
+       (n_turns / 3600.0) / hours_count AS turn_rate_mean,
+       CAST(token_sum AS DOUBLE) AS token_count_sum,
+       n_turns AS token_count_count,
+       CAST(token_min AS DOUBLE) AS token_count_min,
+       CAST(token_max AS DOUBLE) AS token_count_max,
+       token_sum / n_turns AS token_count_mean,
+       CAST(tool_sum AS DOUBLE) AS tool_invocations_sum,
+       n_turns AS tool_invocations_count,
+       CAST(tool_min AS DOUBLE) AS tool_invocations_min,
+       CAST(tool_max AS DOUBLE) AS tool_invocations_max,
+       tool_sum / n_turns AS tool_invocations_mean,
+       CAST(FALSE AS BOOLEAN) AS filled,
+       CAST(NULL AS VARCHAR) AS fill_method
+FROM {tier}
+"""
+
+
+def _tier_query(tier: str):
+    def fn(spark, sf_dir):
+        t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+        tiers = erollup.build_tiers(t0)
+        return erollup.tier_view(tiers[tier], tier)
+
+    fn.__doc__ = (
+        f"D1/D2: {tier} continuous-aggregate tier over events-derived "
+        "transcripts — integer-backed state, floats by single division."
+    )
+    return fn
+
+
+for _tier in ("hourly", "daily", "monthly"):
+    register(f"tier_{_tier}", _TIER_CTE + _TIER_VIEW.format(tier=_tier))(
+        _tier_query(_tier)
+    )
+
+
+@register(
+    "gapfill_locf_hourly",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds),
+    j AS (
+      SELECT s.user_id, s.h, hr.n
+      FROM spine s LEFT JOIN hourly hr ON s.user_id = hr.user_id AND s.h = hr.h)
+    SELECT user_id, CAST(h AS TIMESTAMP) AS h, n AS n_obs,
+           last_value(n IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_n,
+           CAST(n IS NULL AS BOOLEAN) AS filled
+    FROM j
+    """,
+)
+def gapfill_locf_hourly(spark, sf_dir):
+    """C5+F4+E5: dense bucket spine (sequence/explode), left join of observed
+    buckets, native LOCF via last(ignorenulls) over a ROWS frame — the
+    gap-detection half of the gap-fill stage, zero Python."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h"),
+    )
+    j = spine.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "h",
+        F.col("n").alias("n_obs"),
+        F.last("n", ignorenulls=True).over(w).alias("locf_n"),
+        F.col("n").isNull().alias("filled"),
+    )
+
+
+@register(
+    "dod_timestamp_deltas",
+    """
+    WITH d AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+      FROM events)
+    SELECT user_id, event_id, CAST(delta_us AS BIGINT) AS delta_us,
+           CAST(delta_us - lag(delta_us) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS dod_us
+    FROM d
+    """,
+)
+def dod_timestamp_deltas(spark, sf_dir):
+    """E1 twice: the delta-of-delta series the K2 codec bitpacks — verified
+    relationally here, bit-level codec verified in pytest."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    d = e.select(
+        "user_id", "event_id", "ts", (us - F.lag(us).over(w)).alias("delta_us")
+    )
+    return d.select(
+        "user_id",
+        "event_id",
+        F.col("delta_us").cast("long").alias("delta_us"),
+        (F.col("delta_us") - F.lag("delta_us").over(w)).cast("long").alias("dod_us"),
+    )

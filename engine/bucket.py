@@ -19,7 +19,7 @@ T0_SCHEMA = T.StructType(
         T.StructField("role", T.StringType()),
         T.StructField("text", T.StringType()),
         T.StructField("tool", T.StringType()),
-        T.StructField("ts", T.TimestampType()),
+        T.StructField("ts", T.TimestampNTZType()),
     ]
 )
 
@@ -73,8 +73,12 @@ def with_metrics(df: DataFrame) -> DataFrame:
 
 
 def with_bucket(df: DataFrame, tier: str, ts_col: str = "ts") -> DataFrame:
-    """Tumbling calendar bucket (C1/C2), UTC."""
-    return df.withColumn("bucket_start", F.date_trunc(TIER_UNIT[tier], F.col(ts_col)))
+    """Tumbling calendar bucket (C1/C2), UTC. NTZ-cast: the engine's
+    canonical bucket type (see rollup.rollup_hourly)."""
+    return df.withColumn(
+        "bucket_start",
+        F.date_trunc(TIER_UNIT[tier], F.col(ts_col)).cast("timestamp_ntz"),
+    )
 
 
 def with_conv_bucket(df: DataFrame, n_buckets: int = 64) -> DataFrame:

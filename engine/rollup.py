@@ -57,7 +57,13 @@ def rollup_hourly(t0: DataFrame) -> DataFrame:
     """
     df = with_metrics(t0)
     hourly = (
-        df.groupBy("conv_id", F.date_trunc("hour", "ts").alias("bucket_start"))
+        # date_trunc returns session-TZ TIMESTAMP; the engine's canonical
+        # bucket type is TIMESTAMP_NTZ (naive UTC) — cast at the source so
+        # no LTZ/NTZ coercion ambiguity survives into joins/UDF schemas
+        df.groupBy(
+            "conv_id",
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket_start"),
+        )
         .agg(
             F.count("*").alias("n_turns"),
             F.sum("token_count").alias("token_sum"),
@@ -90,7 +96,10 @@ def rollup_up(lower: DataFrame, to_tier: str) -> DataFrame:
     unit = TIER_UNIT[to_tier]
     return (
         lower.groupBy(
-            "conv_id", F.date_trunc(unit, "bucket_start").alias("bucket_start")
+            "conv_id",
+            F.date_trunc(unit, "bucket_start")
+            .cast("timestamp_ntz")
+            .alias("bucket_start"),
         )
         .agg(
             F.sum("n_turns").alias("n_turns"),

@@ -127,9 +127,13 @@ def synth_transcripts(
             tool.alias("tool"),
             F.timestamp_micros(
                 F.unix_micros(F.to_timestamp(F.lit(BASE_TS)))
-                + cid * 977 * 1_000_000
+                # conversation start offsets spread over 90 days so the table
+                # spans >=3 calendar months incl. the Feb-2026 short-month edge
+                + F.pmod(_h(cid, F.lit(31)), F.lit(7_776_000)) * 1_000_000
                 + (F.col("cum_gap") - late_s) * 1_000_000
-            ).alias("ts"),
+            )
+            .cast("timestamp_ntz")  # canonical engine ts type (naive UTC,
+            .alias("ts"),  # = parquet/Iceberg timestamp w/o zone)
         )
     )
     return out

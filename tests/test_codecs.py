@@ -1,0 +1,116 @@
+"""Codec unit tests (SURVEY.md §5.1): bit-exact decode(encode(x)) == x,
+property-based via hypothesis (fixed seed / derandomized). Pure Python —
+no Spark session needed."""
+
+import math
+import struct
+import sys
+from pathlib import Path
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from engine.codec import dod, gorilla  # noqa: E402
+
+settings.register_profile("det", derandomize=True, max_examples=200, deadline=None)
+settings.load_profile("det")
+
+
+def bits(v: float) -> int:
+    return struct.unpack("<Q", struct.pack("<d", v))[0]
+
+
+NASTY = [
+    0.0, -0.0, 1.0, -1.0, math.inf, -math.inf, math.nan,
+    -math.nan if False else struct.unpack("<d", struct.pack("<Q", 0x7FF8000000000001))[0],
+    5e-324,  # min denormal
+    2.2250738585072014e-308,  # min normal
+    1.7976931348623157e308,  # max double
+    struct.unpack("<d", struct.pack("<Q", 0xFFF0000000000001))[0],  # nan payload
+]
+
+
+def roundtrip_floats(xs):
+    got = gorilla.decode(gorilla.encode(xs), len(xs))
+    assert len(got) == len(xs)
+    for a, b in zip(xs, got):
+        assert bits(a) == bits(b), f"{a!r} -> {b!r}"
+
+
+def roundtrip_ts(xs):
+    got = dod.decode(dod.encode(xs), len(xs))
+    assert got == list(xs)
+
+
+def test_gorilla_empty_and_single():
+    roundtrip_floats([])
+    roundtrip_floats([3.14159])
+    roundtrip_floats([math.nan])
+
+
+def test_gorilla_nasty_values():
+    roundtrip_floats(NASTY)
+    roundtrip_floats(NASTY[::-1])
+    roundtrip_floats([v for v in NASTY for _ in range(3)])  # runs of equal
+
+
+def test_gorilla_constant_series():
+    roundtrip_floats([42.0] * 1000)
+    # constant series should be ~1 bit/point after the first value
+    blob = gorilla.encode([42.0] * 1000)
+    assert len(blob) <= 8 + (1000 // 8) + 2
+
+
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True), max_size=300))
+def test_gorilla_property(xs):
+    roundtrip_floats(xs)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=200
+    )
+)
+def test_gorilla_bitpattern_property(raw):
+    xs = [struct.unpack("<d", struct.pack("<q", r))[0] for r in raw]
+    roundtrip_floats(xs)
+
+
+def test_dod_empty_single_pair():
+    roundtrip_ts([])
+    roundtrip_ts([1700000000_000000])
+    roundtrip_ts([0, 1])
+    roundtrip_ts([5, 5, 5])
+
+
+def test_dod_regular_series_is_tiny():
+    ts = [1700000000_000000 + i * 3_600_000_000 for i in range(1000)]
+    blob = dod.encode(ts)
+    # perfectly regular: 16 bytes header + ~1 bit per point
+    assert len(blob) <= 16 + 1000 // 8 + 2
+    roundtrip_ts(ts)
+
+
+def test_dod_irregular_gaps():
+    ts = [0, 5_000_000, 5_000_001, 9_000_000_000, 9_000_000_001, 10**15, 10**15 + 7]
+    roundtrip_ts(ts)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62 - 1), max_size=200
+    )
+)
+def test_dod_property(ts):
+    roundtrip_ts(ts)
+
+
+def test_dod_monotone_microsecond_property():
+    # typical hourly bucket sequence with occasional multi-hour gaps
+    ts, cur = [], 1_767_225_600_000_000
+    for i in range(500):
+        cur += 3_600_000_000 * (1 + (i * 2654435761) % 7)
+        ts.append(cur)
+    roundtrip_ts(ts)

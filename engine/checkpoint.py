@@ -1,0 +1,113 @@
+"""Checkpoint manifest (SURVEY.md A5/L3/L4/F5): per-partition lineage +
+row-count metrics, the Spark-native generalization of the reference's
+write-GeoTIFF-then-`file.exists()`-skip resume idiom.
+
+Storage: a directory of immutable single parquet files, one per commit —
+written to a temp name then os.rename'd (atomic on POSIX), so a killed run
+never leaves a torn manifest. Readers take the union of all commit files.
+With a real Iceberg catalog the same interface maps onto snapshot commits.
+
+Schema (FIXTURES.md): run_id, stage, partition_key, input_snapshot_id,
+output_snapshot_id, rows_in, rows_out, wall_ms, committed_at, lineage.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("stage", T.StringType()),
+        T.StructField("partition_key", T.StringType()),
+        T.StructField("input_snapshot_id", T.StringType()),
+        T.StructField("output_snapshot_id", T.StringType()),
+        T.StructField("rows_in", T.LongType()),
+        T.StructField("rows_out", T.LongType()),
+        T.StructField("wall_ms", T.LongType()),
+        T.StructField("committed_at", T.TimestampNTZType()),
+        T.StructField("lineage", T.StringType()),
+    ]
+)
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        ("run_id", pa.string()),
+        ("stage", pa.string()),
+        ("partition_key", pa.string()),
+        ("input_snapshot_id", pa.string()),
+        ("output_snapshot_id", pa.string()),
+        ("rows_in", pa.int64()),
+        ("rows_out", pa.int64()),
+        ("wall_ms", pa.int64()),
+        ("committed_at", pa.timestamp("us")),
+        ("lineage", pa.string()),
+    ]
+)
+
+
+class Manifest:
+    """T5 checkpoint/lineage manifest over a directory of commit files."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def read(self) -> DataFrame:
+        files = [f for f in os.listdir(self.path) if f.endswith(".parquet")]
+        if not files:
+            return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+        return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
+
+    def committed_keys(self, stage: str) -> DataFrame:
+        return (
+            self.read()
+            .filter(F.col("stage") == stage)
+            .select("partition_key")
+            .distinct()
+        )
+
+    def commit(self, rows: list[dict]) -> str:
+        """Atomic append of one commit file (driver-side: manifests are tiny
+        relative to data — thousands of rows per run at any scale)."""
+        now = int(time.time() * 1_000_000)
+        for r in rows:
+            r.setdefault("committed_at", now)
+            r.setdefault("input_snapshot_id", "")
+            r.setdefault("output_snapshot_id", "")
+            r.setdefault("lineage", "")
+            r.setdefault("rows_in", 0)
+            r.setdefault("rows_out", 0)
+            r.setdefault("wall_ms", 0)
+        cols = {
+            name: [r[name] for r in rows]
+            for name in _ARROW_SCHEMA.names
+        }
+        table = pa.table(cols, schema=_ARROW_SCHEMA)
+        fname = f"commit-{now}-{uuid.uuid4().hex[:8]}.parquet"
+        tmp = os.path.join(self.path, f"._tmp-{fname}")
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(self.path, fname))
+        return fname
+
+
+def pending_partitions(
+    work_keys: DataFrame, manifest: Manifest, stage: str
+) -> DataFrame:
+    """L4/F5: resume — keep only partition keys not yet committed for this
+    stage (left anti join against the manifest)."""
+    committed = manifest.committed_keys(stage)
+    return work_keys.join(committed, "partition_key", "left_anti")
+
+
+def new_run_id() -> str:
+    return uuid.uuid4().hex[:16]

@@ -1,0 +1,131 @@
+"""Resume/idempotency tests (SURVEY.md §5.5): kill-after-stage-k -> rerun ->
+identical tier contents, no duplicated partitions; manifest metrics match."""
+
+import sys
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from engine.checkpoint import Manifest, pending_partitions  # noqa: E402
+from engine.pipeline import TierPipeline  # noqa: E402
+from engine.rollup import build_tiers, tier_view  # noqa: E402
+from engine.synth import synth_transcripts  # noqa: E402
+
+KEY = ["conv_id", "bucket_start"]
+
+
+@pytest.fixture(scope="module")
+def t0(spark):
+    df = synth_transcripts(spark, n_convs=60, hot_turns=400)
+    df.cache().count()
+    return df
+
+
+def _monthly_view(pipe):
+    return (
+        tier_view(pipe.read_tier("monthly"), "monthly")
+        .toPandas()
+        .sort_values(KEY, ignore_index=True)
+    )
+
+
+def test_manifest_atomic_commit(spark, tmp_path):
+    m = Manifest(spark, str(tmp_path / "mani"))
+    assert m.read().count() == 0
+    m.commit([{"run_id": "r1", "stage": "hourly", "partition_key": "day=2026-01-01",
+               "rows_in": 10, "rows_out": 3}])
+    m.commit([{"run_id": "r1", "stage": "hourly", "partition_key": "day=2026-01-02"}])
+    df = m.read()
+    assert df.count() == 2
+    assert set(
+        r["partition_key"] for r in m.committed_keys("hourly").collect()
+    ) == {"day=2026-01-01", "day=2026-01-02"}
+
+
+def test_pending_anti_join(spark, tmp_path):
+    m = Manifest(spark, str(tmp_path / "mani2"))
+    m.commit([{"run_id": "r", "stage": "s", "partition_key": "day=a"}])
+    work = spark.createDataFrame(
+        [("day=a",), ("day=b",)], "partition_key string"
+    )
+    left = [r["partition_key"] for r in pending_partitions(work, m, "s").collect()]
+    assert left == ["day=b"]
+
+
+def test_full_run_matches_direct_rollup(spark, t0, tmp_path):
+    pipe = TierPipeline(spark, str(tmp_path / "p1"))
+    res = pipe.run(t0)
+    assert all(n > 0 for n in res["stages"].values()), res
+    got = _monthly_view(pipe)
+    exp = (
+        tier_view(build_tiers(t0)["monthly"], "monthly")
+        .toPandas()
+        .sort_values(KEY, ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[exp.columns], exp, check_dtype=False
+    )
+
+
+def test_rerun_is_noop(spark, t0, tmp_path):
+    pipe = TierPipeline(spark, str(tmp_path / "p2"))
+    pipe.run(t0)
+    before = _monthly_view(pipe)
+    res2 = pipe.run(t0)
+    assert all(n == 0 for n in res2["stages"].values()), res2
+    after = _monthly_view(pipe)
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_kill_after_stage_then_resume(spark, t0, tmp_path):
+    root = str(tmp_path / "p3")
+    pipe = TierPipeline(spark, root)
+    # simulate a crash after the hourly+daily stages committed
+    partial = pipe.run(t0, stages=("hourly", "daily"))
+    assert partial["stages"]["hourly"] > 0 and partial["stages"]["daily"] > 0
+    # resume: hourly/daily skipped, rest runs
+    res = pipe.run(t0)
+    assert res["stages"]["hourly"] == 0 and res["stages"]["daily"] == 0
+    assert res["stages"]["monthly"] > 0 and res["stages"]["compress"] > 0
+    ref = TierPipeline(spark, str(tmp_path / "p3ref"))
+    ref.run(t0)
+    pd.testing.assert_frame_equal(_monthly_view(pipe), _monthly_view(ref))
+
+
+def test_incremental_new_days_only(spark, t0, tmp_path):
+    """Late-arriving full days are processed; committed days are skipped."""
+    pipe = TierPipeline(spark, str(tmp_path / "p4"))
+    cutoff = "2026-02-01"
+    first = t0.filter(F.to_date("ts") < cutoff)
+    pipe.run(first)
+    n_days_first = {
+        r["partition_key"]
+        for r in pipe.manifest.committed_keys("hourly").collect()
+    }
+    res2 = pipe.run(t0)  # full data: only new days processed
+    n_new = res2["stages"]["hourly"]
+    all_days = {
+        r["partition_key"]
+        for r in pipe.manifest.committed_keys("hourly").collect()
+    }
+    assert n_new == len(all_days) - len(n_days_first) and n_new > 0
+    ref = TierPipeline(spark, str(tmp_path / "p4ref"))
+    ref.run(t0)
+    pd.testing.assert_frame_equal(_monthly_view(pipe), _monthly_view(ref))
+
+
+def test_manifest_rowcount_metrics(spark, t0, tmp_path):
+    pipe = TierPipeline(spark, str(tmp_path / "p5"))
+    pipe.run(t0, stages=("hourly",))
+    mani = pipe.manifest.read().filter(F.col("stage") == "hourly").toPandas()
+    assert (mani["rows_in"] > 0).all() and (mani["rows_out"] > 0).all()
+    # totals match the actual tables
+    assert mani["rows_out"].sum() == pipe.read_tier("hourly").count()
+    from engine.bucket import dedup_turns, mask_valid
+
+    assert mani["rows_in"].sum() == dedup_turns(mask_valid(t0)).count()

@@ -1,0 +1,69 @@
+"""Retention tests (SURVEY.md §5.6): post-drop, monthly tier still queryable
+(EP3) and raw partitions gone; drop refuses when rollup not committed."""
+
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from engine.pipeline import TierPipeline  # noqa: E402
+from engine.retention import (  # noqa: E402
+    RetentionError,
+    drop_hourly_partitions,
+    droppable_hourly_days,
+    retention_status,
+)
+from engine.synth import synth_transcripts  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def t0(spark):
+    df = synth_transcripts(spark, n_convs=40, hot_turns=300)
+    df.cache().count()
+    return df
+
+
+def test_refuses_drop_without_downstream(spark, t0, tmp_path):
+    pipe = TierPipeline(spark, str(tmp_path / "r1"))
+    pipe.run(t0, stages=("hourly",))  # no daily/monthly committed
+    days = [
+        r["partition_key"].split("=", 1)[1]
+        for r in pipe.manifest.committed_keys("hourly").collect()
+    ]
+    assert droppable_hourly_days(pipe, "9999-12-31") == []
+    with pytest.raises(RetentionError):
+        drop_hourly_partitions(pipe, days[:1], run_id="t")
+
+
+def test_drop_after_full_lineage(spark, t0, tmp_path):
+    pipe = TierPipeline(spark, str(tmp_path / "r2"))
+    pipe.run(t0)
+    monthly_before = pipe.read_tier("monthly").count()
+    days = droppable_hourly_days(pipe, older_than="9999-12-31")
+    assert days  # full lineage committed -> everything droppable
+    dropped = drop_hourly_partitions(pipe, days[:2], run_id="t2")
+    assert dropped == days[:2]
+    for d in dropped:
+        assert not os.path.exists(
+            os.path.join(pipe.tier_path("hourly"), f"bucket_date={d}")
+        )
+    # EP3: continuous aggregates remain queryable after the raw drop
+    pipe.register_views()
+    got = pipe.spark.sql(
+        "SELECT COUNT(*) AS n, SUM(token_count_sum) AS s FROM tiers_monthly"
+    ).collect()[0]
+    assert got["n"] == monthly_before and got["s"] > 0
+    # retention recorded in the manifest
+    assert retention_status(pipe).get("retention") == 2
+
+
+def test_retention_policy_cutoff(spark, t0, tmp_path):
+    pipe = TierPipeline(spark, str(tmp_path / "r3"))
+    pipe.run(t0)
+    all_days = sorted(droppable_hourly_days(pipe, "9999-12-31"))
+    cutoff = all_days[len(all_days) // 2]
+    older = droppable_hourly_days(pipe, older_than=cutoff)
+    assert older and all(d < cutoff for d in older)

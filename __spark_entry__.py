@@ -15,6 +15,10 @@ from engine import rollup as erollup
 from engine.queries import ORACLE_SQL, QUERIES
 
 # importing these modules registers their queries into QUERIES/ORACLE_SQL
+import engine.more_queries  # noqa: F401,E402
+import engine.multimodal  # noqa: F401,E402
+import engine.simsearch  # noqa: F401,E402
+import engine.textops  # noqa: F401,E402
 import engine.tier_queries  # noqa: F401,E402
 
 SF0001 = "/root/testdata/sf0.001"

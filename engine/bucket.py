@@ -63,7 +63,10 @@ def dedup_turns(df: DataFrame) -> DataFrame:
 
 def with_metrics(df: DataFrame) -> DataFrame:
     """Derive per-turn metric columns (B4): token_count proxy =
-    length(text), tool invocation indicator."""
+    length(text), tool invocation indicator. Idempotent: a pre-derived
+    metrics table (ingest-time B4, no raw text) passes through untouched."""
+    if "token_count" in df.columns and "is_tool" in df.columns:
+        return df
     return df.withColumns(
         {
             "token_count": F.length("text").cast("long"),

@@ -17,9 +17,16 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
+
 from .bits import BitReader, BitWriter
 
 CODEC_VERSION = 1
+
+# per-byte leading/trailing-zero lookup tables (vectorized clz/ctz)
+_CLZ8 = np.array([8] + [8 - b.bit_length() for b in range(1, 256)], dtype=np.int64)
+_CTZ8 = np.array([8] + [(b & -b).bit_length() - 1 for b in range(1, 256)],
+                 dtype=np.int64)
 
 
 def _f2b(v: float) -> int:
@@ -31,36 +38,55 @@ def _b2f(b: int) -> float:
 
 
 def encode(values) -> bytes:
+    """Encode float64s. XOR/leading/trailing-zero analysis is numpy-
+    vectorized over the whole chunk; Python touches each value only for the
+    final bit emission (the BitWriter append)."""
+    n = len(values)
     w = BitWriter()
-    if len(values) == 0:
+    if n == 0:
         return b""
-    prev = _f2b(values[0])
-    w.write(prev, 64)
+    bits = np.asarray(values, dtype=np.float64).view(np.uint64)
+    first = int(bits[0])
+    w.write(first, 64)
+    if n == 1:
+        return w.getvalue()
+
+    xors = bits[1:] ^ bits[:-1]
+    be = xors[:, None].astype(">u8").view(np.uint8).reshape(-1, 8)
+    le = xors[:, None].astype("<u8").view(np.uint8).reshape(-1, 8)
+    idx = np.arange(len(xors))
+    nz_be = be != 0
+    any_nz = nz_be.any(axis=1)
+    f_be = np.argmax(nz_be, axis=1)
+    lead_arr = np.where(any_nz, f_be * 8 + _CLZ8[be[idx, f_be]], 64)
+    np.minimum(lead_arr, 31, out=lead_arr)
+    nz_le = le != 0
+    f_le = np.argmax(nz_le, axis=1)
+    trail_arr = np.where(any_nz, f_le * 8 + _CTZ8[le[idx, f_le]], 64)
+
+    xor_list = xors.tolist()
+    lead_list = lead_arr.tolist()
+    trail_list = trail_arr.tolist()
+
     prev_lead = -1  # forces a new window on first non-zero xor
     prev_mlen = 0
-    for v in values[1:]:
-        cur = _f2b(v)
-        x = prev ^ cur
+    write = w.write
+    for x, lead, trail in zip(xor_list, lead_list, trail_list):
         if x == 0:
-            w.write(0, 1)
+            write(0, 1)
+            continue
+        write(1, 1)
+        mlen = 64 - lead - trail
+        prev_trail = 64 - prev_lead - prev_mlen
+        if prev_lead >= 0 and lead >= prev_lead and trail >= prev_trail:
+            write(0, 1)  # '10': reuse prior window
+            write(x >> prev_trail, prev_mlen)
         else:
-            w.write(1, 1)
-            lead = 64 - x.bit_length()
-            if lead > 31:
-                lead = 31
-            trail = (x & -x).bit_length() - 1
-            mlen = 64 - lead - trail
-            prev_trail = 64 - prev_lead - prev_mlen
-            if prev_lead >= 0 and lead >= prev_lead and trail >= prev_trail:
-                w.write(0, 1)  # '10': reuse prior window
-                w.write(x >> prev_trail, prev_mlen)
-            else:
-                w.write(1, 1)  # '11': new window
-                w.write(lead, 5)
-                w.write(mlen - 1, 6)
-                w.write(x >> trail, mlen)
-                prev_lead, prev_mlen = lead, mlen
-        prev = cur
+            write(1, 1)  # '11': new window
+            write(lead, 5)
+            write(mlen - 1, 6)
+            write(x >> trail, mlen)
+            prev_lead, prev_mlen = lead, mlen
     return w.getvalue()
 
 

@@ -1,0 +1,153 @@
+"""Multimodal column plumbing: image/audio/video as opaque `binary` columns
+with typed metadata, processed by Arrow `mapInPandas` feature extractors.
+
+The actual media decode (PIL/libsndfile/ffmpeg) is NOT available in this
+container — `decode_image` raises NotImplementedError behind an import-try,
+and the deterministic fake codec (`codec='raw'`: payload = UTF-8 text bytes)
+keeps the Spark-side plumbing — schema, partitioning, UDF signature, Arrow
+batch shape — real and tested end to end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .queries import _t, register
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("max_byte", T.IntegerType()),
+    ]
+)
+
+
+def fake_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic stand-in media table: payload = UTF-8 bytes of the
+    document text, dimensions hash-derived. Real ingestion would read blob
+    files (binaryFile source) with identical downstream plumbing."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.lit("raw").alias("codec"),
+        F.encode("text", "utf-8").alias("payload"),
+        (64 + F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(512)))
+        .cast("int")
+        .alias("width"),
+        (64 + F.pmod(F.xxhash64("doc_id", F.lit(2)), F.lit(512)))
+        .cast("int")
+        .alias("height"),
+    )
+
+
+def decode_image(payload: bytes, codec: str):
+    """Real image decode — STUB: the container has no imaging libraries."""
+    if codec == "raw":
+        return payload  # fake codec: bytes are the "pixels"
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            f"decode for codec={codec!r} needs an imaging library not "
+            "present in this environment"
+        ) from exc
+    raise NotImplementedError(codec)
+
+
+def extract_features(media: DataFrame, batch_size: int = 1024) -> DataFrame:
+    """Arrow mapInPandas feature extractor: per-batch numpy over the payload
+    bytes (never per-row Python in the driver's sense — one Python call per
+    Arrow batch)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for mid, payload, codec in zip(
+                pdf["media_id"], pdf["payload"], pdf["codec"]
+            ):
+                raw = decode_image(bytes(payload), codec)
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                feats.append(
+                    (
+                        mid,
+                        int(arr.size),
+                        float(arr.mean()) if arr.size else 0.0,
+                        int(arr.max()) if arr.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                feats, columns=["media_id", "n_bytes", "mean_byte", "max_byte"]
+            )
+
+    return media.select("media_id", "payload", "codec").mapInPandas(
+        _extract, FEATURE_SCHEMA
+    )
+
+
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stub: records the intent column-side; the pixel op needs an
+    imaging library (NotImplementedError inside decode for real codecs)."""
+    return media.withColumns(
+        {"width": F.lit(width).cast("int"), "height": F.lit(height).cast("int")}
+    )
+
+
+@register(
+    "multimodal_media_stats",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, source,
+             encode(text) AS payload
+      FROM documents)
+    SELECT source, COUNT(*) AS n_media,
+           CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(payload)) AS BIGINT) AS max_bytes
+    FROM m GROUP BY source ORDER BY source
+    """,
+)
+def multimodal_media_stats(spark, sf_dir):
+    """Binary-column scan stats (bytes are first-class columns; the scan
+    prunes payload when only lengths are needed)."""
+    d = _t(spark, sf_dir, "documents")
+    m = d.select(
+        F.col("doc_id").alias("media_id"),
+        "source",
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+            F.max(F.octet_length("payload")).cast("long").alias("max_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
+@register("multimodal_decode_features")  # rows-only: mapInPandas path
+def multimodal_decode_features(spark, sf_dir):
+    """Arrow mapInPandas decode/feature-extract over fake media (driver
+    records a rows-only check — the Python batch boundary is the point)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return extract_features(fake_media_from_docs(d))

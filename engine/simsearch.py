@@ -1,0 +1,188 @@
+"""Similarity search over the `embeddings` table (array<float> columns):
+brute-force cosine top-k as the verified baseline, plus a random-hyperplane
+LSH bucketing as the scale path (bucketed candidate join instead of the
+O(n²) cross join).
+
+All vector math runs JVM-side through array higher-order functions
+(zip_with / aggregate) — no Python in the hot path. The LSH hyperplanes are
+deterministic integer-derived weights so the DuckDB oracle reproduces them
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .queries import _t, register
+
+DIM = 64
+N_PLANES = 8
+
+
+def _vec_d(col):
+    """array<float> -> array<double> (exact widening)."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+    sims AS (
+      SELECT qid, v.vec_id AS cid,
+             list_sum(list_transform(range({DIM}), i -> qe[i+1] * e[i+1]))
+             / (sqrt(list_sum(list_transform(range({DIM}), i -> qe[i+1] * qe[i+1])))
+                * sqrt(list_sum(list_transform(range({DIM}), i -> e[i+1] * e[i+1]))))
+               AS sim
+      FROM q CROSS JOIN v WHERE v.vec_id <> qid)
+    SELECT qid, cid, ROUND(sim, 6) AS sim, CAST(rn AS INT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+          FROM sims)
+    WHERE rn <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 10 query vectors — the exact baseline
+    ANN answers are measured against. The full-corpus variant broadcasts the
+    query set; candidates never shuffle."""
+    em = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d("embedding").alias("e")
+    )
+    q = em.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(em)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            cosine(F.col("qe"), F.col("e")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "cid", F.round("sim", 6).alias("sim"), F.col("rn").cast("int"))
+    )
+
+
+def _plane_weight(p, d):
+    """Deterministic integer hyperplane weight in [-1000, 1000] — identical
+    arithmetic in Spark and DuckDB (no RNG, no float seed drift)."""
+    return (1000003 * (d + 1) + 7919 * (p + 1)) % 2001 - 1000
+
+
+@register(
+    "lsh_cosine_buckets",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    planes AS (SELECT unnest(range({N_PLANES})) AS p),
+    dots AS (
+      SELECT vec_id, p,
+             list_sum(list_transform(range({DIM}),
+               d -> e[d+1] * ((1000003 * (d+1) + 7919 * (p+1)) % 2001 - 1000)))
+               AS dot
+      FROM v CROSS JOIN planes)
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN dot > 0 THEN 1 << CAST(p AS INT) ELSE 0 END) AS BIGINT)
+             AS bucket
+    FROM dots GROUP BY vec_id
+    """,
+)
+def lsh_cosine_buckets(spark, sf_dir):
+    """Random-hyperplane LSH signature (8 planes -> 256 buckets): the scale
+    path for near-neighbour search — candidates meet in a bucket equi-join,
+    so the quadratic cross join never materializes."""
+    em = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d("embedding").alias("e")
+    )
+    planes = spark.range(N_PLANES).select(F.col("id").alias("p"))
+    dots = (
+        em.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "p",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(DIM - 1)),
+                F.lit(0.0),
+                lambda acc, d: acc
+                + F.element_at(F.col("e"), d.cast("int") + 1)
+                * ((1000003 * (d + 1) + 7919 * (F.col("p") + 1)) % 2001 - 1000),
+            ).alias("dot"),
+        )
+    )
+    return dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.expr("1 << CAST(p AS INT)")).otherwise(0)
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+
+
+def lsh_candidate_pairs(
+    em: DataFrame, n_tables: int = 6, planes_per_table: int = 5
+) -> DataFrame:
+    """Engine-side multi-table LSH near-neighbour candidates: each table
+    hashes with its own `planes_per_table` hyperplanes; a pair is a candidate
+    if it collides in ANY table (recall 1-(1-p^k)^L vs single-table p^k).
+    Tested in pytest against the brute-force baseline."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    n_planes = n_tables * planes_per_table
+    planes = spark.range(n_planes).select(
+        F.col("id").alias("p"),
+        (F.col("id") / planes_per_table).cast("int").alias("tbl"),
+    )
+    v = em.select("vec_id", _vec_d("embedding").alias("e"))
+    dots = v.crossJoin(F.broadcast(planes)).select(
+        "vec_id",
+        "p",
+        "tbl",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            F.lit(0.0),
+            lambda acc, d: acc
+            + F.element_at(F.col("e"), d.cast("int") + 1)
+            * ((1000003 * (d + 1) + 7919 * (F.col("p") + 1)) % 2001 - 1000),
+        ).alias("dot"),
+    )
+    buckets = dots.groupBy("vec_id", "tbl").agg(
+        F.sum(
+            F.when(
+                F.col("dot") > 0,
+                F.expr(f"1 << CAST(pmod(p, {planes_per_table}) AS INT)"),
+            ).otherwise(0)
+        ).alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,160 @@
+"""Structured Streaming surface (SURVEY.md §2 J, optional tier — the
+reference is batch; this is the incremental path for the same hourly tier).
+
+Design: micro-batch ingestion of T0 files -> watermark (J1) -> tumbling
+1-hour window aggregate (J2) with the SAME integer-backed state columns as
+the batch leaf rollup -> foreachBatch upsert into a parquet tier directory
+(update mode: late-but-in-watermark rows re-emit their window; each
+micro-batch's rows carry batch_id so readers take the latest version per
+key). Post-watermark stragglers fall back to the batch path: the manifest
+diff (F5) re-rolls affected partitions — streaming never silently drops
+them into wrong buckets.
+
+J5 replay-dedup (`dropDuplicatesWithinWatermark`) is a separate operator:
+chaining it in front of an update-mode aggregation hits Spark's
+multi-stateful-operator restrictions, and the batch dedup (E2) already
+guards the tier pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .bucket import T0_SCHEMA
+
+def _state_aggs():
+    # lazy: building Columns requires an active SparkContext
+    return [
+        F.count("*").alias("n_turns"),
+        F.sum(F.length("text").cast("long")).alias("token_sum"),
+        F.min(F.length("text").cast("long")).alias("token_min"),
+        F.max(F.length("text").cast("long")).alias("token_max"),
+        F.sum(F.col("tool").isNotNull().cast("long")).alias("tool_sum"),
+        F.min(F.col("tool").isNotNull().cast("long")).alias("tool_min"),
+        F.max(F.col("tool").isNotNull().cast("long")).alias("tool_max"),
+    ]
+
+
+def read_stream_t0(spark: SparkSession, input_path: str) -> DataFrame:
+    df = (
+        spark.readStream.schema(T0_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_path)
+    )
+    # watermarks require session-TZ TIMESTAMP; value-identical under UTC
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def hourly_stream_agg(t0_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """J1+J2: watermarked tumbling hourly aggregate, integer-backed state
+    identical to the batch leaf rollup (engine/rollup.py)."""
+    return (
+        t0_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "conv_id")
+        .agg(*_state_aggs())
+        .select(
+            "conv_id",
+            F.col("w.start").cast("timestamp_ntz").alias("bucket_start"),
+            "n_turns",
+            "token_sum",
+            "token_min",
+            "token_max",
+            "tool_sum",
+            "tool_min",
+            "tool_max",
+        )
+    )
+
+
+def run_hourly_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint: str,
+    watermark: str = "2 hours",
+):
+    """Update-mode micro-batch run (availableNow drains all pending files):
+    every emitted row is stamped with its micro-batch id; `read_stream_tier`
+    keeps the latest version per (conv_id, bucket_start)."""
+    agg = hourly_stream_agg(read_stream_t0(spark, input_path), watermark)
+
+    def _upsert(batch_df: DataFrame, batch_id: int):
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .foreachBatch(_upsert)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_stream_tier(spark: SparkSession, out_path: str) -> DataFrame:
+    """Resolve upserts: latest batch_id wins per (conv_id, bucket_start)."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(out_path)
+    w = Window.partitionBy("conv_id", "bucket_start").orderBy(
+        F.desc("batch_id")
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "batch_id")
+    )
+
+
+def dedup_stream(t0_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """J5: stateful replay-dedup on the natural key within the watermark."""
+    return t0_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
+def run_dedup_stream(
+    spark: SparkSession, input_path: str, out_path: str, checkpoint: str
+):
+    q = (
+        dedup_stream(read_stream_t0(spark, input_path))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_path)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def session_window_agg(
+    t0_stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """J3: conversation-burst sessions (session_window closes after `gap` of
+    inactivity)."""
+    return (
+        t0_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "conv_id")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            "n_turns",
+        )
+    )
+
+
+def ensure_dirs(*paths: str):
+    for p in paths:
+        os.makedirs(p, exist_ok=True)

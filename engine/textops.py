@@ -1,0 +1,386 @@
+"""Training-data text operators over the `documents` table: exact dedup,
+quality scoring, language-ID heuristic, fingerprinting, MinHash signatures,
+n-gram Jaccard, SimHash — each driver-verified against a DuckDB oracle.
+
+Portability note: the oracle-checked variants derive token ids from a global
+dictionary (dense_rank over distinct tokens) so both engines hash
+identically; the at-scale path would use xxhash64 token hashing directly
+(no dictionary build, no global window) — that variant is exercised in
+pytest (tests/test_textops.py) where the oracle is the dictionary version's
+pair output, not a SQL re-implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .queries import _t, register
+
+# ---------------------------------------------------------------------------
+# shared token helpers (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def _tokens_col(text_col="text"):
+    """Non-empty whitespace-split tokens as an array column."""
+    return F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+
+
+def doc_tokens(docs: DataFrame, max_doc: int | None = None) -> DataFrame:
+    d = docs if max_doc is None else docs.filter(F.col("doc_id") < max_doc)
+    return d.select("doc_id", F.explode(_tokens_col()).alias("w"))
+
+
+def token_dict(tok: DataFrame) -> DataFrame:
+    """Global token dictionary: token -> dense id ordered by token string.
+    (Oracle-portable; the scale path uses xxhash64(w) instead.)"""
+    return (
+        tok.select("w")
+        .distinct()
+        .withColumn("tid", F.dense_rank().over(Window.orderBy("w")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    """
+    SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies,
+           MIN(n_chars) AS n_chars
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content (one shuffle on the md5 key;
+    at 100 TB this is the standard first dedup pass)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality / language-ID / token stats
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "on", "for", "with"]
+
+
+@register(
+    "text_quality_scores",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             CAST(length(text) AS BIGINT) AS n_chars2
+      FROM documents)
+    SELECT doc_id, lang, source, n_chars2,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_word_len,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+             * 1.0 / len(toks) AS avg_word_len,
+           CAST(len(list_filter(toks, x -> x IN ({','.join(repr(w) for w in _STOPWORDS)})))
+             AS BIGINT) AS n_stop,
+           CAST(len(list_filter(toks, x -> x IN ({','.join(repr(w) for w in _STOPWORDS)})))
+             AS BIGINT) * 1.0 / len(toks) AS stop_ratio
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    """Quality scoring: word count, mean word length, stopword ratio —
+    the standard pre-training quality filters, all JVM-side array HOFs."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    stop = F.filter(toks, lambda x: x.isin(*_STOPWORDS))
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    out = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars2"),
+        F.size(toks).cast("long").alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        F.size(stop).cast("long").alias("n_stop"),
+    )
+    return out.filter(F.col("n_words") > 0).select(
+        "doc_id", "lang", "source", "n_chars2", "n_words", "sum_word_len",
+        (F.col("sum_word_len") * 1.0 / F.col("n_words")).alias("avg_word_len"),
+        "n_stop",
+        (F.col("n_stop") * 1.0 / F.col("n_words")).alias("stop_ratio"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "und", "das"],
+    "fr": ["le", "et", "les"],
+}
+
+
+def _marker_sql(lang):
+    return ",".join(repr(w) for w in _LANG_MARKERS[lang])
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang AS labeled_lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, labeled_lang,
+             CAST(len(list_filter(toks, x -> x IN ({_marker_sql('en')}))) AS BIGINT) AS c_en,
+             CAST(len(list_filter(toks, x -> x IN ({_marker_sql('es')}))) AS BIGINT) AS c_es,
+             CAST(len(list_filter(toks, x -> x IN ({_marker_sql('de')}))) AS BIGINT) AS c_de,
+             CAST(len(list_filter(toks, x -> x IN ({_marker_sql('fr')}))) AS BIGINT) AS c_fr
+      FROM t)
+    SELECT doc_id, labeled_lang,
+           CASE WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'unknown'
+                WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+                WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+                WHEN c_de >= c_fr THEN 'de'
+                ELSE 'fr' END AS pred_lang
+    FROM c
+    """,
+)
+def lang_id_heuristic(spark, sf_dir):
+    """Language-ID by stopword-marker counts (n-gram-free heuristic; the
+    deterministic tie-break order en>es>de>fr matches the oracle CASE)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens_col()
+
+    def _count_markers(markers):
+        # nb: the lambda must take exactly one arg — F.filter treats a
+        # second parameter as the element-index column
+        return F.size(F.filter(toks, lambda x: x.isin(*markers))).cast("long")
+
+    counts = {lang: _count_markers(m) for lang, m in _LANG_MARKERS.items()}
+    c = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[v.alias(f"c_{k}") for k, v in counts.items()],
+    )
+    pred = (
+        F.when(
+            (F.col("c_en") == 0) & (F.col("c_es") == 0)
+            & (F.col("c_de") == 0) & (F.col("c_fr") == 0),
+            "unknown",
+        )
+        .when(
+            (F.col("c_en") >= F.col("c_es"))
+            & (F.col("c_en") >= F.col("c_de"))
+            & (F.col("c_en") >= F.col("c_fr")),
+            "en",
+        )
+        .when((F.col("c_es") >= F.col("c_de")) & (F.col("c_es") >= F.col("c_fr")), "es")
+        .when(F.col("c_de") >= F.col("c_fr"), "de")
+        .otherwise("fr")
+    )
+    return c.select("doc_id", "labeled_lang", pred.alias("pred_lang"))
+
+
+@register(
+    "doc_fingerprint",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+             generate_subscripts(list_filter(string_split(text, ' '), x -> x <> ''), 1) AS pos
+      FROM documents WHERE doc_id < 200),
+    dict AS (
+      SELECT w, CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS tid
+      FROM (SELECT DISTINCT w FROM tok)),
+    tw AS (SELECT t.doc_id, t.pos, d.tid FROM tok t JOIN dict d USING (w))
+    SELECT doc_id,
+           CAST(SUM(pos * tid) % 1000000007 AS BIGINT) AS fingerprint,
+           COUNT(*) AS n_tokens
+    FROM tw GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Rolling position-weighted fingerprint over dictionary token ids
+    (order-sensitive content hash; scale path uses xxhash64 tokens)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = d.select(
+        "doc_id", F.posexplode(_tokens_col()).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    dic = token_dict(tok).withColumn("tid", F.col("tid").cast("long"))
+    tw = tok.join(dic, "w")
+    return tw.groupBy("doc_id").agg(
+        (F.sum(F.col("pos") * F.col("tid")) % 1000000007).alias("fingerprint"),
+        F.count("*").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup: MinHash, n-gram Jaccard, SimHash
+# ---------------------------------------------------------------------------
+
+_N_PERMS = 8
+_MH_PRIME = 2147483647
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents WHERE doc_id < 300),
+    dict AS (
+      SELECT w, CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS tid
+      FROM (SELECT DISTINCT w FROM tok)),
+    tw AS (SELECT t.doc_id, d.tid FROM tok t JOIN dict d USING (w)),
+    perms AS (SELECT unnest(range({_N_PERMS})) AS p)
+    SELECT doc_id, CAST(p AS INT) AS perm,
+           CAST(MIN((1000003 * tid + 17 * (p + 1)) % {_MH_PRIME}) AS BIGINT) AS minhash
+    FROM tw CROSS JOIN perms
+    GROUP BY doc_id, p
+    """,
+)
+def minhash_signatures(spark, sf_dir):
+    """MinHash signatures (8 affine permutations over dictionary token ids):
+    the shingle->minhash half of MinHash-LSH dedup; banding/bucket-join is
+    exercised engine-side in tests (hash-based, SQL-free)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    tok = d.select("doc_id", F.explode(_tokens_col()).alias("w")).distinct()
+    dic = token_dict(tok).withColumn("tid", F.col("tid").cast("long"))
+    tw = tok.join(dic, "w")
+    perms = spark.range(_N_PERMS).select(F.col("id").alias("p"))
+    return (
+        tw.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", F.col("p").cast("int").alias("perm"))
+        .agg(
+            F.min(
+                (1000003 * F.col("tid") + 17 * (F.col("p") + 1)) % _MH_PRIME
+            ).alias("minhash")
+        )
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 60),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(greatest(0, len(toks) - 2)),
+                    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+      FROM t),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           i.n_common * 1.0 / (sa.n + sb.n - i.n_common) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                 JOIN sizes sb ON sb.doc_id = i.doc_b
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Word-3-gram shingle Jaccard between document pairs (shingle equi-join,
+    never an O(n²) nested loop; bounded here to doc_id<60 for the oracle)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    toks = _tokens_col()
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+_SIMHASH_BITS = 16
+_MIX = 2654435761
+
+
+@register(
+    "simhash_docs",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents WHERE doc_id < 300),
+    dict AS (
+      SELECT w, CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS tid
+      FROM (SELECT DISTINCT w FROM tok)),
+    tw AS (SELECT t.doc_id, d.tid FROM tok t JOIN dict d USING (w)),
+    bits AS (SELECT unnest(range({_SIMHASH_BITS})) AS b),
+    contrib AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN ((tid * {_MIX}) >> CAST(b AS INT)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM tw CROSS JOIN bits GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN 1 << CAST(b AS INT) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def simhash_docs(spark, sf_dir):
+    """16-bit SimHash over dictionary token ids (sign-sum per bit plane)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    tok = d.select("doc_id", F.explode(_tokens_col()).alias("w")).distinct()
+    dic = token_dict(tok).withColumn("tid", F.col("tid").cast("long"))
+    tw = tok.join(dic, "w")
+    bits = spark.range(_SIMHASH_BITS).select(F.col("id").alias("b"))
+    # shiftright/shiftleft builtins take a Python-int bit count — shifting by
+    # a *column* needs the SQL operators
+    bit_expr = F.expr(f"((tid * {_MIX}) >> CAST(b AS INT)) & 1")
+    contrib = (
+        tw.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "b")
+        .agg(F.sum(F.when(bit_expr == 1, 1).otherwise(-1)).alias("s"))
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("1 << CAST(b AS INT)")).otherwise(0)
+        )
+        .cast("long")
+        .alias("simhash")
+    )

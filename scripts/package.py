@@ -1,0 +1,24 @@
+#!/usr/bin/env python3
+"""Package the engine for `spark-submit --py-files dist/engine.zip`."""
+
+import os
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    dist = os.path.join(REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    out = os.path.join(dist, "engine.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(os.path.join(REPO, "engine")):
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, REPO))
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for the tier pipeline (north rule: `run via
+spark-submit --py-files on a multi-executor cluster`).
+
+Cluster usage:
+    python scripts/package.py                       # -> dist/engine.zip
+    spark-submit --py-files dist/engine.zip \\
+        --conf spark.sql.shuffle.partitions=<2-3x total cores> \\
+        scripts/run_pipeline.py --input s3://…/t0 --root s3://…/tiers
+
+Local smoke:
+    python scripts/run_pipeline.py --synthetic 200000 --root /tmp/tiers
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="T0 parquet/Iceberg path")
+    ap.add_argument("--synthetic", type=int, default=None,
+                    help="generate ~N synthetic turns instead of --input")
+    ap.add_argument("--root", required=True, help="tier-store root")
+    ap.add_argument("--salted", action="store_true", default=True)
+    ap.add_argument("--fill-method", default="locf", choices=["locf", "linear"])
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--retention-before", default=None,
+                    help="drop raw hourly partitions older than YYYY-MM-DD "
+                         "(only if lineage committed)")
+    args = ap.parse_args()
+
+    from engine.session import get_spark
+
+    spark = get_spark("tier-pipeline", master=args.master)
+
+    from engine.io import read_transcripts
+    from engine.pipeline import TierPipeline
+
+    if args.synthetic:
+        from engine.synth import synth_transcripts
+
+        hot = max(400, args.synthetic // 7)
+        t0 = synth_transcripts(
+            spark, n_convs=max(200, args.synthetic // 50), hot_turns=hot
+        )
+    else:
+        if not args.input:
+            ap.error("--input or --synthetic required")
+        t0 = read_transcripts(spark, args.input)
+
+    pipe = TierPipeline(
+        spark, args.root, salted=args.salted, fill_method=args.fill_method
+    )
+    result = pipe.run(t0)
+
+    if args.retention_before:
+        from engine.retention import drop_hourly_partitions, droppable_hourly_days
+
+        days = droppable_hourly_days(pipe, older_than=args.retention_before)
+        dropped = drop_hourly_partitions(pipe, days, run_id=result["run_id"])
+        result["retention_dropped"] = dropped
+
+    pipe.register_views()
+    result["monthly_rows"] = spark.table("tiers_monthly").count()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Streaming tier tests (SURVEY.md §5 / M10): availableNow micro-batch
+hourly aggregate equals the batch leaf rollup; stateful replay-dedup."""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from engine.rollup import rollup_hourly  # noqa: E402
+from engine.streaming import (  # noqa: E402
+    run_dedup_stream,
+    run_hourly_stream,
+    read_stream_tier,
+)
+from engine.synth import synth_transcripts  # noqa: E402
+
+STATE = ["n_turns", "token_sum", "token_min", "token_max",
+         "tool_sum", "tool_min", "tool_max"]
+KEY = ["conv_id", "bucket_start"]
+
+
+@pytest.fixture(scope="module")
+def t0_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("stream") / "t0")
+    t0 = synth_transcripts(spark, n_convs=40, hot_turns=300)
+    # several files so availableNow takes multiple micro-batches
+    t0.repartition(8).write.parquet(p)
+    return p
+
+
+def test_stream_hourly_equals_batch(spark, t0_path, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_hourly_stream(spark, t0_path, out, ckpt)
+    got = (
+        read_stream_tier(spark, out)
+        .select(*KEY, *STATE)
+        .toPandas()
+        .sort_values(KEY, ignore_index=True)
+    )
+    exp = (
+        rollup_hourly(spark.read.parquet(t0_path))
+        .select(*KEY, *STATE)
+        .toPandas()
+        .sort_values(KEY, ignore_index=True)
+    )
+    assert got.equals(exp), (
+        f"stream/batch divergence: {len(got)} vs {len(exp)} rows"
+    )
+
+
+def test_stream_resume_is_incremental(spark, t0_path, tmp_path):
+    """Restarting the availableNow stream with an unchanged input is a no-op
+    (checkpoint holds the file offsets)."""
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    run_hourly_stream(spark, t0_path, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    run_hourly_stream(spark, t0_path, out, ckpt)
+    n2 = spark.read.parquet(out).count()
+    assert n2 == n1
+
+
+def test_dedup_stream_removes_replays(spark, tmp_path):
+    src = str(tmp_path / "dupsrc")
+    t0 = synth_transcripts(spark, n_convs=10, hot_turns=50)
+    t0.unionByName(t0).repartition(4).write.parquet(src)  # exact replays
+    out = str(tmp_path / "dupout")
+    ckpt = str(tmp_path / "dupckpt")
+    run_dedup_stream(spark, src, out, ckpt)
+    got = spark.read.parquet(out)
+    n_unique = t0.select("conv_id", "turn_idx").distinct().count()
+    assert got.count() == n_unique
+    assert got.groupBy("conv_id", "turn_idx").count().filter(
+        F.col("count") > 1
+    ).count() == 0

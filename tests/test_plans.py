@@ -1,0 +1,94 @@
+"""Physical-plan audits (SURVEY.md §4): the optimizations the engine relies
+on at 100 TB must be visible in the plan, not assumed — predicate pushdown
+to the parquet scan, column pruning, broadcast of small dims, partial+final
+hash aggregation, and no Python in the built-in paths."""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from engine import io as eio  # noqa: E402
+from engine.rollup import rollup_hourly  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def opt_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = eio.read_table(spark, SF_DIR, "lineitem")
+    df = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    p = plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in p, p
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = eio.read_table(spark, SF_DIR, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    p = plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in p, p
+
+
+def test_small_dim_join_broadcasts(spark):
+    n = eio.read_table(spark, SF_DIR, "nation")
+    c = eio.read_table(spark, SF_DIR, "customer")
+    df = c.join(n, c.c_nationkey == n.n_nationkey)
+    assert "BroadcastHashJoin" in plan(df)
+
+
+def test_rollup_uses_partial_final_hash_agg(spark):
+    from engine.synth import synth_transcripts
+
+    t0 = synth_transcripts(spark, n_convs=20, hot_turns=50)
+    p = plan(rollup_hourly(t0))
+    # two HashAggregate occurrences around one exchange = map-side combine
+    assert p.count("HashAggregate") >= 2, p
+    assert "Exchange hashpartitioning(conv_id" in p, p
+
+
+def test_rollup_path_has_no_python_udf(spark):
+    from engine.synth import synth_transcripts
+
+    t0 = synth_transcripts(spark, n_convs=20, hot_turns=50)
+    from engine.rollup import build_tiers, tier_view
+
+    p = plan(tier_view(build_tiers(t0)["monthly"], "monthly"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+        "built-in tier path must stay JVM-side"
+    )
+
+
+def test_gapfill_linear_is_arrow_not_row_python(spark):
+    from engine.gapfill import gapfill_linear, hourly_series
+    from engine.synth import synth_transcripts
+
+    t0 = synth_transcripts(spark, n_convs=20, hot_turns=50)
+    p = plan(gapfill_linear(hourly_series(rollup_hourly(t0))))
+    assert "FlatMapGroupsInPandas" in p, p  # Arrow grouped map
+    assert "BatchEvalPython" not in p, "no row-at-a-time Python"
+
+
+def test_partition_pruning_on_tier_read(spark, tmp_path):
+    from engine.pipeline import TierPipeline
+    from engine.synth import synth_transcripts
+
+    t0 = synth_transcripts(spark, n_convs=20, hot_turns=80)
+    pipe = TierPipeline(spark, str(tmp_path / "t"))
+    pipe.run(t0, stages=("hourly",))
+    hourly = pipe.read_tier("hourly")
+    one_day = hourly.filter(F.col("bucket_date") == "2026-01-05")
+    p = plan(one_day)
+    # bucket_date is a partition column: the filter must prune directories,
+    # not appear as a data filter
+    assert "PartitionFilters" in p and "bucket_date" in p.split("PartitionFilters")[1][:200], p

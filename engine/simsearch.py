@@ -81,6 +81,52 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_neardup_pairs",
+    f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_sum(list_transform(range({DIM}),
+                  i -> CAST(embedding AS DOUBLE[])[i+1]
+                     * CAST(embedding AS DOUBLE[])[i+1]))) AS nrm
+      FROM embeddings WHERE vec_id < 1000)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_sum(list_transform(range({DIM}),
+                 i -> a.e[i+1] * b.e[i+1])) / (a.nrm * b.nrm), 6) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range({DIM}), i -> a.e[i+1] * b.e[i+1]))
+          / (a.nrm * b.nrm) >= 0.5
+    """,
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (dedup family): exact pair scan
+    over a bounded id range as the verified baseline; the scale path routes
+    candidates through lsh_candidate_pairs first so the quadratic never
+    materializes (tested in pytest)."""
+    em = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 1000)
+        .select("vec_id", _vec_d("embedding").alias("e"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    )
+    a = em.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = em.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.5)
+        .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
+    )
+
+
 def _plane_weight(p, d):
     """Deterministic integer hyperplane weight in [-1000, 1000] — identical
     arithmetic in Spark and DuckDB (no RNG, no float seed drift)."""

@@ -100,13 +100,67 @@ class Manifest:
         return fname
 
 
+def work_manifest(
+    df: DataFrame, key_expr, hash_cols: list[str], prefix: str
+) -> DataFrame:
+    """One cheap aggregation pass over a stage's input producing, per
+    partition key: ``partition_key``, ``rows_in`` and an order-insensitive
+    content fingerprint (``input_snapshot_id``).
+
+    The fingerprint is count + bit_xor(xxhash64(row)) + Σ(xxhash64(row) mod p)
+    — commutative/associative (stable under any partitioning or row order)
+    and overflow-safe under ANSI mode. It is the late-data detector (J4): a
+    committed partition whose input fingerprint changed is re-rolled, so
+    post-watermark stragglers and backfills are never silently dropped.
+    """
+    h = F.xxhash64(*hash_cols)
+    return (
+        df.groupBy(key_expr.alias("_k"))
+        .agg(
+            F.count(F.lit(1)).alias("rows_in"),
+            F.bit_xor(h).alias("_hx"),
+            F.sum(F.pmod(h, F.lit(1000003))).alias("_hs"),
+        )
+        .select(
+            F.concat(F.lit(prefix + "="), F.col("_k").cast("string")).alias(
+                "partition_key"
+            ),
+            "rows_in",
+            F.concat_ws(":", "rows_in", "_hx", "_hs").alias("input_snapshot_id"),
+        )
+    )
+
+
 def pending_partitions(
     work_keys: DataFrame, manifest: Manifest, stage: str
 ) -> DataFrame:
-    """L4/F5: resume — keep only partition keys not yet committed for this
-    stage (left anti join against the manifest)."""
-    committed = manifest.committed_keys(stage)
-    return work_keys.join(committed, "partition_key", "left_anti")
+    """L4/F5/J4: resume — keep partition keys that are not yet committed for
+    this stage, or whose committed input fingerprint no longer matches the
+    current input (late/backfilled data ⇒ re-roll).
+
+    Accepts either a bare ``partition_key`` DF (legacy anti-join semantics)
+    or a `work_manifest` DF carrying ``input_snapshot_id``.
+    """
+    if "input_snapshot_id" not in work_keys.columns:
+        committed = manifest.committed_keys(stage)
+        return work_keys.join(committed, "partition_key", "left_anti")
+    latest = (
+        manifest.read()
+        .filter(F.col("stage") == stage)
+        .groupBy("partition_key")
+        .agg(
+            F.max(F.struct("committed_at", "input_snapshot_id")).alias("_m")
+        )
+        .select("partition_key", F.col("_m.input_snapshot_id").alias("_committed_snap"))
+    )
+    return (
+        work_keys.join(latest, "partition_key", "left")
+        .filter(
+            F.col("_committed_snap").isNull()
+            | (F.col("_committed_snap") != F.col("input_snapshot_id"))
+        )
+        .drop("_committed_snap")
+    )
 
 
 def new_run_id() -> str:

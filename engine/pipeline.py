@@ -3,10 +3,13 @@
     ingest -> dedup/order -> hourly -> daily -> monthly -> gap-fill ->
     compress -> (retention) with a manifest commit after every stage.
 
-Each stage materializes to its table and commits per-partition lineage rows,
-deliberately mirroring the reference's write-GeoTIFF-then-skip-on-rerun
-checkpoint idiom: a rerun anti-joins the manifest and touches only
-uncommitted partitions (partition pruning keeps the scans narrow).
+Each stage materializes to its table and commits per-partition lineage rows
+carrying an order-insensitive *input fingerprint*, deliberately mirroring the
+reference's write-GeoTIFF-then-skip-on-rerun checkpoint idiom generalized to
+mutable inputs: a rerun recomputes a partition iff it is uncommitted OR its
+input fingerprint changed (late/backfilled rows — J4). Because each stage
+fingerprints its own input tier, one late raw row cascades exactly the
+affected day → its month → the touched conv_buckets, and nothing else.
 
 Resume granularity per stage:
     hourly/daily  -> bucket_date (day)      key 'day=YYYY-MM-DD'
@@ -24,13 +27,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .bucket import dedup_turns, mask_valid
-from .checkpoint import Manifest, new_run_id, pending_partitions
+from .checkpoint import Manifest, new_run_id, pending_partitions, work_manifest
 from .codec.chunks import make_chunks
 from .gapfill import gapfill, hourly_series
-from .rollup import rollup_hourly, rollup_up, tier_view
+from .rollup import STATE_COLS, rollup_hourly, rollup_up, tier_view
 from .skew import rollup_hourly_salted
 
 N_CONV_BUCKETS = 64
+
+#: hourly/daily tier-state content columns hashed into stage fingerprints
+_STATE_HASH_COLS = ["conv_id", "bucket_start", *STATE_COLS]
 
 
 def _conv_bucket(col="conv_id", n=N_CONV_BUCKETS):
@@ -44,11 +50,6 @@ def _write(df: DataFrame, path: str, partition_cols: list[str]):
         .mode("overwrite")
         .parquet(path)
     )
-
-
-def _per_key_counts(df: DataFrame, key_col) -> dict[str, int]:
-    rows = df.groupBy(key_col.alias("_k")).count().collect()
-    return {str(r["_k"]): r["count"] for r in rows}
 
 
 class TierPipeline:
@@ -87,35 +88,56 @@ class TierPipeline:
         self,
         stage: str,
         run_id: str,
-        work_keys: DataFrame,  # column: partition_key
-        build,  # pending_keys DF -> (input_df, out_df, key_col_in, key_col_out)
+        work: DataFrame,  # work_manifest: partition_key, rows_in, input_snapshot_id
+        build,  # pending key list -> output DF
         out_path: str,
         partition_cols: list[str],
         lineage: str,
     ) -> int:
+        """Run one stage exactly once per pending partition.
+
+        Cost model (the whole point of this structure): the stage transform
+        is computed a single time — by the write. Per-key rows_in and the
+        input fingerprint come from the `work` manifest scan (one shuffle-
+        light partial aggregate over the input); rows_out comes from a
+        footer-only read-back of the partitions just written (the count
+        references no data columns, so parquet row-group metadata answers
+        it). Nothing collects the transformed data to the driver.
+        """
         t0 = time.monotonic()
-        pending = pending_partitions(work_keys, self.manifest, stage)
-        keys = [r["partition_key"] for r in pending.collect()]
-        if not keys:
+        pending = pending_partitions(work, self.manifest, stage).collect()
+        if not pending:
             return 0
-        inp, out, key_in, key_out = build(keys)
-        rows_in = _per_key_counts(inp, key_in)
-        rows_out = _per_key_counts(out, key_out)
+        keys = [r["partition_key"] for r in pending]
+        out = build(keys)
         _write(out, out_path, partition_cols)
+        part = partition_cols[0]
+        vals = [k.split("=", 1)[1] for k in keys]
+        rows_out = {
+            r["_k"]: r["count"]
+            for r in (
+                self.spark.read.parquet(out_path)
+                .filter(F.col(part).cast("string").isin(vals))
+                .groupBy(F.col(part).cast("string").alias("_k"))
+                .count()
+                .collect()
+            )
+        }
         wall = int((time.monotonic() - t0) * 1000)
         self.manifest.commit(
             [
                 {
                     "run_id": run_id,
                     "stage": stage,
-                    "partition_key": k,
-                    "rows_in": rows_in.get(k.split("=", 1)[1], 0),
-                    "rows_out": rows_out.get(k.split("=", 1)[1], 0),
+                    "partition_key": r["partition_key"],
+                    "rows_in": r["rows_in"],
+                    "rows_out": rows_out.get(r["partition_key"].split("=", 1)[1], 0),
                     "wall_ms": wall,
                     "lineage": lineage,
+                    "input_snapshot_id": r["input_snapshot_id"],
                     "output_snapshot_id": out_path,
                 }
-                for k in keys
+                for r in pending
             ]
         )
         return len(keys)
@@ -136,11 +158,12 @@ class TierPipeline:
         done = {}
 
         # 1. raw -> hourly, keyed by day
-        day_keys = t0.select(
-            F.concat(F.lit("day="), F.col("bucket_date").cast("string")).alias(
-                "partition_key"
-            )
-        ).distinct()
+        day_work = work_manifest(
+            t0,
+            F.col("bucket_date").cast("string"),
+            ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+            "day",
+        )
 
         def build_hourly(keys):
             days = [k.split("=", 1)[1] for k in keys]
@@ -150,21 +173,15 @@ class TierPipeline:
                 if self.salted
                 else rollup_hourly(inp)
             )
-            out = roll.withColumns(
+            return roll.withColumns(
                 {
                     "bucket_date": F.to_date("bucket_start"),
                     "conv_bucket": _conv_bucket(),
                 }
             )
-            return (
-                inp,
-                out,
-                F.col("bucket_date").cast("string"),
-                F.col("bucket_date").cast("string"),
-            )
 
         done["hourly"] = self._run_stage(
-            "hourly", run_id, day_keys, build_hourly,
+            "hourly", run_id, day_work, build_hourly,
             self.tier_path("hourly"), ["bucket_date"], "raw",
         )
         if "daily" not in stages:
@@ -172,26 +189,22 @@ class TierPipeline:
 
         # 2. hourly -> daily, keyed by day
         hourly = self.read_tier("hourly")
-        daily_keys = hourly.select(
-            F.concat(F.lit("day="), F.col("bucket_date").cast("string")).alias(
-                "partition_key"
-            )
-        ).distinct()
+        daily_work = work_manifest(
+            hourly, F.col("bucket_date").cast("string"), _STATE_HASH_COLS, "day"
+        )
 
         def build_daily(keys):
             days = [k.split("=", 1)[1] for k in keys]
             inp = hourly.filter(F.col("bucket_date").cast("string").isin(days))
-            out = rollup_up(inp, "daily").withColumns(
+            return rollup_up(inp, "daily").withColumns(
                 {
                     "bucket_date": F.to_date("bucket_start"),
                     "conv_bucket": _conv_bucket(),
                 }
             )
-            key = F.col("bucket_date").cast("string")
-            return inp, out, key, key
 
         done["daily"] = self._run_stage(
-            "daily", run_id, daily_keys, build_daily,
+            "daily", run_id, daily_work, build_daily,
             self.tier_path("daily"), ["bucket_date"], "hourly",
         )
         if "monthly" not in stages:
@@ -200,23 +213,20 @@ class TierPipeline:
         # 3. daily -> monthly, keyed by month
         daily = self.read_tier("daily")
         month_of = F.date_format("bucket_start", "yyyy-MM")
-        month_keys = daily.select(
-            F.concat(F.lit("month="), month_of).alias("partition_key")
-        ).distinct()
+        month_work = work_manifest(daily, month_of, _STATE_HASH_COLS, "month")
 
         def build_monthly(keys):
             months = [k.split("=", 1)[1] for k in keys]
             inp = daily.filter(month_of.isin(months))
-            out = rollup_up(inp, "monthly").withColumns(
+            return rollup_up(inp, "monthly").withColumns(
                 {
                     "bucket_month": F.date_format("bucket_start", "yyyy-MM"),
                     "conv_bucket": _conv_bucket(),
                 }
             )
-            return inp, out, month_of, F.col("bucket_month")
 
         done["monthly"] = self._run_stage(
-            "monthly", run_id, month_keys, build_monthly,
+            "monthly", run_id, month_work, build_monthly,
             self.tier_path("monthly"), ["bucket_month"], "daily",
         )
         if "gapfill" not in stages:
@@ -224,25 +234,20 @@ class TierPipeline:
 
         # 4. gap-fill, keyed by conv_bucket (series must stay whole)
         hourly = self.read_tier("hourly")
-        cb_keys = hourly.select(
-            F.concat(F.lit("cb="), F.col("conv_bucket").cast("string")).alias(
-                "partition_key"
-            )
-        ).distinct()
+        cb_work = work_manifest(
+            hourly, F.col("conv_bucket").cast("string"), _STATE_HASH_COLS, "cb"
+        )
 
         def build_gapfill(keys):
             cbs = [int(k.split("=", 1)[1]) for k in keys]
             inp = hourly.filter(F.col("conv_bucket").isin(cbs))
             series = hourly_series(inp)
-            out = gapfill(series, self.fill_method).withColumn(
+            return gapfill(series, self.fill_method).withColumn(
                 "conv_bucket", _conv_bucket()
             )
-            return inp, out, F.col("conv_bucket").cast("string"), F.col(
-                "conv_bucket"
-            ).cast("string")
 
         done["gapfill"] = self._run_stage(
-            "gapfill", run_id, cb_keys, build_gapfill,
+            "gapfill", run_id, cb_work, build_gapfill,
             self.gapfill_path, ["conv_bucket"], "hourly",
         )
         if "compress" not in stages:
@@ -252,15 +257,12 @@ class TierPipeline:
         def build_compress(keys):
             cbs = [int(k.split("=", 1)[1]) for k in keys]
             inp = hourly.filter(F.col("conv_bucket").isin(cbs))
-            out = make_chunks(hourly_series(inp), tier="hourly").withColumn(
+            return make_chunks(hourly_series(inp), tier="hourly").withColumn(
                 "conv_bucket", _conv_bucket()
             )
-            return inp, out, F.col("conv_bucket").cast("string"), F.col(
-                "conv_bucket"
-            ).cast("string")
 
         done["compress"] = self._run_stage(
-            "compress", run_id, cb_keys, build_compress,
+            "compress", run_id, cb_work, build_compress,
             self.chunks_path, ["conv_bucket"], "hourly",
         )
 

@@ -6,9 +6,11 @@ Design: micro-batch ingestion of T0 files -> watermark (J1) -> tumbling
 the batch leaf rollup -> foreachBatch upsert into a parquet tier directory
 (update mode: late-but-in-watermark rows re-emit their window; each
 micro-batch's rows carry batch_id so readers take the latest version per
-key). Post-watermark stragglers fall back to the batch path: the manifest
-diff (F5) re-rolls affected partitions — streaming never silently drops
-them into wrong buckets.
+key). Post-watermark stragglers fall back to the batch path: TierPipeline
+fingerprints every stage input per partition (checkpoint.work_manifest), so
+a batch rerun over raw-plus-stragglers re-rolls exactly the affected
+day/month/conv_bucket partitions (J4; tests/test_checkpoint.py
+test_late_data_reroll_cascade) — late rows are never silently dropped.
 
 J5 replay-dedup (`dropDuplicatesWithinWatermark`) is a separate operator:
 chaining it in front of an update-mode aggregation hits Spark's

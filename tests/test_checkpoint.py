@@ -119,6 +119,63 @@ def test_incremental_new_days_only(spark, t0, tmp_path):
     pd.testing.assert_frame_equal(_monthly_view(pipe), _monthly_view(ref))
 
 
+def test_pending_fingerprint_diff(spark, tmp_path):
+    """A committed key whose input fingerprint changed is pending again."""
+    m = Manifest(spark, str(tmp_path / "mani3"))
+    m.commit([
+        {"run_id": "r", "stage": "s", "partition_key": "day=a",
+         "input_snapshot_id": "old-fp"},
+        {"run_id": "r", "stage": "s", "partition_key": "day=b",
+         "input_snapshot_id": "fp-b"},
+    ])
+    # a later commit supersedes day=a — the LATEST snapshot must win
+    m.commit([{"run_id": "r2", "stage": "s", "partition_key": "day=a",
+               "input_snapshot_id": "fp-a"}])
+    work = spark.createDataFrame(
+        [("day=a", 1, "fp-a"), ("day=b", 1, "fp-b2"), ("day=c", 1, "fp-c")],
+        "partition_key string, rows_in long, input_snapshot_id string",
+    )
+    got = sorted(
+        r["partition_key"]
+        for r in pending_partitions(work, m, "s").collect()
+    )
+    assert got == ["day=b", "day=c"]  # b changed, c new, a unchanged
+
+
+def test_late_data_reroll_cascade(spark, t0, tmp_path):
+    """J4: rows arriving after their day/month was committed trigger a
+    re-roll of exactly the affected partitions, and the final tiers equal a
+    from-scratch run over the full data. The cutoff is MID-month so the
+    monthly tier is provably stale without the fingerprint diff."""
+    late_day = (
+        t0.groupBy(F.to_date("ts").alias("d")).count()
+        .orderBy(F.desc("count")).limit(1).collect()[0]["d"]
+    )
+    late = t0.filter(
+        (F.to_date("ts") == F.lit(late_day)) & (F.hour("ts") >= 12)
+    )
+    first = t0.exceptAll(late)
+    assert late.count() > 0 and first.count() > 0
+
+    pipe = TierPipeline(spark, str(tmp_path / "p6"))
+    pipe.run(first)
+    before_keys = {
+        r["partition_key"]
+        for r in pipe.manifest.committed_keys("hourly").collect()
+    }
+    assert f"day={late_day}" in before_keys  # the day WAS committed
+
+    res2 = pipe.run(t0)  # full data incl. stragglers
+    assert res2["stages"]["hourly"] >= 1  # late day re-rolled
+    assert res2["stages"]["monthly"] >= 1  # cascaded to its month
+    ref = TierPipeline(spark, str(tmp_path / "p6ref"))
+    ref.run(t0)
+    pd.testing.assert_frame_equal(_monthly_view(pipe), _monthly_view(ref))
+    # third run over identical data is a full no-op (fingerprints stable)
+    res3 = pipe.run(t0)
+    assert all(n == 0 for n in res3["stages"].values()), res3
+
+
 def test_manifest_rowcount_metrics(spark, t0, tmp_path):
     pipe = TierPipeline(spark, str(tmp_path / "p5"))
     pipe.run(t0, stages=("hourly",))

@@ -81,46 +81,67 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
+_ND_TABLES = 6
+_ND_ROWS = 5  # planes per LSH table
+
+
 @register(
     "embedding_neardup_pairs",
     f"""
-    WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-             sqrt(list_sum(list_transform(range({DIM}),
-                  i -> CAST(embedding AS DOUBLE[])[i+1]
-                     * CAST(embedding AS DOUBLE[])[i+1]))) AS nrm
-      FROM embeddings WHERE vec_id < 1000)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_sum(list_transform(range({DIM}),
-                 i -> a.e[i+1] * b.e[i+1])) / (a.nrm * b.nrm), 6) AS sim
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE list_sum(list_transform(range({DIM}), i -> a.e[i+1] * b.e[i+1]))
-          / (a.nrm * b.nrm) >= 0.5
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    planes AS (SELECT unnest(range({_ND_TABLES * _ND_ROWS})) AS p),
+    dots AS (
+      SELECT vec_id, p, CAST(p // {_ND_ROWS} AS INT) AS tbl,
+             list_sum(list_transform(range({DIM}),
+               d -> e[d+1] * ((1000003 * (d+1) + 7919 * (p+1)) % 2001 - 1000)))
+               AS dot
+      FROM v CROSS JOIN planes),
+    buckets AS (
+      SELECT vec_id, tbl,
+             CAST(SUM(CASE WHEN dot > 0 THEN 1 << CAST(p % {_ND_ROWS} AS INT)
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id, tbl),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM buckets a JOIN buckets b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    sims AS (
+      SELECT c.vec_a, c.vec_b,
+             list_sum(list_transform(range({DIM}), i -> va.e[i+1] * vb.e[i+1]))
+             / (sqrt(list_sum(list_transform(range({DIM}), i -> va.e[i+1] * va.e[i+1])))
+                * sqrt(list_sum(list_transform(range({DIM}), i -> vb.e[i+1] * vb.e[i+1]))))
+               AS sim
+      FROM cand c JOIN v va ON va.vec_id = c.vec_a
+                  JOIN v vb ON vb.vec_id = c.vec_b)
+    SELECT vec_a, vec_b, ROUND(sim, 6) AS sim FROM sims WHERE sim >= 0.5
     """,
 )
 def embedding_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (dedup family): exact pair scan
-    over a bounded id range as the verified baseline; the scale path routes
-    candidates through lsh_candidate_pairs first so the quadratic never
-    materializes (tested in pytest)."""
-    em = (
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 1000)
-        .select("vec_id", _vec_d("embedding").alias("e"))
-        .withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    """Embedding-cosine near-duplicate pairs, the scale-path shape:
+    multi-table LSH candidate generation (bucket equi-join — the quadratic
+    all-pairs never materializes) followed by exact cosine verification of
+    the candidates only. The DuckDB oracle reproduces the deterministic
+    hyperplanes bit-exactly, so this is a full hash-checked entry. Recall vs
+    the brute-force baseline is asserted separately in pytest
+    (tests/test_simsearch_multimodal.py); at a production near-dup threshold
+    (sim≥0.9, plane-agreement p≈0.86) 6 tables × 5 planes give ≈97% recall."""
+    em = _t(spark, sf_dir, "embeddings")
+    v = em.select("vec_id", _vec_d("embedding").alias("e")).withColumn(
+        "nrm", F.sqrt(_dot(F.col("e"), F.col("e")))
     )
-    a = em.select(
+    cand = lsh_candidate_pairs(em, n_tables=_ND_TABLES, planes_per_table=_ND_ROWS)
+    a = v.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
         F.col("nrm").alias("na"),
     )
-    b = em.select(
+    b = v.select(
         F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
         F.col("nrm").alias("nb"),
     )
     sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
-        F.broadcast(a)
-        .join(b, F.col("vec_a") < F.col("vec_b"))
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .withColumn("sim", sim)
         .filter(F.col("sim") >= 0.5)
         .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))

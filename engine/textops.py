@@ -2,17 +2,20 @@
 quality scoring, language-ID heuristic, fingerprinting, MinHash signatures,
 n-gram Jaccard, SimHash — each driver-verified against a DuckDB oracle.
 
-Portability note: the oracle-checked variants derive token ids from a global
-dictionary (dense_rank over distinct tokens) so both engines hash
-identically; the at-scale path would use xxhash64 token hashing directly
-(no dictionary build, no global window) — that variant is exercised in
-pytest (tests/test_textops.py) where the oracle is the dictionary version's
-pair output, not a SQL re-implementation.
+Portability design: token ids are a *content-derived* polynomial char hash
+((acc·131 + codepoint) mod 1e9+7) that Spark (array fold over split chars)
+and DuckDB (list_reduce) compute bit-identically. Unlike a dense_rank token
+dictionary there is NO global structure to build — no partition-less window,
+no dictionary join, no single-reducer exchange — so the registered queries
+ARE the 100-TB plan: cost O(total chars), embarrassingly parallel, one
+shuffle for the per-doc aggregate. In production you'd swap the hash for
+xxhash64(w) (same shape, cheaper); the shingle-level xxhash64 MinHash+LSH
+path is exercised in tests/test_textops_engine.py.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .queries import _t, register
@@ -21,25 +24,37 @@ from .queries import _t, register
 # shared token helpers (Spark side)
 # ---------------------------------------------------------------------------
 
+_TOKHASH_P = 1000000007
+
 
 def _tokens_col(text_col="text"):
     """Non-empty whitespace-split tokens as an array column."""
     return F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
 
 
+def tok_hash(col) -> F.Column:
+    """Portable token id: left-fold polynomial char hash mod 1e9+7.
+    Deterministic, dictionary-free (the scale property) and reproducible in
+    DuckDB via list_reduce (see _TOKHASH_SQL) for full oracle hash checks."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda a, c: (a * 131 + F.ascii(c)) % _TOKHASH_P,
+    )
+
+
+def _tokhash_sql(c: str) -> str:
+    """DuckDB expression computing tok_hash() bit-identically."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(length({c})), i -> CAST(ascii({c}[i+1]) AS BIGINT))), "
+        f"(a, b) -> (a * 131 + b) % {_TOKHASH_P})"
+    )
+
+
 def doc_tokens(docs: DataFrame, max_doc: int | None = None) -> DataFrame:
     d = docs if max_doc is None else docs.filter(F.col("doc_id") < max_doc)
     return d.select("doc_id", F.explode(_tokens_col()).alias("w"))
-
-
-def token_dict(tok: DataFrame) -> DataFrame:
-    """Global token dictionary: token -> dense id ordered by token string.
-    (Oracle-portable; the scale path uses xxhash64(w) instead.)"""
-    return (
-        tok.select("w")
-        .distinct()
-        .withColumn("tid", F.dense_rank().over(Window.orderBy("w")))
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -192,32 +207,32 @@ def lang_id_heuristic(spark, sf_dir):
 
 @register(
     "doc_fingerprint",
-    """
+    f"""
     WITH tok AS (
       SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
              generate_subscripts(list_filter(string_split(text, ' '), x -> x <> ''), 1) AS pos
-      FROM documents WHERE doc_id < 200),
-    dict AS (
-      SELECT w, CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS tid
-      FROM (SELECT DISTINCT w FROM tok)),
-    tw AS (SELECT t.doc_id, t.pos, d.tid FROM tok t JOIN dict d USING (w))
+      FROM documents),
+    tw AS (SELECT doc_id, pos, {_tokhash_sql('w')} AS tid FROM tok)
     SELECT doc_id,
-           CAST(SUM(pos * tid) % 1000000007 AS BIGINT) AS fingerprint,
+           CAST(SUM((pos * tid) % 1000000007) % 1000000007 AS BIGINT) AS fingerprint,
            COUNT(*) AS n_tokens
     FROM tw GROUP BY doc_id
     """,
 )
 def doc_fingerprint(spark, sf_dir):
-    """Rolling position-weighted fingerprint over dictionary token ids
-    (order-sensitive content hash; scale path uses xxhash64 tokens)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    """Rolling position-weighted fingerprint over content-hashed token ids —
+    order-sensitive document hash, fully distributed (no dictionary, no
+    global window; one shuffle on doc_id)."""
+    d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.posexplode(_tokens_col()).alias("pos0", "w")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
-    dic = token_dict(tok).withColumn("tid", F.col("tid").cast("long"))
-    tw = tok.join(dic, "w")
+    tw = tok.select("doc_id", "pos", tok_hash(F.col("w")).alias("tid"))
+    # per-term mod keeps the running sum ANSI-overflow-safe at any doc size:
+    # (Σ aᵢ) mod P == (Σ (aᵢ mod P)) mod P
     return tw.groupBy("doc_id").agg(
-        (F.sum(F.col("pos") * F.col("tid")) % 1000000007).alias("fingerprint"),
+        (F.sum(F.pmod(F.col("pos") * F.col("tid"), F.lit(_TOKHASH_P))) % _TOKHASH_P)
+        .alias("fingerprint"),
         F.count("*").alias("n_tokens"),
     )
 
@@ -236,11 +251,8 @@ _MH_PRIME = 2147483647
     WITH tok AS (
       SELECT DISTINCT doc_id,
              unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-      FROM documents WHERE doc_id < 300),
-    dict AS (
-      SELECT w, CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS tid
-      FROM (SELECT DISTINCT w FROM tok)),
-    tw AS (SELECT t.doc_id, d.tid FROM tok t JOIN dict d USING (w)),
+      FROM documents),
+    tw AS (SELECT doc_id, {_tokhash_sql('w')} AS tid FROM tok),
     perms AS (SELECT unnest(range({_N_PERMS})) AS p)
     SELECT doc_id, CAST(p AS INT) AS perm,
            CAST(MIN((1000003 * tid + 17 * (p + 1)) % {_MH_PRIME}) AS BIGINT) AS minhash
@@ -249,13 +261,14 @@ _MH_PRIME = 2147483647
     """,
 )
 def minhash_signatures(spark, sf_dir):
-    """MinHash signatures (8 affine permutations over dictionary token ids):
-    the shingle->minhash half of MinHash-LSH dedup; banding/bucket-join is
-    exercised engine-side in tests (hash-based, SQL-free)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    """MinHash signatures (8 affine permutations over content-hashed token
+    ids): the shingle→minhash half of MinHash-LSH dedup, fully distributed —
+    per-token hash, broadcast of the 8-row perm table, one partial+final
+    min-agg shuffle on doc_id. Banding/bucket-join is exercised engine-side
+    in tests/test_textops_engine.py."""
+    d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens_col()).alias("w")).distinct()
-    dic = token_dict(tok).withColumn("tid", F.col("tid").cast("long"))
-    tw = tok.join(dic, "w")
+    tw = tok.select("doc_id", tok_hash(F.col("w")).alias("tid"))
     perms = spark.range(_N_PERMS).select(F.col("id").alias("p"))
     return (
         tw.crossJoin(F.broadcast(perms))
@@ -345,11 +358,8 @@ _MIX = 2654435761
     WITH tok AS (
       SELECT DISTINCT doc_id,
              unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-      FROM documents WHERE doc_id < 300),
-    dict AS (
-      SELECT w, CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS tid
-      FROM (SELECT DISTINCT w FROM tok)),
-    tw AS (SELECT t.doc_id, d.tid FROM tok t JOIN dict d USING (w)),
+      FROM documents),
+    tw AS (SELECT doc_id, {_tokhash_sql('w')} AS tid FROM tok),
     bits AS (SELECT unnest(range({_SIMHASH_BITS})) AS b),
     contrib AS (
       SELECT doc_id, b,
@@ -363,11 +373,12 @@ _MIX = 2654435761
     """,
 )
 def simhash_docs(spark, sf_dir):
-    """16-bit SimHash over dictionary token ids (sign-sum per bit plane)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    """16-bit SimHash over content-hashed token ids (sign-sum per bit
+    plane) — dictionary-free, so the plan is two partial+final aggregates
+    and a broadcast of the 16-row bit table; nothing global."""
+    d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens_col()).alias("w")).distinct()
-    dic = token_dict(tok).withColumn("tid", F.col("tid").cast("long"))
-    tw = tok.join(dic, "w")
+    tw = tok.select("doc_id", tok_hash(F.col("w")).alias("tid"))
     bits = spark.range(_SIMHASH_BITS).select(F.col("id").alias("b"))
     # shiftright/shiftleft builtins take a Python-int bit count — shifting by
     # a *column* needs the SQL operators

@@ -79,6 +79,42 @@ def test_gapfill_linear_is_arrow_not_row_python(spark):
     assert "BatchEvalPython" not in p, "no row-at-a-time Python"
 
 
+#: queries whose plan intentionally contains a BroadcastNestedLoopJoin: each
+#: broadcasts a tiny CONSTANT table (8-30 rows of permutation/hyperplane/bit
+#: indices, or the bounded ANN query set) against the fact side — the
+#: broadcast side cannot grow with data scale, so the NLJ is O(n · const).
+BNLJ_OK = {
+    "ann_cosine_topk",
+    "embedding_neardup_pairs",
+    "lsh_cosine_buckets",
+    "minhash_signatures",
+    "simhash_docs",
+}
+
+
+def _registered_names():
+    import __spark_entry__ as entrymod
+
+    return sorted(entrymod.queries())
+
+
+@pytest.mark.parametrize("name", _registered_names())
+def test_registered_query_plan_is_scale_safe(spark, name):
+    """Every driver-registered query must compile to a plan with no
+    single-partition exchange (a one-reducer funnel dies at 100 TB) and no
+    cartesian product; nested-loop joins only over constant broadcast sides."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()[name](spark, SF_DIR)
+    p = plan(df)
+    assert "Exchange SinglePartition" not in p, f"{name}: single-reducer funnel"
+    assert "CartesianProduct" not in p, f"{name}: cartesian product"
+    if name not in BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in p, (
+            f"{name}: unexpected nested-loop join"
+        )
+
+
 def test_partition_pruning_on_tier_read(spark, tmp_path):
     from engine.pipeline import TierPipeline
     from engine.synth import synth_transcripts

@@ -17,7 +17,7 @@ n_points lives on the chunk row.
 
 from __future__ import annotations
 
-from .bits import BitReader, BitWriter, M64
+from .bits import BitWriter, M64
 
 CODEC_VERSION = 1
 
@@ -95,17 +95,12 @@ def encode(ts) -> bytes:
         [np.uint64(int(arr[0]) & M64), np.uint64(_zigzag(int(deltas[0])))],
         dtype=np.uint64,
     )
-    vals = np.concatenate([head_vals, vals])
-    widths = np.concatenate([np.array([64, 64], dtype=np.int64), widths])
+    from .bits import pack_fields
 
-    total = int(widths.sum())
-    starts = np.cumsum(widths) - widths
-    j = np.arange(total, dtype=np.int64) - np.repeat(starts, widths)
-    shifts = (np.repeat(widths, widths) - 1 - j).astype(np.uint64)
-    bitarr = (
-        (np.repeat(vals, widths) >> shifts) & np.uint64(1)
-    ).astype(np.uint8)
-    return np.packbits(bitarr).tobytes()
+    return pack_fields(
+        np.concatenate([head_vals, vals]),
+        np.concatenate([np.array([64, 64], dtype=np.int64), widths]),
+    )
 
 
 def _encode_scalar(arr, deltas, zz) -> bytes:
@@ -129,27 +124,55 @@ def _encode_scalar(arr, deltas, zz) -> bytes:
 
 
 def decode(blob: bytes, n: int) -> list[int]:
+    """Two-phase vectorized decode: sequential tag parse (prefix codes
+    '0'/'10'/'110'/'1110'/'1111', cheap int ops) records payload offsets,
+    then extract_fields + unzigzag + a double cumsum (dod → delta → ts,
+    int64 wrap-around == the codec's mod-2^64 arithmetic) run whole-chunk."""
+    import numpy as np
+
+    from .bits import extract_fields
+
     if n == 0:
         return []
-    r = BitReader(blob)
-    first = r.read(64)
+    bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))
+    first = int(extract_fields(bits, [0], [64])[0])
     if first >= 1 << 63:
         first -= 1 << 64
-    out = [first]
     if n == 1:
-        return out
-    delta = _unzigzag(r.read(64))
-    out.append(_s64(out[0] + delta))
-    for _ in range(n - 2):
-        if r.read(1) == 0:
-            dod = 0
+        return [first]
+    delta0 = _unzigzag(int(extract_fields(bits, [64], [64])[0]))
+    if n == 2:
+        return [first, _s64(first + delta0)]
+    bl = bits.tolist()
+    pos = 128
+    starts, widths, idxs = [], [], []
+    for i in range(n - 2):
+        if bl[pos] == 0:
+            pos += 1
+            continue
+        if bl[pos + 1] == 0:
+            w, pos = 14, pos + 2
+        elif bl[pos + 2] == 0:
+            w, pos = 24, pos + 3
+        elif bl[pos + 3] == 0:
+            w, pos = 36, pos + 4
         else:
-            for bits, _tag, tagbits in _BUCKETS:
-                if r.read(1) == 0:
-                    dod = _unzigzag(r.read(bits))
-                    break
-            else:
-                dod = _unzigzag(r.read(64))
-        delta = _s64(delta + dod)
-        out.append(_s64(out[-1] + delta))
-    return out
+            w, pos = 64, pos + 4
+        starts.append(pos)
+        widths.append(w)
+        idxs.append(i)
+        pos += w
+    dods = np.zeros(n - 2, dtype=np.int64)
+    if idxs:
+        zz = extract_fields(bits, starts, widths)
+        dods[np.asarray(idxs, dtype=np.int64)] = (
+            (zz >> np.uint64(1)).astype(np.int64) ^ -(zz & np.uint64(1)).astype(np.int64)
+        )
+    with np.errstate(over="ignore"):
+        deltas = np.cumsum(
+            np.concatenate([np.array([delta0], dtype=np.int64), dods])
+        )
+        ts = np.cumsum(
+            np.concatenate([np.array([first], dtype=np.int64), deltas])
+        )
+    return ts.tolist()

@@ -15,11 +15,9 @@ carries n_points (FIXTURES.md chunk schema).
 
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 
-from .bits import BitReader, BitWriter
+from .bits import extract_fields, pack_fields
 
 CODEC_VERSION = 1
 
@@ -29,27 +27,19 @@ _CTZ8 = np.array([8] + [(b & -b).bit_length() - 1 for b in range(1, 256)],
                  dtype=np.int64)
 
 
-def _f2b(v: float) -> int:
-    return struct.unpack("<Q", struct.pack("<d", v))[0]
-
-
-def _b2f(b: int) -> float:
-    return struct.unpack("<d", struct.pack("<Q", b))[0]
-
-
 def encode(values) -> bytes:
     """Encode float64s. XOR/leading/trailing-zero analysis is numpy-
-    vectorized over the whole chunk; Python touches each value only for the
-    final bit emission (the BitWriter append)."""
+    vectorized over the whole chunk; the window-control loop visits only
+    NON-ZERO xors (zero runs collapse to single multi-bit '0...0' fields),
+    and all bit emission is one vectorized pack_fields call."""
     n = len(values)
-    w = BitWriter()
     if n == 0:
         return b""
     bits = np.asarray(values, dtype=np.float64).view(np.uint64)
-    first = int(bits[0])
-    w.write(first, 64)
+    vals = [int(bits[0])]
+    widths = [64]
     if n == 1:
-        return w.getvalue()
+        return pack_fields(vals, widths)
 
     xors = bits[1:] ^ bits[:-1]
     be = xors[:, None].astype(">u8").view(np.uint8).reshape(-1, 8)
@@ -64,53 +54,93 @@ def encode(values) -> bytes:
     f_le = np.argmax(nz_le, axis=1)
     trail_arr = np.where(any_nz, f_le * 8 + _CTZ8[le[idx, f_le]], 64)
 
-    xor_list = xors.tolist()
-    lead_list = lead_arr.tolist()
-    trail_list = trail_arr.tolist()
+    nz_pos = np.flatnonzero(xors).tolist()
+    xor_nz = xors[nz_pos].tolist() if nz_pos else []
+    lead_nz = lead_arr[nz_pos].tolist() if nz_pos else []
+    trail_nz = trail_arr[nz_pos].tolist() if nz_pos else []
+
+    def emit_zeros(k):
+        # a run of k '0' control bits == zero fields of up to 64 bits each
+        while k > 0:
+            take = 64 if k > 64 else k
+            vals.append(0)
+            widths.append(take)
+            k -= take
 
     prev_lead = -1  # forces a new window on first non-zero xor
     prev_mlen = 0
-    write = w.write
-    for x, lead, trail in zip(xor_list, lead_list, trail_list):
-        if x == 0:
-            write(0, 1)
-            continue
-        write(1, 1)
+    prev_i = -1
+    for x, lead, trail, i in zip(xor_nz, lead_nz, trail_nz, nz_pos):
+        emit_zeros(i - prev_i - 1)
+        prev_i = i
         mlen = 64 - lead - trail
         prev_trail = 64 - prev_lead - prev_mlen
         if prev_lead >= 0 and lead >= prev_lead and trail >= prev_trail:
-            write(0, 1)  # '10': reuse prior window
-            write(x >> prev_trail, prev_mlen)
+            vals.append(0b10)  # control '10': reuse prior window
+            widths.append(2)
+            vals.append(x >> prev_trail)
+            widths.append(prev_mlen)
         else:
-            write(1, 1)  # '11': new window
-            write(lead, 5)
-            write(mlen - 1, 6)
-            write(x >> trail, mlen)
+            # control '11' + 5b lead + 6b (mlen-1), fused into one 13b field
+            vals.append((((0b11 << 5) | lead) << 6) | (mlen - 1))
+            widths.append(13)
+            vals.append(x >> trail)
+            widths.append(mlen)
             prev_lead, prev_mlen = lead, mlen
-    return w.getvalue()
+    emit_zeros(len(xors) - 1 - prev_i)
+    return pack_fields(vals, widths)
 
 
 def decode(blob: bytes, n: int) -> list[float]:
+    """Two-phase vectorized decode: a cheap sequential control parse records
+    each non-zero step's (payload offset, width, trail); then payload
+    extraction (extract_fields) and the running XOR reconstruction
+    (np.bitwise_xor.accumulate — v_i = v_{i-1} ^ x_i is an XOR prefix scan)
+    run as whole-chunk numpy ops."""
     if n == 0:
         return []
-    r = BitReader(blob)
-    prev = r.read(64)
-    out = [_b2f(prev)]
+    bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))
+    bl = bits.tolist()  # plain-int access beats np scalar indexing ~5x
+    pos = 64
+    starts = [0]
+    widths = [64]
+    trails = []
+    steps = []  # xor index (0-based within xors) per non-zero step
     prev_lead = -1
     prev_mlen = 0
-    for _ in range(n - 1):
-        if r.read(1) == 0:
-            out.append(_b2f(prev))
+    for i in range(n - 1):
+        if bl[pos] == 0:
+            pos += 1
             continue
-        if r.read(1) == 0:  # prior window
-            prev_trail = 64 - prev_lead - prev_mlen
-            x = r.read(prev_mlen) << prev_trail
-        else:
-            lead = r.read(5)
-            mlen = r.read(6) + 1
-            trail = 64 - lead - mlen
-            x = r.read(mlen) << trail
+        pos += 1
+        if bl[pos] == 0:  # '10': prior window
+            pos += 1
+            starts.append(pos)
+            widths.append(prev_mlen)
+            trails.append(64 - prev_lead - prev_mlen)
+            pos += prev_mlen
+        else:  # '11': 5b lead + 6b (mlen-1) + payload
+            pos += 1
+            lead = (
+                (bl[pos] << 4) | (bl[pos + 1] << 3) | (bl[pos + 2] << 2)
+                | (bl[pos + 3] << 1) | bl[pos + 4]
+            )
+            mlen = (
+                (bl[pos + 5] << 5) | (bl[pos + 6] << 4) | (bl[pos + 7] << 3)
+                | (bl[pos + 8] << 2) | (bl[pos + 9] << 1) | bl[pos + 10]
+            ) + 1
+            pos += 11
+            starts.append(pos)
+            widths.append(mlen)
+            trails.append(64 - lead - mlen)
+            pos += mlen
             prev_lead, prev_mlen = lead, mlen
-        prev ^= x
-        out.append(_b2f(prev))
-    return out
+        steps.append(i)
+    fields = extract_fields(bits, starts, widths)
+    xors = np.zeros(n, dtype=np.uint64)
+    xors[0] = fields[0]  # first raw value
+    if steps:
+        xors[np.asarray(steps, dtype=np.int64) + 1] = fields[1:] << np.asarray(
+            trails, dtype=np.uint64
+        )
+    return np.bitwise_xor.accumulate(xors).view(np.float64).tolist()

@@ -30,7 +30,14 @@ from .bucket import dedup_turns, mask_valid
 from .checkpoint import Manifest, new_run_id, pending_partitions, work_manifest
 from .codec.chunks import make_chunks
 from .gapfill import gapfill, hourly_series
-from .rollup import STATE_COLS, rollup_hourly, rollup_up, tier_view
+from .rollup import (
+    STATE_COLS,
+    densify_hourly_locf,
+    observed_state,
+    rollup_hourly,
+    rollup_up,
+    tier_view,
+)
 from .skew import rollup_hourly_salted
 
 N_CONV_BUCKETS = 64
@@ -60,12 +67,16 @@ class TierPipeline:
         salted: bool = False,
         n_salts: int = 16,
         fill_method: str = "locf",
+        fill_tiers: bool = True,
     ):
         self.spark = spark
         self.root = root
         self.salted = salted
         self.n_salts = n_salts
         self.fill_method = fill_method
+        #: write flagged intra-day LOCF rows into the hourly tier
+        #: (SURVEY §1.2 filled/fill_method on tier rows)
+        self.fill_tiers = fill_tiers
         self.manifest = Manifest(spark, os.path.join(root, "_manifest"))
 
     # -- paths -------------------------------------------------------------
@@ -173,6 +184,8 @@ class TierPipeline:
                 if self.salted
                 else rollup_hourly(inp)
             )
+            if self.fill_tiers:
+                roll = densify_hourly_locf(roll)
             return roll.withColumns(
                 {
                     "bucket_date": F.to_date("bucket_start"),
@@ -187,8 +200,9 @@ class TierPipeline:
         if "daily" not in stages:
             return {"run_id": run_id, "stages": done}
 
-        # 2. hourly -> daily, keyed by day
-        hourly = self.read_tier("hourly")
+        # 2. hourly -> daily, keyed by day (observed rows only: gap-filled
+        # tier rows carry copied state and must not feed upward aggregation)
+        hourly = observed_state(self.read_tier("hourly"))
         daily_work = work_manifest(
             hourly, F.col("bucket_date").cast("string"), _STATE_HASH_COLS, "day"
         )
@@ -232,8 +246,9 @@ class TierPipeline:
         if "gapfill" not in stages:
             return {"run_id": run_id, "stages": done}
 
-        # 4. gap-fill, keyed by conv_bucket (series must stay whole)
-        hourly = self.read_tier("hourly")
+        # 4. gap-fill, keyed by conv_bucket (series must stay whole;
+        # observed rows only — the gapfill table derives its own fills)
+        hourly = observed_state(self.read_tier("hourly"))
         cb_work = work_manifest(
             hourly, F.col("conv_bucket").cast("string"), _STATE_HASH_COLS, "cb"
         )

@@ -27,7 +27,7 @@ division is deferred, which the pandas oracle mirrors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .bucket import TIER_ORDER, TIER_UNIT, bucket_span_seconds, with_metrics
@@ -84,18 +84,72 @@ def rollup_hourly(t0: DataFrame) -> DataFrame:
     return hourly.withColumn("tier", F.lit("hourly"))
 
 
+def observed_state(state: DataFrame) -> DataFrame:
+    """Drop gap-filled rows (aggregation inputs must be observed-only so
+    filled rows never inflate upper-tier counts). No-op on pre-fill state."""
+    if "filled" in state.columns:
+        return state.filter(~F.col("filled"))
+    return state
+
+
+def densify_hourly_locf(hourly: DataFrame) -> DataFrame:
+    """Write gap-filled rows INTO the hourly tier (SURVEY.md §1.2: tier rows
+    carry `filled`/`fill_method`): hourly buckets missing between a
+    conversation's first and last observed hour OF EACH DAY are filled by
+    carrying the previous observed integer STATE forward — LOCF on the
+    integer state is exactly LOCF on every derived metric (mean/min/max are
+    per-row functions of the state), so tier_view of a filled row reproduces
+    the gapfill_locf value with no float drift.
+
+    Day-local on purpose: the hourly tier is partitioned and incrementally
+    re-rolled by bucket_date, so each day's partition must own its fill rows
+    (a day re-roll regenerates them deterministically). Cross-day gap fill
+    lives in the conv-bucket-keyed gapfill table, whose series stay whole.
+    Filled rows are flagged and excluded from all upward rollups
+    (observed_state) — daily/monthly aggregates are unchanged by fill.
+    """
+    bounds = hourly.groupBy(
+        "conv_id", F.to_date("bucket_start").alias("_d")
+    ).agg(F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi"))
+    spine = bounds.select(
+        "conv_id",
+        F.explode(F.expr("sequence(_lo, _hi, interval 1 hour)")).alias(
+            "bucket_start"
+        ),
+    )
+    dense = spine.join(hourly, ["conv_id", "bucket_start"], "left")
+    w = (
+        Window.partitionBy("conv_id", F.to_date("bucket_start"))
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap = F.col("n_turns").isNull()
+    return dense.select(
+        "conv_id",
+        "bucket_start",
+        *[
+            F.coalesce(F.col(c), F.last(c, ignorenulls=True).over(w)).alias(c)
+            for c in STATE_COLS
+        ],
+        F.lit("hourly").alias("tier"),
+        gap.alias("filled"),
+        F.when(gap, F.lit("locf")).alias("fill_method"),
+    )
+
+
 def rollup_up(lower: DataFrame, to_tier: str) -> DataFrame:
     """Tier re-rollup D2: compose aggregates WITHOUT touching raw data.
 
     sum←sum(sum), count←sum(count), min←min(min), max←max(max) — the
     algebraic-aggregate composition the reference gets by recomputing from
     daily layers; composing is cheaper (reads the lower tier only) and equal
-    for these aggregates.
+    for these aggregates. Gap-filled lower rows are excluded (they carry
+    copied state and must not inflate upper counts).
     """
     assert to_tier in TIER_ORDER[1:], to_tier
     unit = TIER_UNIT[to_tier]
     return (
-        lower.groupBy(
+        observed_state(lower).groupBy(
             "conv_id",
             F.date_trunc(unit, "bucket_start")
             .cast("timestamp_ntz")
@@ -132,6 +186,15 @@ def tier_view(state: DataFrame, tier: str) -> DataFrame:
     deterministic given integer-backed state.
     """
     d = F.lit(HOUR_S)
+    has_fill = "filled" in state.columns
+    fill_cols = (
+        [F.col("filled"), F.col("fill_method")]
+        if has_fill
+        else [
+            F.lit(False).alias("filled"),
+            F.lit(None).cast("string").alias("fill_method"),
+        ]
+    )
     out = state.select(
         "conv_id",
         "bucket_start",
@@ -154,8 +217,7 @@ def tier_view(state: DataFrame, tier: str) -> DataFrame:
         F.col("tool_min").cast("double").alias("tool_invocations_min"),
         F.col("tool_max").cast("double").alias("tool_invocations_max"),
         (F.col("tool_sum") / F.col("n_turns")).alias("tool_invocations_mean"),
-        F.lit(False).alias("filled"),
-        F.lit(None).cast("string").alias("fill_method"),
+        *fill_cols,
     )
     return out
 

@@ -11,6 +11,7 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from pyspark.sql import functions as F  # noqa: E402
 from engine.rollup import build_tiers, rollup_hourly, rollup_up, tier_view  # noqa: E402
 from engine.synth import synth_transcripts  # noqa: E402
 from tests import oracle_pandas as oracle  # noqa: E402
@@ -81,4 +82,93 @@ def test_mean_is_sum_over_count(spark, t0):
     np.testing.assert_array_equal(
         v["token_count_mean"].to_numpy(),
         v["token_count_sum"].to_numpy() / v["token_count_count"].to_numpy(np.float64),
+    )
+
+
+# -- gap-filled tier rows (SURVEY §1.2 filled/fill_method on tier rows) ------
+
+
+def _gappy_hourly(spark):
+    """One conv, one day: observed hours 00, 03, 04, 07 (gaps 01-02, 05-06)."""
+    rows = [("c1", f"2026-01-01 {h:02d}:00:00", n) for h, n in
+            [(0, 4), (3, 7), (4, 2), (7, 9)]]
+    df = spark.createDataFrame(rows, "conv_id string, b string, n long")
+    base = df.select(
+        "conv_id",
+        df.b.cast("timestamp_ntz").alias("bucket_start"),
+        df.n.alias("n_turns"),
+        (df.n * 10).alias("token_sum"),
+        df.n.alias("token_min"),
+        (df.n * 3).alias("token_max"),
+        df.n.alias("tool_sum"),
+        F.lit(0).cast("long").alias("tool_min"),
+        F.lit(1).cast("long").alias("tool_max"),
+        F.lit(1).cast("long").alias("hours_count"),
+        df.n.alias("hturns_min"),
+        df.n.alias("hturns_max"),
+        F.lit("hourly").alias("tier"),
+    )
+    return base
+
+
+def test_densify_hourly_locf_golden(spark):
+    from engine.rollup import densify_hourly_locf, observed_state
+
+    dense = densify_hourly_locf(_gappy_hourly(spark)).toPandas().sort_values(
+        "bucket_start", ignore_index=True
+    )
+    assert len(dense) == 8  # hours 00..07
+    assert list(dense["filled"]) == [False, True, True, False, False, True, True, False]
+    assert list(dense["fill_method"].fillna("")) == ["", "locf", "locf", "", "", "locf", "locf", ""]
+    # filled rows carry the previous observed state (hours 01-02 copy 00=4;
+    # 05-06 copy 04=2)
+    assert list(dense["n_turns"]) == [4, 4, 4, 7, 2, 2, 2, 9]
+    # observed_state strips fills; aggregates see original rows only
+    obs = observed_state(densify_hourly_locf(_gappy_hourly(spark)))
+    assert obs.count() == 4
+    assert obs.agg(F.sum("n_turns")).collect()[0][0] == 22
+
+
+def test_filled_rows_do_not_inflate_upper_tiers(spark):
+    from engine.rollup import densify_hourly_locf, rollup_up
+
+    plain = rollup_up(_gappy_hourly(spark), "daily").toPandas()
+    filled = rollup_up(densify_hourly_locf(_gappy_hourly(spark)), "daily").toPandas()
+    cols = sorted(plain.columns)
+    pd.testing.assert_frame_equal(
+        plain[cols].sort_values(cols, ignore_index=True),
+        filled[cols].sort_values(cols, ignore_index=True),
+    )
+
+
+def test_tier_view_exposes_fill_flags_and_locf_metrics(spark):
+    from engine.rollup import densify_hourly_locf, tier_view
+
+    v = tier_view(densify_hourly_locf(_gappy_hourly(spark)), "hourly").toPandas()
+    v = v.sort_values("bucket_start", ignore_index=True)
+    # LOCF on integer state == LOCF on the derived metric series
+    assert list(v["turn_rate_sum"]) == [n / 3600.0 for n in [4, 4, 4, 7, 2, 2, 2, 9]]
+    assert v.loc[1, "filled"] and v.loc[1, "fill_method"] == "locf"
+    assert not v.loc[0, "filled"] and pd.isna(v.loc[0, "fill_method"])
+
+
+def test_pipeline_hourly_tier_contains_flagged_fills(spark, tmp_path):
+    from engine.pipeline import TierPipeline
+
+    t0 = synth_transcripts(spark, n_convs=30, hot_turns=200)
+    pipe = TierPipeline(spark, str(tmp_path / "pf"))
+    pipe.run(t0, stages=("hourly", "daily"))
+    hourly = pipe.read_tier("hourly")
+    assert "filled" in hourly.columns
+    n_filled = hourly.filter(F.col("filled")).count()
+    assert n_filled > 0, "synth data has intra-day gaps; fills expected"
+    # filled rows never reach the daily tier
+    daily = pipe.read_tier("daily")
+    direct = rollup_up(
+        hourly.filter(~F.col("filled")).drop("filled", "fill_method"), "daily"
+    )
+    assert daily.count() == direct.count()
+    assert (
+        daily.agg(F.sum("n_turns")).collect()[0][0]
+        == direct.agg(F.sum("n_turns")).collect()[0][0]
     )

@@ -52,8 +52,12 @@ def clip_time_range(df: DataFrame, lo=None, hi=None) -> DataFrame:
 
 def dedup_turns(df: DataFrame) -> DataFrame:
     """Stable-order dedup of replayed turns (E2): keep the earliest ts per
-    (conv_id, turn_idx); ties broken deterministically by ts."""
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("ts").asc())
+    (conv_id, turn_idx). Equal-ts replays with differing payloads are broken
+    by (role, text) so the canonical row is identical under any
+    partitioning/run — row_number alone would pick arbitrarily."""
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("ts").asc(), F.col("role").asc_nulls_last(), F.col("text").asc_nulls_last()
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -105,22 +105,26 @@ def densify(observed: DataFrame) -> DataFrame:
 
 
 def gapfill_locf(observed: DataFrame) -> DataFrame:
-    """E5: native LOCF — no Python workers at all."""
+    """E5: native LOCF — no Python workers at all. fill_method is stamped
+    only where LOCF actually produced a value (a leading gap stays
+    filled=true / fill_method=null / value=null), mirroring the linear
+    path's metadata semantics exactly."""
     dense = densify(observed)
     w = (
         Window.partitionBy("conv_id", "metric")
         .orderBy("bucket_start")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    locf = F.coalesce(F.col("value"), F.last("value", ignorenulls=True).over(w))
     return dense.select(
         "conv_id",
         "bucket_start",
         "metric",
-        F.coalesce(F.col("value"), F.last("value", ignorenulls=True).over(w)).alias(
-            "value"
-        ),
+        locf.alias("value"),
         F.col("value").isNull().alias("filled"),
-        F.when(F.col("value").isNull(), F.lit("locf")).alias("fill_method"),
+        F.when(F.col("value").isNull() & locf.isNotNull(), F.lit("locf")).alias(
+            "fill_method"
+        ),
     )
 
 

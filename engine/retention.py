@@ -95,20 +95,33 @@ def drop_hourly_partitions(
 
 
 def compact_partition(pipe: TierPipeline, tier: str, n_files: int = 1) -> None:
-    """L2: rewrite a tier table into n_files per partition (small-file
-    compaction; Iceberg's rewrite_data_files equivalent)."""
+    """L2: rewrite a tier table into ~n_files per partition (small-file
+    compaction; Iceberg's rewrite_data_files equivalent).
+
+    Shuffle key is (partition value, salt∈[0,n_files)) so every partition
+    spreads over ~n_files independent tasks/files — plain
+    repartition(n, part_col) would funnel each partition value through ONE
+    task and serialize unrelated partitions through n tasks. Promotion is
+    crash-safe: the old directory is renamed aside before the compacted one
+    takes its place, and deleted last — at no instant is the tier missing.
+    """
     path = pipe.tier_path(tier)
     df = pipe.spark.read.parquet(path)
     part_col = "bucket_month" if tier == "monthly" else "bucket_date"
     tmp = path + "__compact"
+    salt = F.pmod(F.xxhash64("conv_id"), F.lit(n_files))
     (
-        df.repartition(n_files, part_col)
+        df.repartition(F.col(part_col), salt)
         .write.partitionBy(part_col)
         .mode("overwrite")
         .parquet(tmp)
     )
-    shutil.rmtree(path)
+    old = path + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
 
 
 def retention_status(pipe: TierPipeline) -> dict:

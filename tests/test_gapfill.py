@@ -94,22 +94,21 @@ def _pandas_fill(obs_pdf: pd.DataFrame, how: str) -> pd.DataFrame:
 def test_parity_vs_pandas(spark, observed, how):
     fn = gapfill_locf if how == "locf" else gapfill_linear
     got = fn(observed).toPandas().sort_values(KEY, ignore_index=True)
-    exp = _pandas_fill(observed.toPandas(), how).sort_values(KEY, ignore_index=True)
+    obs = observed.toPandas()
+    exp = _pandas_fill(obs, how).sort_values(KEY, ignore_index=True)
     assert len(got) == len(exp)
     ok = (got["value"].to_numpy() == exp["value"].to_numpy()) | (
         got["value"].isna() & exp["value"].isna()
     ).to_numpy()
     assert ok.all(), f"{how}: {(~ok).sum()} mismatches"
-    # filled flag marks exactly the spine holes
-    assert (got["filled"] == exp["value"].isna().groupby(
-        [exp["conv_id"], exp["metric"]]).transform(lambda s: s)  # placeholder
-    ).any() or True
-
-
-def test_filled_flags_match_gaps(spark, observed):
-    got = gapfill_locf(observed).toPandas()
-    obs = observed.toPandas()
+    # filled marks exactly the spine holes (buckets absent from observed)
     obs_keys = set(zip(obs.conv_id, obs.metric, obs.bucket_start))
-    got_keys = list(zip(got.conv_id, got.metric, got.bucket_start))
-    expected_filled = [k not in obs_keys for k in got_keys]
-    assert list(got["filled"]) == expected_filled
+    expected_filled = [
+        k not in obs_keys
+        for k in zip(got.conv_id, got.metric, got.bucket_start)
+    ]
+    assert list(got["filled"]) == expected_filled, how
+    # fill_method is stamped iff a fill VALUE was produced (both methods)
+    has_method = got["fill_method"].notna()
+    produced = got["filled"].to_numpy() & got["value"].notna().to_numpy()
+    assert (has_method.to_numpy() == produced).all(), how

@@ -5,6 +5,7 @@ import os
 import sys
 from pathlib import Path
 
+import pandas as pd
 import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -67,3 +68,39 @@ def test_retention_policy_cutoff(spark, t0, tmp_path):
     cutoff = all_days[len(all_days) // 2]
     older = droppable_hourly_days(pipe, older_than=cutoff)
     assert older and all(d < cutoff for d in older)
+
+
+def test_compact_partition_file_counts_and_content(spark, tmp_path):
+    from engine.pipeline import TierPipeline
+    from engine.retention import compact_partition
+    from engine.synth import synth_transcripts
+
+    t0 = synth_transcripts(spark, n_convs=30, hot_turns=150)
+    pipe = TierPipeline(spark, str(tmp_path / "c"))
+    pipe.run(t0, stages=("hourly",))
+    path = pipe.tier_path("hourly")
+    before = (
+        pipe.read_tier("hourly")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"], ignore_index=True)
+    )
+
+    def files_per_part():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("bucket_date="):
+                out[d] = len(
+                    [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+                )
+        return out
+
+    compact_partition(pipe, "hourly", n_files=1)
+    counts = files_per_part()
+    assert counts and all(n == 1 for n in counts.values()), counts
+    assert not os.path.exists(path + "__old"), "promote must clean up"
+    after = (
+        pipe.read_tier("hourly")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(before[after.columns], after, check_dtype=False)

@@ -1,10 +1,16 @@
 """Table IO seam (SURVEY.md §2 A, §7.1).
 
-Two backends behind one interface: (a) parquet + explicit partition columns
-emulating Iceberg hidden partitioning (days(ts), bucket(conv_id, B)) — used
-in-sandbox where no iceberg-spark-runtime jar exists; (b) a real Iceberg
-catalog via the same functions when ``spark.sql.catalog.*`` is configured
-(format auto-detected). Atomic per-partition overwrite uses dynamic
+Two backends behind one interface, selected per-session by
+``tier_backend``: (a) parquet + explicit partition columns emulating Iceberg
+hidden partitioning (days(ts), bucket(conv_id, B)) — the in-sandbox default
+(no iceberg-spark-runtime jar exists here); (b) a real Iceberg catalog when
+any ``spark.sql.catalog.<name>`` is configured at session launch — tier
+paths map onto ``<name>.tiers.<basename>`` identifiers, reads go through
+``spark.read.table`` and overwrites through ``writeTo(...)
+.overwritePartitions()`` (Iceberg's atomic dynamic-partition commit). The
+branch selection is unit-tested config-level (tests/test_roundtrip.py);
+the Iceberg write itself is exercised only where the runtime jar exists.
+Atomic per-partition overwrite on the parquet backend uses dynamic
 partitionOverwriteMode so a re-run of one (tier, day) partition never
 clobbers its siblings — the distributed generalization of the reference's
 write-GeoTIFF-then-skip idiom.
@@ -13,11 +19,46 @@ write-GeoTIFF-then-skip idiom.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .bucket import T0_SCHEMA
+
+_CATALOG_KEY = re.compile(r"^spark\.sql\.catalog\.([A-Za-z0-9_]+)$")
+
+
+def iceberg_catalog(spark: SparkSession, _conf_items=None) -> str | None:
+    """Name of the configured Iceberg catalog, or None (parquet mode).
+    `_conf_items` injects (key, value) pairs for config-level tests."""
+    items = (
+        _conf_items
+        if _conf_items is not None
+        else spark.sparkContext.getConf().getAll()
+    )
+    for k, _v in items:
+        m = _CATALOG_KEY.match(k)
+        if m:
+            return m.group(1)
+    return None
+
+
+def table_identifier(catalog: str, path: str) -> str:
+    """Stable tier-path → catalog identifier mapping: the path basename
+    becomes the table name under the catalog's `tiers` namespace."""
+    parts = [p for p in path.rstrip("/").split("/") if p]
+    return f"{catalog}.tiers.{parts[-1]}"
+
+
+def tier_backend(spark: SparkSession, path: str, _conf_items=None):
+    """('iceberg', <identifier>) when a catalog is configured, else
+    ('parquet', <path>) — the single dispatch point both read and write
+    sides share."""
+    cat = iceberg_catalog(spark, _conf_items)
+    if cat is not None:
+        return "iceberg", table_identifier(cat, path)
+    return "parquet", path
 
 TESTDATA_TABLES = [
     "region",
@@ -74,16 +115,31 @@ def write_tier(
     out = df
     if "bucket_date" in partition_cols and "bucket_date" not in df.columns:
         out = out.withColumn("bucket_date", F.to_date("bucket_start"))
+    backend, target = tier_backend(df.sparkSession, path)
+    if backend == "iceberg":
+        writer = out.writeTo(target).using("iceberg")
+        if mode == "overwrite":
+            writer.createOrReplace() if not df.sparkSession.catalog.tableExists(
+                target
+            ) else writer.overwritePartitions()
+        else:
+            writer.append()
+        return
     (
         out.write.option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_cols)
         .mode(mode)
-        .parquet(path)
+        .parquet(target)
     )
 
 
 def read_tier(spark: SparkSession, path: str, tier: str | None = None) -> DataFrame:
-    df = spark.read.parquet(path)
+    backend, target = tier_backend(spark, path)
+    df = (
+        spark.read.table(target)
+        if backend == "iceberg"
+        else spark.read.parquet(target)
+    )
     if tier is not None:
         df = df.filter(F.col("tier") == tier)  # partition-pruned scan
     return df

@@ -26,6 +26,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import io as eio
 from .bucket import dedup_turns, mask_valid
 from .checkpoint import Manifest, new_run_id, pending_partitions, work_manifest
 from .codec.chunks import make_chunks
@@ -51,12 +52,9 @@ def _conv_bucket(col="conv_id", n=N_CONV_BUCKETS):
 
 
 def _write(df: DataFrame, path: str, partition_cols: list[str]):
-    (
-        df.write.option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*partition_cols)
-        .mode("overwrite")
-        .parquet(path)
-    )
+    # routes through the io seam: parquet dynamic-partition overwrite in the
+    # sandbox, Iceberg overwritePartitions when a catalog is configured
+    eio.write_tier(df, path, tuple(partition_cols), mode="overwrite")
 
 
 class TierPipeline:
@@ -92,7 +90,7 @@ class TierPipeline:
         return os.path.join(self.root, "chunks")
 
     def read_tier(self, tier: str) -> DataFrame:
-        return self.spark.read.parquet(self.tier_path(tier))
+        return eio.read_tier(self.spark, self.tier_path(tier))
 
     # -- stage driver --------------------------------------------------------
     def _run_stage(
@@ -127,7 +125,7 @@ class TierPipeline:
         rows_out = {
             r["_k"]: r["count"]
             for r in (
-                self.spark.read.parquet(out_path)
+                eio.read_tier(self.spark, out_path)
                 .filter(F.col(part).cast("string").isin(vals))
                 .groupBy(F.col(part).cast("string").alias("_k"))
                 .count()

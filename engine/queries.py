@@ -300,6 +300,26 @@ def exact_percentiles(spark, sf_dir):
     )
 
 
+@register("approx_percentiles")  # rows-only: sketch internals differ per engine
+def approx_percentiles(spark, sf_dir):
+    """D6 scale path: percentile_approx (KLL-style mergeable sketch —
+    partial+final agg, no per-group full sort). The exact variant above is
+    the small-SF oracle; at 100 TB this is the one you run. Rows-only check:
+    DuckDB's approx_quantile uses a different sketch, so values are not
+    reproducible cross-engine — parity vs the exact variant is asserted in
+    pytest within sketch tolerance."""
+    e = _t(spark, sf_dir, "events")
+    v = cents(F.col("value"))
+    return (
+        e.groupBy("event_type")
+        .agg(
+            (F.percentile_approx(v, F.lit(0.5), F.lit(10000)) / 100.0).alias("p50"),
+            (F.percentile_approx(v, F.lit(0.95), F.lit(10000)) / 100.0).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # D5/D7/D3: pivot, rollup, distinct
 # ---------------------------------------------------------------------------

@@ -44,12 +44,15 @@ def repartition_for_rollup(df: DataFrame, num_partitions: int | None = None):
 
 
 def hot_conversations(t0: DataFrame, top_k: int = 20) -> DataFrame:
-    """E3: skew diagnostics — top-k conv_ids by row count with their share."""
-    total = t0.count()
+    """E3: skew diagnostics — top-k conv_ids by row count with their share.
+    The total is derived from the per-key aggregate (partial+final combine,
+    one broadcast row), not a second scan of the input."""
+    per_key = t0.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    total = per_key.agg(F.sum("n_turns").alias("_total"))
     return (
-        t0.groupBy("conv_id")
-        .agg(F.count("*").alias("n_turns"))
-        .withColumn("share", F.col("n_turns") / F.lit(float(total)))
+        per_key.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n_turns") / F.col("_total"))
+        .drop("_total")
         .orderBy(F.desc("n_turns"), "conv_id")
         .limit(top_k)
     )

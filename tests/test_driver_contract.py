@@ -36,3 +36,34 @@ def test_query_vs_oracle(spark, name):
         return
     duck_pdf = duck_run(SF_DIR, sql)
     assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+def test_approx_percentiles_within_sketch_rank_bound(spark):
+    """percentile_approx's guarantee is a RANK bound (error ≤ n/accuracy),
+    not a value bound — assert the returned value's rank in the sorted group
+    sits within that bound of p·n. (Value-relative checks are meaningless in
+    sparse tails: nearest-rank vs interpolated can differ by a few % while
+    the sketch is rank-perfect.)"""
+    import numpy as np
+
+    import engine.io as eio
+
+    approx = (
+        entrymod.queries()["approx_percentiles"](spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    events = eio.read_table(spark, SF_DIR, "events").toPandas()
+    events["cents"] = (events["value"] * 100).round().astype("int64")
+    for etype, grp in events.groupby("event_type"):
+        vals = np.sort(grp["cents"].to_numpy())
+        n = len(vals)
+        eps = max(2.0, n / 10000)  # sketch accuracy=10000
+        for col, p in (("p50", 0.5), ("p95", 0.95)):
+            got = approx.loc[etype, col] * 100
+            lo = np.searchsorted(vals, got, side="left")
+            hi = np.searchsorted(vals, got, side="right")
+            target = p * n
+            assert lo - eps <= target <= hi + eps, (
+                f"{etype}.{col}: rank [{lo},{hi}] vs target {target:.0f}"
+            )

@@ -103,3 +103,29 @@ def test_per_turn_text_equality_after_roundtrip(spark, t0):
         .collect()
     ]
     assert orig == after
+
+
+# -- io backend seam (SURVEY §7.1): branch selection is config-driven --------
+
+
+def test_tier_backend_selection(spark):
+    from engine.io import iceberg_catalog, table_identifier, tier_backend
+
+    # sandbox session: no catalog configured -> parquet path passthrough
+    assert iceberg_catalog(spark) is None
+    assert tier_backend(spark, "/data/tiers/hourly") == (
+        "parquet",
+        "/data/tiers/hourly",
+    )
+    # a configured spark.sql.catalog.<name> flips the seam to Iceberg
+    conf = [
+        ("spark.app.name", "x"),
+        ("spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog"),
+        ("spark.sql.catalog.lake.type", "rest"),
+    ]
+    assert iceberg_catalog(spark, _conf_items=conf) == "lake"
+    assert tier_backend(spark, "/data/tiers/hourly", _conf_items=conf) == (
+        "iceberg",
+        "lake.tiers.hourly",
+    )
+    assert table_identifier("lake", "s3://bkt/t/monthly/") == "lake.tiers.monthly"

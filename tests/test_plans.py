@@ -128,3 +128,25 @@ def test_partition_pruning_on_tier_read(spark, tmp_path):
     # bucket_date is a partition column: the filter must prune directories,
     # not appear as a data filter
     assert "PartitionFilters" in p and "bucket_date" in p.split("PartitionFilters")[1][:200], p
+
+
+def test_dynamic_partition_pruning_on_tier_join(spark, tmp_path):
+    """Joining the bucket_date-partitioned hourly tier against a filtered
+    dim on the partition column must inject a DPP filter: only the dim's
+    surviving days are scanned, the rest of the tier is never read."""
+    from engine.pipeline import TierPipeline
+    from engine.synth import synth_transcripts
+
+    t0 = synth_transcripts(spark, n_convs=20, hot_turns=80)
+    pipe = TierPipeline(spark, str(tmp_path / "dpp"))
+    pipe.run(t0, stages=("hourly",))
+    hourly = pipe.read_tier("hourly")
+    dim = (
+        hourly.select("bucket_date").distinct().limit(2)
+        .withColumn("flag", F.lit(1))
+    )
+    dim.write.parquet(str(tmp_path / "dim"))
+    dim_df = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("flag") == 1)
+    joined = hourly.join(dim_df, "bucket_date")
+    p = plan(joined)
+    assert "dynamicpruning" in p.lower() or "DynamicPruning" in p, p

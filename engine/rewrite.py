@@ -1,0 +1,118 @@
+"""Aggregate-rewrite onto continuous-aggregate tiers (SURVEY.md §4.3).
+
+Answers a raw time-range aggregation from the CHEAPEST tier combination
+instead of the raw table: [lo, hi) is decomposed greedily into
+calendar-aligned spans — leading hours up to a day boundary, leading days up
+to a month boundary, whole months, trailing days, trailing hours — and each
+span is served by the matching tier. Because tier state is integer-backed
+and the range aggregates (sum/count/min/max) are algebraic, the composed
+answer is bit-identical to aggregating raw rows; the driver checks exactly
+that (tier_rewrite_range's oracle aggregates the RAW table).
+
+At 10^12-turn scale this is the reason tiers exist: a quarter-long range
+over a year of data touches ~90 daily rows + ~3 monthly rows per
+conversation instead of ~10^5 raw turns, and every scan is partition-pruned
+(bucket_date / bucket_month are the physical partition keys).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .rollup import observed_state
+
+
+def _floor_day(t: datetime) -> datetime:
+    return t.replace(hour=0, minute=0, second=0, microsecond=0)
+
+
+def _floor_month(t: datetime) -> datetime:
+    return t.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+
+
+def _ceil_day(t: datetime) -> datetime:
+    return _floor_day(t) + timedelta(days=1) if t != _floor_day(t) else t
+
+
+def _next_month(t: datetime) -> datetime:
+    return datetime(t.year + (t.month == 12), t.month % 12 + 1, 1)
+
+
+def _ceil_month(t: datetime) -> datetime:
+    return _next_month(t) if t != _floor_month(t) else t
+
+
+def split_range(lo: datetime, hi: datetime) -> list[tuple[str, datetime, datetime]]:
+    """Greedy calendar decomposition of [lo, hi) into disjoint, covering,
+    tier-aligned spans. lo/hi must be hour-aligned (the leaf tier)."""
+    for t in (lo, hi):
+        if (t.minute, t.second, t.microsecond) != (0, 0, 0):
+            raise ValueError(f"range edge not hour-aligned: {t}")
+    if lo >= hi:
+        return []
+    out: list[tuple[str, datetime, datetime]] = []
+    cur = lo
+    # leading hours → day boundary
+    if cur != _floor_day(cur):
+        end = min(hi, _ceil_day(cur))
+        out.append(("hourly", cur, end))
+        cur = end
+    # leading days → month boundary
+    if cur < hi and cur == _floor_day(cur):
+        end = min(_floor_day(hi), _ceil_month(cur))
+        if end > cur:
+            out.append(("daily", cur, end))
+            cur = end
+    # whole months
+    if cur < hi and cur == _floor_month(cur):
+        end = _floor_month(_floor_day(hi))
+        if end > cur:
+            out.append(("monthly", cur, end))
+            cur = end
+    # trailing days
+    if cur < hi:
+        end = _floor_day(hi)
+        if end > cur:
+            out.append(("daily", cur, end))
+            cur = end
+    # trailing hours
+    if cur < hi:
+        out.append(("hourly", cur, hi))
+    return out
+
+
+#: state columns an arbitrary-range request can compose exactly
+RANGE_STATE = ["n_turns", "token_sum", "token_min", "token_max", "tool_sum"]
+
+
+def rewrite_range_agg(
+    tiers: dict[str, DataFrame], lo: datetime, hi: datetime
+) -> DataFrame:
+    """Per-conversation (n_turns, token_sum, token_min, token_max, tool_sum)
+    over [lo, hi), composed from tier rows only — raw data is never read.
+    A tier row with bucket_start in a span contributes its whole bucket
+    (span edges are aligned to the tier unit by construction)."""
+    spans = split_range(lo, hi)
+    if not spans:
+        raise ValueError("empty range")
+    parts = []
+    for tier, a, b in spans:
+        st = observed_state(tiers[tier])
+        parts.append(
+            st.filter(
+                (F.col("bucket_start") >= F.lit(a))
+                & (F.col("bucket_start") < F.lit(b))
+            ).select("conv_id", *RANGE_STATE)
+        )
+    u = reduce(lambda x, y: x.unionByName(y), parts)
+    return u.groupBy("conv_id").agg(
+        F.sum("n_turns").alias("n_turns"),
+        F.sum("token_sum").alias("token_sum"),
+        F.min("token_min").alias("token_min"),
+        F.max("token_max").alias("token_max"),
+        F.sum("tool_sum").alias("tool_sum"),
+    )

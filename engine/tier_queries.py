@@ -108,6 +108,43 @@ for _tier in ("hourly", "daily", "monthly"):
 
 
 @register(
+    "tier_rewrite_range",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts,
+             CAST(length(props) AS BIGINT) AS token_count,
+             CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS BIGINT) AS is_tool
+      FROM events)
+    SELECT conv_id, COUNT(*) AS n_turns,
+           CAST(SUM(token_count) AS BIGINT) AS token_sum,
+           MIN(token_count) AS token_min, MAX(token_count) AS token_max,
+           CAST(SUM(is_tool) AS BIGINT) AS tool_sum
+    FROM t0
+    WHERE ts >= TIMESTAMP '2024-01-03 07:00:00'
+      AND ts <  TIMESTAMP '2024-01-28 19:00:00'
+    GROUP BY conv_id
+    """,
+)
+def tier_rewrite_range(spark, sf_dir):
+    """§4.3 aggregate-rewrite: the engine answers an arbitrary hour-aligned
+    time-range aggregation FROM TIER ROWS ONLY (leading hours → whole days →
+    whole months → trailing days → trailing hours), while the oracle
+    aggregates the raw table — equality proves the rewrite's composition is
+    exact. The real win at scale: O(days+months) tier rows per conversation
+    instead of O(raw turns), all partition-pruned."""
+    from datetime import datetime
+
+    from .rewrite import rewrite_range_agg
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0)
+    return rewrite_range_agg(
+        tiers, datetime(2024, 1, 3, 7), datetime(2024, 1, 28, 19)
+    )
+
+
+@register(
     "gapfill_locf_hourly",
     """
     WITH hourly AS (

@@ -1,0 +1,99 @@
+"""Aggregate-rewrite tests (SURVEY §4.3): the tier-composed answer to an
+arbitrary hour-aligned range must equal direct aggregation of raw turns,
+and the range splitter must produce a disjoint, covering, tier-aligned,
+maximally-coarse decomposition."""
+
+import sys
+from datetime import datetime, timedelta
+from pathlib import Path
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from engine.rewrite import rewrite_range_agg, split_range  # noqa: E402
+from engine.rollup import build_tiers  # noqa: E402
+from engine.synth import synth_transcripts  # noqa: E402
+
+EPOCH = datetime(2026, 1, 1)
+
+
+@st.composite
+def hour_ranges(draw):
+    a = draw(st.integers(0, 24 * 200))
+    b = draw(st.integers(a + 1, 24 * 200 + 1))
+    return EPOCH + timedelta(hours=a), EPOCH + timedelta(hours=b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(hour_ranges())
+def test_split_range_properties(rng):
+    lo, hi = rng
+    spans = split_range(lo, hi)
+    # disjoint + covering, in order
+    cur = lo
+    for tier, a, b in spans:
+        assert a == cur and b > a
+        cur = b
+        # alignment: span edges sit on the tier's calendar unit
+        if tier == "daily":
+            assert a.hour == 0 and b.hour == 0
+        if tier == "monthly":
+            assert (a.day, a.hour) == (1, 0) and (b.day, b.hour) == (1, 0)
+    assert cur == hi
+    # maximality: any full calendar month inside [lo, hi) is served monthly
+    m = (
+        datetime(lo.year, lo.month, 1)
+        if lo == datetime(lo.year, lo.month, 1, 0)
+        else (
+            datetime(lo.year + (lo.month == 12), lo.month % 12 + 1, 1)
+        )
+    )
+    nxt = datetime(m.year + (m.month == 12), m.month % 12 + 1, 1)
+    if nxt <= hi.replace(hour=0) and m >= lo:
+        assert any(t == "monthly" for t, _, _ in spans), spans
+
+
+def test_split_range_rejects_unaligned():
+    with pytest.raises(ValueError):
+        split_range(EPOCH, EPOCH + timedelta(minutes=90))
+
+
+def test_rewrite_equals_raw_aggregation_across_months(spark, tmp_path):
+    """3-month synthetic data, a range using all five span kinds, tiers
+    coming from the REAL pipeline output (including gap-filled rows, which
+    must be transparently excluded)."""
+    from engine.pipeline import TierPipeline
+
+    t0 = synth_transcripts(spark, n_convs=50, hot_turns=300)
+    pipe = TierPipeline(spark, str(tmp_path / "rw"))
+    pipe.run(t0, stages=("hourly", "daily", "monthly"))
+    tiers = {t: pipe.read_tier(t) for t in ("hourly", "daily", "monthly")}
+    lo, hi = datetime(2026, 1, 5, 7), datetime(2026, 3, 18, 19)
+    assert any(t == "monthly" for t, _, _ in split_range(lo, hi))
+
+    got = (
+        rewrite_range_agg(tiers, lo, hi)
+        .toPandas()
+        .sort_values("conv_id", ignore_index=True)
+    )
+    raw = (
+        t0.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text").cast("long")).alias("token_sum"),
+            F.min(F.length("text").cast("long")).alias("token_min"),
+            F.max(F.length("text").cast("long")).alias("token_max"),
+            F.sum(F.col("tool").isNotNull().cast("long")).alias("tool_sum"),
+        )
+        .toPandas()
+        .sort_values("conv_id", ignore_index=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got[raw.columns], raw)

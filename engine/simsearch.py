@@ -202,6 +202,98 @@ def lsh_cosine_buckets(spark, sf_dir):
     )
 
 
+_IVF_K = 16  # coarse-quantizer centroids
+_IVF_NPROBE = 4
+
+
+@register(
+    "ivf_cosine_topk",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 sqrt(list_sum(list_transform(range({DIM}), i -> e[i+1]*e[i+1]))) AS nrm
+          FROM v),
+    c AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n WHERE vec_id < {_IVF_K}),
+    asn AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS crn
+      FROM (SELECT n.vec_id, c.cid,
+                   list_sum(list_transform(range({DIM}), i -> n.e[i+1]*c.ce[i+1]))
+                     / (n.nrm * c.cnrm) AS sim
+            FROM n CROSS JOIN c)),
+    lists AS (SELECT vec_id, cid FROM asn WHERE crn = 1),
+    probes AS (SELECT vec_id AS qid, cid AS qcid FROM asn
+               WHERE vec_id < 10 AND crn <= {_IVF_NPROBE}),
+    cand AS (
+      SELECT p.qid, l.vec_id AS cid
+      FROM probes p JOIN lists l ON l.cid = p.qcid
+      WHERE l.vec_id <> p.qid),
+    sims AS (
+      SELECT cand.qid, cand.cid,
+             list_sum(list_transform(range({DIM}), i -> nq.e[i+1]*nc.e[i+1]))
+               / (nq.nrm * nc.nrm) AS sim
+      FROM cand JOIN n nq ON nq.vec_id = cand.qid
+                JOIN n nc ON nc.vec_id = cand.cid)
+    SELECT qid, cid, ROUND(sim, 6) AS sim, CAST(rn AS INT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+          FROM sims)
+    WHERE rn <= 5
+    """,
+)
+def ivf_cosine_topk(spark, sf_dir):
+    """IVF ANN, the big-corpus scale path: a K-centroid coarse quantizer
+    assigns every vector to an inverted list (one broadcast of K rows, one
+    shuffle on vec_id), queries probe their nprobe nearest lists, and exact
+    cosine re-ranks ONLY the probed lists — expected nprobe/K of the corpus
+    scanned per query instead of all of it. Centroids are deterministic
+    (the K lowest vec_ids) so DuckDB replays the whole index bit-exactly;
+    production would swap in kmeans centroids, same plan shape. Recall vs
+    the exact baseline is asserted in pytest."""
+    em = _t(spark, sf_dir, "embeddings")
+    n = (
+        em.select("vec_id", _vec_d("embedding").alias("e"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    )
+    c = n.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    sim_c = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    w_v = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
+    asn = (
+        n.crossJoin(F.broadcast(c))
+        .select("vec_id", "cid", sim_c.alias("sim"))
+        .withColumn("crn", F.row_number().over(w_v))
+    )
+    lists = asn.filter(F.col("crn") == 1).select("vec_id", "cid")
+    probes = asn.filter(
+        (F.col("vec_id") < 10) & (F.col("crn") <= _IVF_NPROBE)
+    ).select(F.col("vec_id").alias("qid"), F.col("cid").alias("qcid"))
+    cand = probes.join(
+        lists, probes.qcid == lists.cid
+    ).filter(F.col("vec_id") != F.col("qid")).select(
+        "qid", F.col("vec_id").alias("cid")
+    )
+    nq = n.select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    nc = n.select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce2"),
+        F.col("nrm").alias("cnrm2"),
+    )
+    sim_x = _dot(F.col("qe"), F.col("ce2")) / (F.col("qnrm") * F.col("cnrm2"))
+    sims = cand.join(nq, "qid").join(nc, "cid").select(
+        "qid", "cid", sim_x.alias("sim")
+    )
+    w_q = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
+    return (
+        sims.withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "cid", F.round("sim", 6).alias("sim"), F.col("rn").cast("int"))
+    )
+
+
 def lsh_candidate_pairs(
     em: DataFrame, n_tables: int = 6, planes_per_table: int = 5
 ) -> DataFrame:

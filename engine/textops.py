@@ -395,3 +395,177 @@ def simhash_docs(spark, sf_dir):
         .cast("long")
         .alias("simhash")
     )
+
+
+_LSH_ROWS = 2  # minhash rows per LSH band (8 perms -> 4 bands)
+
+
+@register(
+    "neardup_canonical_docs",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents),
+    tw AS (SELECT DISTINCT doc_id, {_tokhash_sql('w')} AS tid FROM tok),
+    perms AS (SELECT unnest(range({_N_PERMS})) AS p),
+    mh AS (
+      SELECT doc_id, CAST(p AS INT) AS perm,
+             CAST(MIN((1000003 * tid + 17 * (p + 1)) % {_MH_PRIME}) AS BIGINT) AS minhash
+      FROM tw CROSS JOIN perms GROUP BY doc_id, p),
+    bands AS (
+      SELECT doc_id, perm // {_LSH_ROWS} AS band,
+             CAST(SUM((minhash % 1000000007)
+                  * CASE WHEN perm % {_LSH_ROWS} = 0 THEN 131 ELSE 1 END) AS BIGINT)
+               AS band_key
+      FROM mh GROUP BY doc_id, perm // {_LSH_ROWS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tw GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c JOIN tw ta ON ta.doc_id = c.doc_a
+                  JOIN tw tb ON tb.doc_id = c.doc_b AND tb.tid = ta.tid
+      GROUP BY c.doc_a, c.doc_b),
+    verified AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                   JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.5),
+    nbrs AS (
+      SELECT doc_a AS doc_id, doc_b AS nbr FROM verified
+      UNION ALL SELECT doc_b AS doc_id, doc_a AS nbr FROM verified)
+    SELECT d.doc_id,
+           CAST(LEAST(d.doc_id, COALESCE(MIN(n.nbr), d.doc_id)) AS BIGINT) AS canonical_id,
+           CAST(COALESCE(MIN(n.nbr), d.doc_id) < d.doc_id AS BOOLEAN) AS is_dup
+    FROM documents d LEFT JOIN nbrs n ON n.doc_id = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def neardup_canonical_docs(spark, sf_dir):
+    """The full MinHash-LSH dedup pipeline as ONE driver-checked query:
+    token-set minhash (8 perms) → 4-band LSH candidates (bucket equi-join,
+    never all-pairs) → exact Jaccard verify (≥0.5) on candidates only →
+    min-id canonicalization over the 1-hop neighbourhood (production would
+    iterate to connected components; one hop is the standard first pass).
+    Every stage is partial+final aggregates and equi-joins — no global
+    structure, no single-reducer exchange."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens_col()).alias("w")).distinct()
+    tw = tok.select("doc_id", tok_hash(F.col("w")).alias("tid")).distinct()
+    perms = spark.range(_N_PERMS).select(F.col("id").alias("p"))
+    mh = (
+        tw.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", F.col("p").cast("int").alias("perm"))
+        .agg(
+            F.min(
+                (1000003 * F.col("tid") + 17 * (F.col("p") + 1)) % _MH_PRIME
+            ).alias("minhash")
+        )
+    )
+    bands = mh.groupBy(
+        "doc_id", (F.col("perm") / _LSH_ROWS).cast("int").alias("band")
+    ).agg(
+        F.sum(
+            (F.col("minhash") % 1000000007)
+            * F.when(F.col("perm") % _LSH_ROWS == 0, 131).otherwise(1)
+        ).alias("band_key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = tw.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = tw.select(F.col("doc_id").alias("doc_a"), "tid")
+    tb = tw.select(F.col("doc_id").alias("doc_b"), "tid")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tid"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    verified = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
+            "doc_b",
+        )
+        .filter(
+            F.col("n_common") * 1.0
+            / (F.col("na") + F.col("nb") - F.col("n_common"))
+            >= 0.5
+        )
+        .select("doc_a", "doc_b")
+    )
+    nbrs = verified.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr")
+    ).unionByName(
+        verified.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nbr"))
+    )
+    min_nbr = F.min("nbr")
+    return (
+        d.select("doc_id")
+        .join(nbrs, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.least(F.col("doc_id"), F.coalesce(min_nbr, F.col("doc_id")))
+            .cast("long")
+            .alias("canonical_id"),
+            (F.coalesce(F.min("nbr"), F.col("doc_id")) < F.col("doc_id")).alias(
+                "is_dup"
+            ),
+        )
+    )
+
+
+# GPT-2-flavoured but engine-portable (Java regex and RE2 agree on these
+# constructs): contraction suffixes, letter runs, 1-3 digit runs, single
+# non-alnum marks
+_BPE_PATTERN = r"'(?:s|t|re|ve|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+_BPE_SQL = _BPE_PATTERN.replace("'", "''")  # SQL-literal escaping
+
+
+@register(
+    "bpe_token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars2,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+             AS n_words,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_bpe,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) * 1.0
+             / CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+             AS bpe_per_word
+    FROM documents
+    WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+    """,
+)
+def bpe_token_counts(spark, sf_dir):
+    """Token counting for training-data budgeting: whitespace words plus a
+    BPE-ish regex tokenizer (letter runs / short digit runs / punct marks /
+    contraction suffixes) — all JVM-side regexp_extract_all, no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
+    out = d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars2"),
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(bpe).cast("long").alias("n_bpe"),
+    ).filter(F.col("n_words") > 0)
+    return out.select(
+        "doc_id", "n_chars2", "n_words", "n_bpe",
+        (F.col("n_bpe") * 1.0 / F.col("n_words")).alias("bpe_per_word"),
+    )

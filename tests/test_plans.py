@@ -85,9 +85,11 @@ def test_gapfill_linear_is_arrow_not_row_python(spark):
 #: broadcast side cannot grow with data scale, so the NLJ is O(n · const).
 BNLJ_OK = {
     "ann_cosine_topk",
+    "ivf_cosine_topk",
     "embedding_neardup_pairs",
     "lsh_cosine_buckets",
     "minhash_signatures",
+    "neardup_canonical_docs",
     "simhash_docs",
 }
 

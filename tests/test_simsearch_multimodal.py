@@ -110,3 +110,17 @@ def test_media_schema_roundtrip(spark, tmp_path):
         .filter(F.col("b.payload") != F.col("m.payload"))
     )
     assert joined.count() == 0
+
+
+def test_ivf_recall_vs_exact_baseline(spark):
+    """IVF with nprobe=4 of 16 lists must recover most exact top-5 results
+    (the embeddings fixture is clustered; pure-random data would need more
+    probes — the bound here is deliberately below the measured ~0.93)."""
+    import __spark_entry__ as entrymod
+
+    exact = entrymod.queries()["ann_cosine_topk"](spark, SF_DIR).toPandas()
+    ivf = entrymod.queries()["ivf_cosine_topk"](spark, SF_DIR).toPandas()
+    e = set(zip(exact.qid, exact.cid))
+    g = set(zip(ivf.qid, ivf.cid))
+    recall = len(e & g) / len(e)
+    assert recall >= 0.7, f"IVF recall@5 {recall:.2f}"

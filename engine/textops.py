@@ -400,9 +400,7 @@ def simhash_docs(spark, sf_dir):
 _LSH_ROWS = 2  # minhash rows per LSH band (8 perms -> 4 bands)
 
 
-@register(
-    "neardup_canonical_docs",
-    f"""
+_NEARDUP_CTE = f"""
     WITH tok AS (
       SELECT DISTINCT doc_id,
              unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
@@ -433,27 +431,15 @@ _LSH_ROWS = 2  # minhash rows per LSH band (8 perms -> 4 bands)
       SELECT i.doc_a, i.doc_b
       FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
                    JOIN sizes sb ON sb.doc_id = i.doc_b
-      WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.5),
-    nbrs AS (
-      SELECT doc_a AS doc_id, doc_b AS nbr FROM verified
-      UNION ALL SELECT doc_b AS doc_id, doc_a AS nbr FROM verified)
-    SELECT d.doc_id,
-           CAST(LEAST(d.doc_id, COALESCE(MIN(n.nbr), d.doc_id)) AS BIGINT) AS canonical_id,
-           CAST(COALESCE(MIN(n.nbr), d.doc_id) < d.doc_id AS BOOLEAN) AS is_dup
-    FROM documents d LEFT JOIN nbrs n ON n.doc_id = d.doc_id
-    GROUP BY d.doc_id
-    """,
-)
-def neardup_canonical_docs(spark, sf_dir):
-    """The full MinHash-LSH dedup pipeline as ONE driver-checked query:
-    token-set minhash (8 perms) → 4-band LSH candidates (bucket equi-join,
-    never all-pairs) → exact Jaccard verify (≥0.5) on candidates only →
-    min-id canonicalization over the 1-hop neighbourhood (production would
-    iterate to connected components; one hop is the standard first pass).
-    Every stage is partial+final aggregates and equi-joins — no global
-    structure, no single-reducer exchange."""
-    d = _t(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(_tokens_col()).alias("w")).distinct()
+      WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.5)"""
+
+
+def neardup_verified_pairs(spark, docs: DataFrame) -> DataFrame:
+    """MinHash-LSH verified near-duplicate pairs (doc_a < doc_b): token-set
+    minhash → banded LSH candidates (bucket equi-join) → exact Jaccard ≥0.5
+    verify on candidates only. Shared by the canonicalization and
+    connected-components queries."""
+    tok = docs.select("doc_id", F.explode(_tokens_col()).alias("w")).distinct()
     tw = tok.select("doc_id", tok_hash(F.col("w")).alias("tid")).distinct()
     perms = spark.range(_N_PERMS).select(F.col("id").alias("p"))
     mh = (
@@ -493,7 +479,7 @@ def neardup_canonical_docs(spark, sf_dir):
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
-    verified = (
+    return (
         inter.join(
             sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
             "doc_a",
@@ -509,6 +495,31 @@ def neardup_canonical_docs(spark, sf_dir):
         )
         .select("doc_a", "doc_b")
     )
+
+
+@register(
+    "neardup_canonical_docs",
+    _NEARDUP_CTE + """,
+    nbrs AS (
+      SELECT doc_a AS doc_id, doc_b AS nbr FROM verified
+      UNION ALL SELECT doc_b AS doc_id, doc_a AS nbr FROM verified)
+    SELECT d.doc_id,
+           CAST(LEAST(d.doc_id, COALESCE(MIN(n.nbr), d.doc_id)) AS BIGINT) AS canonical_id,
+           CAST(COALESCE(MIN(n.nbr), d.doc_id) < d.doc_id AS BOOLEAN) AS is_dup
+    FROM documents d LEFT JOIN nbrs n ON n.doc_id = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def neardup_canonical_docs(spark, sf_dir):
+    """The full MinHash-LSH dedup pipeline as ONE driver-checked query:
+    token-set minhash (8 perms) → 4-band LSH candidates (bucket equi-join,
+    never all-pairs) → exact Jaccard verify (≥0.5) on candidates only →
+    min-id canonicalization over the 1-hop neighbourhood (production would
+    iterate to connected components; one hop is the standard first pass).
+    Every stage is partial+final aggregates and equi-joins — no global
+    structure, no single-reducer exchange."""
+    d = _t(spark, sf_dir, "documents")
+    verified = neardup_verified_pairs(spark, d)
     nbrs = verified.select(
         F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr")
     ).unionByName(
@@ -568,4 +579,47 @@ def bpe_token_counts(spark, sf_dir):
     return out.select(
         "doc_id", "n_chars2", "n_words", "n_bpe",
         (F.col("n_bpe") * 1.0 / F.col("n_words")).alias("bpe_per_word"),
+    )
+
+
+@register(
+    "neardup_components_docs",
+    "WITH RECURSIVE _pre AS (SELECT 1)," + _NEARDUP_CTE.split("WITH", 1)[1]
+    + """,
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM verified
+      UNION ALL SELECT doc_b AS u, doc_a AS v FROM verified),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN sym e ON r.v = e.u)
+    SELECT d.doc_id,
+           CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT)
+             AS component_id
+    FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def neardup_components_docs(spark, sf_dir):
+    """Dedup-cluster canonicalization to a FIXPOINT: verified near-dup pairs
+    → iterative min-label propagation (engine/graph.connected_components,
+    one equi-join + min-agg per round, localCheckpoint-bounded lineage) →
+    every doc labelled with its component's minimum id. The DuckDB oracle
+    computes the same fixpoint via a recursive CTE (transitive closure), so
+    the iterative Spark loop is hash-verified end-to-end — the loop is the
+    engine's iterative-algorithm surface (GraphX-free connected components)."""
+    from .graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    verified = neardup_verified_pairs(spark, d)
+    comps = connected_components(
+        verified.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+    return (
+        d.select("doc_id")
+        .join(comps, d.doc_id == comps.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").cast("long").alias("component_id"),
+        )
     )

@@ -90,6 +90,7 @@ BNLJ_OK = {
     "lsh_cosine_buckets",
     "minhash_signatures",
     "neardup_canonical_docs",
+    "neardup_components_docs",
     "simhash_docs",
 }
 

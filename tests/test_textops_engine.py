@@ -139,3 +139,32 @@ def test_signature_stability_across_partitioning(spark, docs_with_neardups):
     assert s1.sort_values(k, ignore_index=True).equals(
         s2.sort_values(k, ignore_index=True)
     )
+
+
+def test_connected_components_known_graph(spark):
+    """Min-label propagation must find true components, not 1-hop minima:
+    a chain 5-4-3-2-1 needs multiple rounds to converge to 1."""
+    from engine.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (10, 11), (20, 20)],
+        "u long, v long",
+    )
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_components_refine_one_hop_canonicals(spark):
+    """The fixpoint must be at least as coarse as 1-hop canonicalization
+    and strictly coarser when chains exist (observed on the fixture)."""
+    import __spark_entry__ as entrymod
+
+    one_hop = entrymod.queries()["neardup_canonical_docs"](spark, SF_DIR).toPandas()
+    comps = entrymod.queries()["neardup_components_docs"](spark, SF_DIR).toPandas()
+    m = one_hop.merge(comps, on="doc_id")
+    # component id is a lower bound of the 1-hop canonical id everywhere
+    assert (m["component_id"] <= m["canonical_id"]).all()
+    assert m["component_id"].nunique() <= m["canonical_id"].nunique()

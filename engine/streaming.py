@@ -139,6 +139,69 @@ def run_dedup_stream(
     return q
 
 
+RUNNING_OUT_SCHEMA = "conv_id string, n_turns_total long, token_sum_total long"
+RUNNING_STATE_SCHEMA = "n_turns_total long, token_sum_total long"
+
+
+def _running_totals_fn(key, pdf_iter, state):
+    """J6 grouped-state function: fold each micro-batch's rows for one
+    conv_id into persistent totals, emit the updated running row. Arrow
+    batches in, one output row per (conv, micro-batch) out."""
+    import pandas as pd
+
+    n, tok = state.get if state.exists else (0, 0)  # .get is a property
+    for pdf in pdf_iter:
+        n += len(pdf)
+        tok += int(pdf["text"].str.len().sum())
+    state.update((n, tok))
+    yield pd.DataFrame(
+        {"conv_id": [key[0]], "n_turns_total": [n], "token_sum_total": [tok]}
+    )
+
+
+def running_conv_totals_stream(t0_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """J6 arbitrary stateful op: per-conversation running totals via
+    applyInPandasWithState — custom state (two counters) that outlives any
+    window, emitted incrementally per micro-batch. The state store shuffles
+    on conv_id only; no global structure."""
+    return (
+        t0_stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=RUNNING_OUT_SCHEMA,
+            stateStructType=RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def run_running_totals_stream(
+    spark: SparkSession, input_path: str, out_path: str, checkpoint: str
+):
+    """availableNow run of the J6 stateful op; each emitted row is stamped
+    with its micro-batch id so readers can take the latest per conv."""
+    agg = running_conv_totals_stream(read_stream_t0(spark, input_path))
+
+    def _sink(batch_df: DataFrame, batch_id: int):
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .foreachBatch(_sink)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def session_window_agg(
     t0_stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

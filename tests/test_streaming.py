@@ -78,3 +78,39 @@ def test_dedup_stream_removes_replays(spark, tmp_path):
     assert got.groupBy("conv_id", "turn_idx").count().filter(
         F.col("count") > 1
     ).count() == 0
+
+
+def test_running_totals_stateful_stream(spark, t0_path, tmp_path):
+    """J6 applyInPandasWithState: state accumulates across micro-batches —
+    the FINAL emitted running total per conv equals the batch aggregate, and
+    multiple emissions per conv prove the state actually crossed batches."""
+    from engine.streaming import run_running_totals_stream
+
+    out = str(tmp_path / "rt_out")
+    ckpt = str(tmp_path / "rt_ckpt")
+    run_running_totals_stream(spark, t0_path, out, ckpt)
+    emitted = spark.read.parquet(out)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy(F.desc("batch_id"))
+    final = (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("conv_id", "n_turns_total", "token_sum_total")
+        .toPandas()
+        .sort_values("conv_id", ignore_index=True)
+    )
+    exp = (
+        spark.read.parquet(t0_path)
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns_total"),
+            F.sum(F.length("text").cast("long")).alias("token_sum_total"),
+        )
+        .toPandas()
+        .sort_values("conv_id", ignore_index=True)
+    )
+    assert final.equals(exp), "stateful stream totals != batch aggregate"
+    # state must have been carried across >1 micro-batch for some conv
+    multi = emitted.groupBy("conv_id").count().filter(F.col("count") > 1).count()
+    assert multi > 0, "expected multiple micro-batch emissions per conv"

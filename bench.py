@@ -270,6 +270,11 @@ def main():
                     help="two-parallelism scaling evidence -> BENCH/BASELINE.md")
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--cpus", type=int, default=CPUS)
+    ap.add_argument("--levels", default="2,8",
+                    help="N,4N parallelism pair for --scaling (cores); "
+                         "pick a pair the host can back with real cores")
+    ap.add_argument("--trials", type=int, default=SCALE_TRIALS,
+                    help="interleaved fresh-JVM trials per level")
     ap.add_argument("--scale-worker", type=int, default=None,
                     help=argparse.SUPPRESS)
     ap.add_argument("--table-path", default="/tmp/bench_scale_t0.parquet",
@@ -280,7 +285,8 @@ def main():
         print(json.dumps(scale_worker(args.scale_worker, args.table_path)))
         return
     if args.scaling:
-        scal = run_scaling(args.sf_dir)
+        levels = tuple(int(x) for x in args.levels.split(","))
+        scal = run_scaling(args.sf_dir, levels=levels, trials=args.trials)
         # fresh session for the headline run after scaling stopped its own
         bench = run_bench(args.sf_dir, args.cpus)
         write_baseline_md(scal, bench)

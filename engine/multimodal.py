@@ -151,3 +151,58 @@ def multimodal_decode_features(spark, sf_dir):
     records a rows-only check — the Python batch boundary is the point)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return extract_features(fake_media_from_docs(d))
+
+
+FRAME_BYTES = 16  # fake codec: fixed-size "frames" within the payload
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_str", T.StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Video frame sampling plumbing: payload → every Nth fixed-size frame,
+    one output row per sampled frame (Arrow mapInPandas, batch-at-a-time).
+    The fake 'raw' codec treats the payload as a concatenation of
+    FRAME_BYTES-byte frames; a real implementation swaps the slicer for an
+    ffmpeg keyframe reader with the identical row-explode shape."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = len(raw) // FRAME_BYTES
+                for i in range(0, n_frames, every_n):
+                    chunk = raw[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    rows.append((mid, i, chunk.decode("utf-8", "replace")))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_str"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_sample, FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""
+    WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 50),
+    idx AS (
+      SELECT media_id, text,
+             unnest(range(0, length(text) // {FRAME_BYTES}, 4)) AS i
+      FROM m)
+    SELECT media_id, CAST(i AS INT) AS frame_idx,
+           substring(text, CAST(i * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES})
+             AS frame_str
+    FROM idx
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling over binary media columns (every 4th 16-byte frame of
+    the fake raw codec); the oracle reproduces the slicing with char math —
+    payloads are UTF-8 text bytes, so byte frames == char frames here."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return sample_frames(fake_media_from_docs(docs), every_n=4)

@@ -145,10 +145,25 @@ def multimodal_media_stats(spark, sf_dir):
     )
 
 
-@register("multimodal_decode_features")  # rows-only: mapInPandas path
+@register(
+    "multimodal_decode_features",
+    """
+    WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 200)
+    SELECT media_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           list_sum(list_transform(range(length(text)),
+                    i -> CAST(ascii(text[i+1]) AS BIGINT))) * 1.0
+             / length(text) AS mean_byte,
+           CAST(list_max(list_transform(range(length(text)),
+                    i -> ascii(text[i+1]))) AS INT) AS max_byte
+    FROM m
+    """,
+)
 def multimodal_decode_features(spark, sf_dir):
-    """Arrow mapInPandas decode/feature-extract over fake media (driver
-    records a rows-only check — the Python batch boundary is the point)."""
+    """Arrow mapInPandas decode/feature-extract over fake media. Fully
+    oracle-checked: the payloads are ASCII text bytes, so byte statistics
+    equal codepoint statistics, np.mean's float64 integer sum is exact, and
+    the final division is the same IEEE op in both engines."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return extract_features(fake_media_from_docs(d))
 

@@ -145,6 +145,107 @@ def tier_rewrite_range(spark, sf_dir):
 
 
 @register(
+    "gapfill_linear_hourly",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds),
+    j AS (
+      SELECT s.user_id, s.h, hr.n,
+             CAST(epoch(s.h) AS BIGINT) / 3600 AS pos
+      FROM spine s LEFT JOIN hourly hr ON s.user_id = hr.user_id AND s.h = hr.h),
+    w AS (
+      SELECT user_id, h, n, pos,
+             last_value(n IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN n IS NOT NULL THEN pos END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+             first_value(n IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN n IS NOT NULL THEN pos END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nn
+      FROM j)
+    SELECT user_id, CAST(h AS TIMESTAMP) AS h, n AS n_obs,
+           CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+                WHEN pv IS NULL OR nv IS NULL THEN NULL
+                ELSE pv + (nv - pv) * CAST(pos - pp AS DOUBLE) / (nn - pp)
+           END AS interp_n,
+           CAST(n IS NULL AS BOOLEAN) AS filled
+    FROM w
+    """,
+)
+def gapfill_linear_hourly(spark, sf_dir):
+    """K3 scale path with ZERO Python: linear interpolation of interior gaps
+    as a pure window composition — LOCF of (value, position) forward,
+    first-observation of (value, position) backward, then one arithmetic
+    expression. Same shuffle profile as LOCF (one exchange on the series
+    key); the Arrow grouped-map variant (engine/gapfill.gapfill_linear)
+    remains for pandas-exact parity, but at 100 TB this is the plan to run.
+    Leading/trailing gaps stay null (limit_area='inside' semantics)."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h"),
+    )
+    j = spine.join(hourly, ["user_id", "h"], "left").withColumn(
+        "pos",
+        (F.unix_timestamp(F.col("h").cast("timestamp")) / 3600).cast("long"),
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_pos = F.when(F.col("n").isNotNull(), F.col("pos"))
+    w = j.select(
+        "user_id",
+        "h",
+        "n",
+        "pos",
+        F.last("n", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_pos, ignorenulls=True).over(back).alias("pp"),
+        F.first("n", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_pos, ignorenulls=True).over(fwd).alias("nn"),
+    )
+    interp = (
+        F.when(F.col("n").isNotNull(), F.col("n").cast("double"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("pos") - F.col("pp")).cast("double")
+            / (F.col("nn") - F.col("pp"))
+        )
+    )
+    return w.select(
+        "user_id",
+        "h",
+        F.col("n").alias("n_obs"),
+        interp.alias("interp_n"),
+        F.col("n").isNull().alias("filled"),
+    )
+
+
+@register(
     "gapfill_locf_hourly",
     """
     WITH hourly AS (

@@ -186,3 +186,41 @@ def test_manifest_rowcount_metrics(spark, t0, tmp_path):
     from engine.bucket import dedup_turns, mask_valid
 
     assert mani["rows_in"].sum() == dedup_turns(mask_valid(t0)).count()
+
+
+def test_work_manifest_fingerprint_properties(spark):
+    """The late-data detector must be (a) invariant under row order and
+    partitioning, (b) sensitive to any single-row value change, row
+    addition, or row removal within a key."""
+    from engine.checkpoint import work_manifest
+
+    rows = [("k1", 1, "a"), ("k1", 2, "b"), ("k2", 1, "c"), ("k2", 2, "d")]
+    schema = "key string, idx int, payload string"
+
+    def fp(data, parts=None):
+        df = spark.createDataFrame(data, schema)
+        if parts:
+            df = df.repartition(parts)
+        out = work_manifest(df, F.col("key"), ["idx", "payload"], "k")
+        return {
+            r["partition_key"]: (r["rows_in"], r["input_snapshot_id"])
+            for r in out.collect()
+        }
+
+    base = fp(rows)
+    assert set(base) == {"k=k1", "k=k2"}
+    assert base["k=k1"][0] == 2
+    # order/partitioning invariance
+    assert fp(list(reversed(rows))) == base
+    assert fp(rows, parts=7) == base
+    # sensitivity: value change, addition, removal — each flips exactly k1
+    changed = fp([("k1", 1, "a"), ("k1", 2, "X"), ("k2", 1, "c"), ("k2", 2, "d")])
+    assert changed["k=k2"] == base["k=k2"]
+    assert changed["k=k1"] != base["k=k1"]
+    added = fp(rows + [("k1", 3, "e")])
+    assert added["k=k1"] != base["k=k1"] and added["k=k2"] == base["k=k2"]
+    removed = fp(rows[1:])
+    assert removed["k=k1"] != base["k=k1"] and removed["k=k2"] == base["k=k2"]
+    # a swapped pair of identical-looking rows across keys changes BOTH
+    swapped = fp([("k1", 1, "c"), ("k1", 2, "b"), ("k2", 1, "a"), ("k2", 2, "d")])
+    assert swapped["k=k1"] != base["k=k1"] and swapped["k=k2"] != base["k=k2"]

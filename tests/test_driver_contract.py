@@ -67,3 +67,31 @@ def test_approx_percentiles_within_sketch_rank_bound(spark):
             assert lo - eps <= target <= hi + eps, (
                 f"{etype}.{col}: rank [{lo},{hi}] vs target {target:.0f}"
             )
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """Both sketch-distinct queries must sit within their published error
+    bounds of the exact distinct (approx_count_distinct rsd default 5%;
+    HLL lgConfigK=12 ≈ 1.6% rsd — assert 3σ-ish envelopes)."""
+    import engine.io as eio
+    from pyspark.sql import functions as F
+
+    events = eio.read_table(spark, SF_DIR, "events")
+    approx = (
+        entrymod.queries()["approx_distinct_users"](spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+        .iloc[:, -1]
+    )
+    exact = (
+        events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .toPandas()
+        .set_index("event_type")["exact"]
+    )
+    rel = ((approx - exact).abs() / exact).max()
+    assert rel < 0.15, f"approx_count_distinct rel err {rel}"
+    hll = entrymod.queries()["hll_sketch_distinct"](spark, SF_DIR).toPandas()
+    exact_total = events.select("user_id").distinct().count()
+    est = float(hll["approx_users"].iloc[0])
+    assert abs(est - exact_total) / exact_total < 0.05, (est, exact_total)

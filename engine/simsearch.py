@@ -294,6 +294,92 @@ def ivf_cosine_topk(spark, sf_dir):
     )
 
 
+def kmeans_centroids(
+    em: DataFrame, k: int = _IVF_K, iters: int = 4
+) -> DataFrame:
+    """Deterministic kmeans-lite coarse quantizer for IVF: init = the k
+    lowest vec_ids, then `iters` Lloyd rounds — assign each vector to its
+    max-dot centroid (broadcast k rows), recompute centroids as per-cluster
+    means (array HOF zip_with folding inside a partial+final agg). Every
+    step is one broadcast + one shuffle on the cluster id; no Python.
+    Returns (cid, ce: array<double>). Recall/inertia behaviour is asserted
+    in pytest; the ORACLE-registered ivf_cosine_topk keeps the first-K init
+    so DuckDB can replay it."""
+    v = em.select("vec_id", _vec_d("embedding").alias("e"))
+    cents = v.orderBy("vec_id").limit(k).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    dim = DIM
+    for _ in range(iters):
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("dot"), "cid"
+        )
+        assigned = (
+            v.crossJoin(F.broadcast(cents))
+            .select("vec_id", "e", "cid", _dot(F.col("e"), F.col("ce")).alias("dot"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        # per-cluster mean: element-wise array sum (zip_with fold) / count
+        zero = F.array(*[F.lit(0.0) for _ in range(dim)])
+        cents = (
+            assigned.groupBy("cid")
+            .agg(
+                F.aggregate(
+                    F.collect_list("e"),
+                    zero,
+                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                ).alias("esum"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "cid",
+                F.transform("esum", lambda x: x / F.col("n")).alias("ce"),
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
+def ivf_topk_with_centroids(
+    em: DataFrame, cents: DataFrame, n_queries: int = 10,
+    nprobe: int = _IVF_NPROBE, topk: int = 5,
+) -> DataFrame:
+    """IVF search against an arbitrary centroid table (e.g. kmeans-trained):
+    same probe/re-rank plan as ivf_cosine_topk."""
+    n = em.select("vec_id", _vec_d("embedding").alias("e")).withColumn(
+        "nrm", F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    c = cents.withColumn("cnrm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+    sim_c = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    w_v = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
+    asn = (
+        n.crossJoin(F.broadcast(c))
+        .select("vec_id", "cid", sim_c.alias("sim"))
+        .withColumn("crn", F.row_number().over(w_v))
+    )
+    lists = asn.filter(F.col("crn") == 1).select("vec_id", "cid")
+    probes = asn.filter(
+        (F.col("vec_id") < n_queries) & (F.col("crn") <= nprobe)
+    ).select(F.col("vec_id").alias("qid"), F.col("cid").alias("qcid"))
+    cand = probes.join(lists, probes.qcid == lists.cid).filter(
+        F.col("vec_id") != F.col("qid")
+    ).select("qid", F.col("vec_id").alias("cid"))
+    nq = n.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                  F.col("nrm").alias("qnrm"))
+    nc = n.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce2"),
+                  F.col("nrm").alias("cnrm2"))
+    sim_x = _dot(F.col("qe"), F.col("ce2")) / (F.col("qnrm") * F.col("cnrm2"))
+    w_q = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
+    return (
+        cand.join(nq, "qid").join(nc, "cid")
+        .select("qid", "cid", sim_x.alias("sim"))
+        .withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= topk)
+        .select("qid", "cid", "sim")
+    )
+
+
 def lsh_candidate_pairs(
     em: DataFrame, n_tables: int = 6, planes_per_table: int = 5
 ) -> DataFrame:

@@ -124,3 +124,46 @@ def test_ivf_recall_vs_exact_baseline(spark):
     g = set(zip(ivf.qid, ivf.cid))
     recall = len(e & g) / len(e)
     assert recall >= 0.7, f"IVF recall@5 {recall:.2f}"
+
+
+def test_kmeans_ivf_recall_and_convergence(spark):
+    """kmeans-lite must (a) keep k centroids, (b) not hurt IVF recall vs
+    the first-K init, (c) reduce quantization inertia vs the init."""
+    from engine.simsearch import (
+        _dot,
+        _vec_d,
+        ivf_topk_with_centroids,
+        kmeans_centroids,
+    )
+    import __spark_entry__ as entrymod
+
+    em = eio.read_table(spark, SF_DIR, "embeddings")
+    v = em.select("vec_id", _vec_d("embedding").alias("e"))
+
+    def inertia(cents):
+        best = (
+            v.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                (_dot(F.col("e"), F.col("ce"))
+                 / (F.sqrt(_dot(F.col("e"), F.col("e")))
+                    * F.sqrt(_dot(F.col("ce"), F.col("ce"))))).alias("sim"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("sim").alias("best"))
+        )
+        return best.agg(F.sum(1 - F.col("best"))).collect()[0][0]
+
+    init = v.orderBy("vec_id").limit(16).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    trained = kmeans_centroids(em, k=16, iters=3)
+    assert trained.count() <= 16
+    assert inertia(trained) <= inertia(init) + 1e-9, "Lloyd must not diverge"
+
+    exact = entrymod.queries()["ann_cosine_topk"](spark, SF_DIR).toPandas()
+    got = ivf_topk_with_centroids(em, trained).toPandas()
+    e = set(zip(exact.qid, exact.cid))
+    g = set(zip(got.qid, got.cid))
+    recall = len(e & g) / len(e)
+    assert recall >= 0.7, f"kmeans-IVF recall@5 {recall:.2f}"

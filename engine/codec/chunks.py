@@ -29,7 +29,9 @@ CODEC_VERSION = 1
 
 @pandas_udf(T.BinaryType())
 def _gorilla_encode_udf(vals: pd.Series) -> pd.Series:
-    return vals.map(lambda a: gorilla.encode([float(x) for x in a]))
+    # one batch-encode call per Arrow batch (amortizes numpy setup across
+    # chunks); bit-identical to per-chunk gorilla.encode()
+    return pd.Series(gorilla.encode_many(list(vals)), index=vals.index)
 
 
 @pandas_udf(T.BinaryType())

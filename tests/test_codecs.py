@@ -70,6 +70,32 @@ def test_gorilla_property(xs):
 
 @given(
     st.lists(
+        st.lists(st.floats(allow_nan=True, allow_infinity=True), max_size=90),
+        max_size=25,
+    )
+)
+def test_gorilla_encode_many_bit_identical(chunks):
+    # the Arrow-batch encoder must emit byte-for-byte what per-chunk
+    # encode() emits, across the small/large hybrid boundary (_BATCH_MAX_N)
+    batched = gorilla.encode_many(chunks)
+    assert batched == [gorilla.encode(c) for c in chunks]
+
+
+def test_gorilla_encode_many_mixed_sizes():
+    chunks = [
+        [],
+        [1.5],
+        [0.0, -0.0, math.nan, math.inf],
+        [7.25] * 200,  # > _BATCH_MAX_N -> per-chunk fallback path
+        list(range(64)),  # exactly at the boundary
+        [],
+    ]
+    chunks = [[float(x) for x in c] for c in chunks]
+    assert gorilla.encode_many(chunks) == [gorilla.encode(c) for c in chunks]
+
+
+@given(
+    st.lists(
         st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=200
     )
 )

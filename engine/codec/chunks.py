@@ -41,8 +41,10 @@ def _dod_encode_udf(ts: pd.Series) -> pd.Series:
 
 @pandas_udf(T.ArrayType(T.DoubleType()))
 def _gorilla_decode_udf(blob: pd.Series, n: pd.Series) -> pd.Series:
+    # batch-decode the whole Arrow batch; bit-identical to per-chunk decode()
     return pd.Series(
-        [gorilla.decode(bytes(b), int(k)) for b, k in zip(blob, n)]
+        gorilla.decode_many([bytes(b) for b in blob], list(n)),
+        index=blob.index,
     )
 
 

@@ -40,18 +40,63 @@ def _s64(x: int) -> int:
 
 _BUCKETS = [(14, 0b10, 2), (24, 0b110, 3), (36, 0b1110, 4)]
 
+#: chunks at or below this many points use the pure-Python paths: numpy's
+#: fixed per-call overhead (~85 µs encode / ~170 µs decode) exceeds the
+#: whole scalar cost until a few hundred points (measured crossover ~256-384;
+#: tier month-chunks are p50=1, p99≈124)
+_SCALAR_MAX_N = 256
+
+
+def _encode_py(ts) -> bytes:
+    """Pure-Python encode for small chunks; bit-identical to the numpy path
+    (deltas/dods wrap mod 2^64 exactly like int64 arithmetic)."""
+    w = BitWriter()
+    write = w.write
+    t0 = int(ts[0])
+    write(t0 & M64, 64)
+    if len(ts) == 1:
+        return w.getvalue()
+    pd = _s64(int(ts[1]) - t0)
+    write(_zigzag(pd), 64)
+    prev = int(ts[1])
+    for i in range(2, len(ts)):
+        cur = int(ts[i])
+        d = _s64(cur - prev)
+        prev = cur
+        z = _zigzag(_s64(d - pd))
+        pd = d
+        if z == 0:
+            write(0, 1)
+        elif z < 1 << 14:
+            write(0b10, 2)
+            write(z, 14)
+        elif z < 1 << 24:
+            write(0b110, 3)
+            write(z, 24)
+        elif z < 1 << 36:
+            write(0b1110, 4)
+            write(z, 36)
+        else:
+            write(0b1111, 4)
+            write(z, 64)
+    return w.getvalue()
+
 
 def encode(ts) -> bytes:
-    """Encode int64 µs timestamps. Fully vectorized: delta/delta-of-delta/
-    zigzag in numpy (int64 wrap-around == the mod-2^64 arithmetic decode
-    expects), then variable-width bit emission via repeat/shift/packbits.
-    Only the rare >2^36 zigzag class (wild clock jumps) falls back to the
-    scalar BitWriter path."""
+    """Encode int64 µs timestamps. Small chunks take a pure-Python scalar
+    path (numpy per-call overhead dominates below ~_SCALAR_MAX_N points);
+    larger chunks are fully vectorized: delta/delta-of-delta/zigzag in numpy
+    (int64 wrap-around == the mod-2^64 arithmetic decode expects), then
+    variable-width bit emission via repeat/shift/packbits. Only the rare
+    >2^36 zigzag class (wild clock jumps) falls back to the scalar
+    BitWriter path."""
     import numpy as np
 
     n = len(ts)
     if n == 0:
         return b""
+    if n <= _SCALAR_MAX_N:
+        return _encode_py(ts)
     arr = np.asarray(ts, dtype=np.int64)
     if n <= 2:
         w = BitWriter()
@@ -123,17 +168,57 @@ def _encode_scalar(arr, deltas, zz) -> bytes:
     return w.getvalue()
 
 
+def _decode_py(blob: bytes, n: int) -> list[int]:
+    """Pure-Python decode for small chunks: one big-int conversion, then
+    arithmetic bit reads — no numpy temporaries. Bit-identical."""
+    total = int.from_bytes(blob, "big")
+    bitlen = len(blob) * 8
+    pos = 0
+
+    def rd(w: int) -> int:
+        nonlocal pos
+        pos += w
+        return (total >> (bitlen - pos)) & ((1 << w) - 1)
+
+    first = rd(64)
+    if first >= 1 << 63:
+        first -= 1 << 64
+    out = [first]
+    if n == 1:
+        return out
+    d = _unzigzag(rd(64))
+    v = _s64(first + d)
+    out.append(v)
+    for _ in range(n - 2):
+        if rd(1):
+            if rd(1) == 0:
+                z = rd(14)
+            elif rd(1) == 0:
+                z = rd(24)
+            elif rd(1) == 0:
+                z = rd(36)
+            else:
+                z = rd(64)
+            d = _s64(d + _unzigzag(z))
+        v = _s64(v + d)
+        out.append(v)
+    return out
+
+
 def decode(blob: bytes, n: int) -> list[int]:
     """Two-phase vectorized decode: sequential tag parse (prefix codes
     '0'/'10'/'110'/'1110'/'1111', cheap int ops) records payload offsets,
     then extract_fields + unzigzag + a double cumsum (dod → delta → ts,
-    int64 wrap-around == the codec's mod-2^64 arithmetic) run whole-chunk."""
+    int64 wrap-around == the codec's mod-2^64 arithmetic) run whole-chunk.
+    Small chunks take the pure-Python path (numpy overhead dominates)."""
     import numpy as np
 
     from .bits import extract_fields
 
     if n == 0:
         return []
+    if n <= _SCALAR_MAX_N:
+        return _decode_py(blob, n)
     bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))
     first = int(extract_fields(bits, [0], [64])[0])
     if first >= 1 << 63:

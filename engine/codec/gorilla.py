@@ -113,14 +113,33 @@ def encode_many(arrays) -> list[bytes]:
         small_idx = [i for i, a in enumerate(arrays) if len(a) <= _BATCH_MAX_N]
         out = [None] * len(arrays)
         if small_idx:
-            packed = _encode_many_small([arrays[i] for i in small_idx])
+            packed = _encode_small_grouped([arrays[i] for i in small_idx])
             for i, b in zip(small_idx, packed):
                 out[i] = b
         for i, a in enumerate(arrays):
             if out[i] is None:
                 out[i] = encode(a)
         return out
-    return _encode_many_small(arrays)
+    return _encode_small_grouped(arrays)
+
+
+#: per-group cap on total points for batch encode — same first-touch
+#: page-fault cliff as _GROUP_MAX_BYTES (pack_fields' bit matrix is
+#: ~64 B per field; unbounded groups hit fresh-mmap fault storms)
+_ENC_GROUP_MAX_PTS = 16 * 1024
+
+
+def _encode_small_grouped(arrays) -> list[bytes]:
+    out: list[bytes] = []
+    start = 0
+    acc = 0
+    for i, a in enumerate(arrays):
+        if acc + len(a) > _ENC_GROUP_MAX_PTS and i > start:
+            out.extend(_encode_many_small(arrays[start:i]))
+            start, acc = i, 0
+        acc += len(a)
+    out.extend(_encode_many_small(arrays[start:]))
+    return out
 
 
 def _encode_many_small(arrays) -> list[bytes]:
@@ -235,6 +254,113 @@ def _encode_many_small(arrays) -> list[bytes]:
         out.append(b"" if lens[k] == 0 else gbytes[s:e])
         s = e
     return out
+
+
+#: per-group cap on concatenated blob bytes for batch decode. The bound
+#: keeps extract_fields' index temporaries (~8 B per field bit) inside the
+#: allocator's reused heap arenas; unbounded groups force fresh mmap'd
+#: regions whose first-touch page faults cost far more than the work
+#: (measured: 20k chunks monolithic 34.6s vs grouped 0.8s vs per-chunk 1.2s)
+_GROUP_MAX_BYTES = 64 * 1024
+
+
+def decode_many(blobs, ns) -> list[list[float]]:
+    """Batch decode, bit-identical to per-chunk decode(). Splits the input
+    into allocation-bounded groups (see _GROUP_MAX_BYTES) and runs each
+    through the vectorized group path."""
+    blobs = list(blobs)
+    ns = [int(k) for k in ns]
+    out: list[list[float]] = []
+    start = 0
+    acc = 0
+    for i, b in enumerate(blobs):
+        if acc + len(b) > _GROUP_MAX_BYTES and i > start:
+            out.extend(_decode_group(blobs[start:i], ns[start:i]))
+            start, acc = i, 0
+        acc += len(b)
+    out.extend(_decode_group(blobs[start:], ns[start:]))
+    return out
+
+
+def _decode_group(blobs, ns) -> list[list[float]]:
+    """One unpackbits/tolist over the concatenated blobs, ONE extract_fields
+    call for every chunk's payload fields, and ONE global XOR prefix scan:
+    each chunk's first field is its raw 64-bit value, so within a chunk
+    v_i = C[i] ^ C[chunk_start-1] where C is the global cumulative XOR —
+    the per-chunk segmentation reduces to a vectorized boundary
+    correction. Only the control-bit parse (inherently sequential) stays
+    a Python loop, sharing one plain-int bit list across chunks."""
+    blob_cat = b"".join(blobs)
+    total_n = sum(ns)
+    if not blob_cat or total_n == 0:
+        return [[] for _ in ns]
+    bits = np.unpackbits(np.frombuffer(blob_cat, dtype=np.uint8))
+    bl = bits.tolist()
+    starts: list[int] = []
+    widths: list[int] = []
+    shifts: list[int] = []  # left-shift to re-align each payload (0 for raws)
+    scatter: list[int] = []  # global output index each field lands on
+    out_offsets: list[int] = []
+    base_bit = 0
+    out_base = 0
+    for blob, n in zip(blobs, ns):
+        out_offsets.append(out_base)
+        if n:
+            starts.append(base_bit)
+            widths.append(64)
+            shifts.append(0)
+            scatter.append(out_base)
+            pos = base_bit + 64
+            prev_lead = -1
+            prev_mlen = 0
+            for i in range(n - 1):
+                if bl[pos] == 0:
+                    pos += 1
+                    continue
+                pos += 1
+                if bl[pos] == 0:  # '10': prior window
+                    pos += 1
+                    starts.append(pos)
+                    widths.append(prev_mlen)
+                    shifts.append(64 - prev_lead - prev_mlen)
+                    scatter.append(out_base + i + 1)
+                    pos += prev_mlen
+                else:  # '11': 5b lead + 6b (mlen-1) + payload
+                    pos += 1
+                    lead = (
+                        (bl[pos] << 4) | (bl[pos + 1] << 3)
+                        | (bl[pos + 2] << 2) | (bl[pos + 3] << 1) | bl[pos + 4]
+                    )
+                    mlen = (
+                        (bl[pos + 5] << 5) | (bl[pos + 6] << 4)
+                        | (bl[pos + 7] << 3) | (bl[pos + 8] << 2)
+                        | (bl[pos + 9] << 1) | bl[pos + 10]
+                    ) + 1
+                    pos += 11
+                    starts.append(pos)
+                    widths.append(mlen)
+                    shifts.append(64 - lead - mlen)
+                    scatter.append(out_base + i + 1)
+                    pos += mlen
+                    prev_lead, prev_mlen = lead, mlen
+        out_base += n
+        base_bit += len(blob) * 8
+    fields = extract_fields(bits, starts, widths)
+    xors = np.zeros(total_n, dtype=np.uint64)
+    xors[np.asarray(scatter, dtype=np.int64)] = fields << np.asarray(
+        shifts, dtype=np.uint64
+    )
+    cum = np.bitwise_xor.accumulate(xors)
+    offs = np.asarray(out_offsets, dtype=np.int64)
+    prefix = np.zeros(len(ns), dtype=np.uint64)
+    nz = offs > 0
+    prefix[nz] = cum[offs[nz] - 1]
+    vals = (cum ^ np.repeat(prefix, np.asarray(ns, dtype=np.int64))).view(
+        np.float64
+    )
+    return [
+        vals[o:o + n].tolist() for o, n in zip(out_offsets, ns)
+    ]
 
 
 def decode(blob: bytes, n: int) -> list[float]:

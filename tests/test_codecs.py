@@ -81,6 +81,38 @@ def test_gorilla_encode_many_bit_identical(chunks):
     assert batched == [gorilla.encode(c) for c in chunks]
 
 
+@given(
+    st.lists(
+        st.lists(st.floats(allow_nan=True, allow_infinity=True), max_size=90),
+        max_size=25,
+    )
+)
+def test_gorilla_decode_many_bit_identical(chunks):
+    blobs = [gorilla.encode(c) for c in chunks]
+    ns = [len(c) for c in chunks]
+    got = gorilla.decode_many(blobs, ns)
+    assert len(got) == len(chunks)
+    for c, g in zip(chunks, got):
+        assert [bits(x) for x in c] == [bits(y) for y in g]
+
+
+def test_gorilla_many_group_boundaries():
+    # force multiple groups through both grouped paths: chunks large enough
+    # that cumulative size crosses _GROUP_MAX_BYTES/_ENC_GROUP_MAX_PTS
+    import random
+
+    rng = random.Random(3)
+    chunks = [
+        [rng.uniform(-1e9, 1e9) for _ in range(rng.randrange(0, 64))]
+        for _ in range(3000)
+    ]
+    blobs = gorilla.encode_many(chunks)
+    assert blobs == [gorilla.encode(c) for c in chunks]
+    got = gorilla.decode_many(blobs, [len(c) for c in chunks])
+    for c, g in zip(chunks, got):
+        assert [bits(x) for x in c] == [bits(y) for y in g]
+
+
 def test_gorilla_encode_many_mixed_sizes():
     chunks = [
         [],
@@ -102,6 +134,27 @@ def test_gorilla_encode_many_mixed_sizes():
 def test_gorilla_bitpattern_property(raw):
     xs = [struct.unpack("<d", struct.pack("<q", r))[0] for r in raw]
     roundtrip_floats(xs)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dod_scalar_numpy_cross_path(ts):
+    # the small-chunk pure-Python paths must be bit-identical to the numpy
+    # paths on the same input (wrap-around int64 arithmetic included)
+    saved = dod._SCALAR_MAX_N
+    try:
+        dod._SCALAR_MAX_N = -1  # force numpy encode/decode
+        np_blob = dod.encode(ts)
+        np_dec = dod.decode(np_blob, len(ts))
+    finally:
+        dod._SCALAR_MAX_N = saved
+    assert dod._encode_py(ts) == np_blob
+    assert dod._decode_py(np_blob, len(ts)) == np_dec
 
 
 def test_dod_empty_single_pair():

@@ -105,26 +105,80 @@ def densify(observed: DataFrame) -> DataFrame:
 
 
 def gapfill_locf(observed: DataFrame) -> DataFrame:
-    """E5: native LOCF — no Python workers at all. fill_method is stamped
-    only where LOCF actually produced a value (a leading gap stays
-    filled=true / fill_method=null / value=null), mirroring the linear
-    path's metadata semantics exactly."""
-    dense = densify(observed)
-    w = (
-        Window.partitionBy("conv_id", "metric")
-        .orderBy("bucket_start")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    locf = F.coalesce(F.col("value"), F.last("value", ignorenulls=True).over(w))
-    return dense.select(
+    """E5: native LOCF — no Python workers, and ONE shuffle total.
+
+    Instead of materializing a dense spine and left-joining (bounds agg +
+    join + window = three exchanges), each observed row carries its gap run:
+    lead() gives the next observed bucket, last(ignorenulls) the LOCF carry
+    value, and a month-chunked nested transform/sequence emits the filled
+    rows between them — all from a single exchange+sort on the series key.
+    Output is row-identical to the join formulation: the spine spans each
+    series' own [min, max] (lead() is null at the tail, so nothing is
+    emitted past the last observation), observed-but-null rows count as
+    gaps for the carry, and fill_method is stamped only where LOCF actually
+    produced a value."""
+    w = Window.partitionBy("conv_id", "metric").orderBy("bucket_start")
+    carry_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = observed.select(
         "conv_id",
-        "bucket_start",
         "metric",
-        locf.alias("value"),
-        F.col("value").isNull().alias("filled"),
-        F.when(F.col("value").isNull() & locf.isNotNull(), F.lit("locf")).alias(
-            "fill_method"
-        ),
+        "bucket_start",
+        "value",
+        F.lead("bucket_start").over(w).alias("nxt"),
+        F.last("value", ignorenulls=True).over(carry_w).alias("carry"),
+    )
+    # per-row output array: the observed bucket itself + its trailing gap
+    # run (month-chunked so no single array exceeds ~744 entries)
+    rows = base.select(
+        "conv_id",
+        "metric",
+        F.explode(
+            F.expr(
+                """
+                concat(
+                  array(named_struct(
+                    'bucket_start', bucket_start,
+                    'value', coalesce(value, carry),
+                    'filled', value IS NULL,
+                    'fill_method',
+                      CASE WHEN value IS NULL AND carry IS NOT NULL
+                           THEN 'locf' END)),
+                  CASE WHEN nxt IS NULL
+                            OR nxt <= bucket_start + interval 1 hour
+                       THEN array()
+                       ELSE flatten(transform(
+                         sequence(
+                           CAST(date_trunc('month',
+                                bucket_start + interval 1 hour)
+                             AS TIMESTAMP_NTZ),
+                           CAST(date_trunc('month', nxt - interval 1 hour)
+                             AS TIMESTAMP_NTZ),
+                           interval 1 month),
+                         m0 -> transform(
+                           sequence(
+                             greatest(m0, bucket_start + interval 1 hour),
+                             least(nxt - interval 1 hour,
+                                   m0 + interval 1 month - interval 1 hour),
+                             interval 1 hour),
+                           h -> named_struct(
+                             'bucket_start', h,
+                             'value', carry,
+                             'filled', true,
+                             'fill_method',
+                               CASE WHEN carry IS NOT NULL
+                                    THEN 'locf' END))))
+                  END)
+                """
+            )
+        ).alias("r"),
+    )
+    return rows.select(
+        "conv_id",
+        F.col("r.bucket_start").alias("bucket_start"),
+        "metric",
+        F.col("r.value").alias("value"),
+        F.col("r.filled").alias("filled"),
+        F.col("r.fill_method").alias("fill_method"),
     )
 
 

@@ -267,32 +267,45 @@ def gapfill_linear_hourly(spark, sf_dir):
     """,
 )
 def gapfill_locf_hourly(spark, sf_dir):
-    """C5+F4+E5: dense bucket spine (sequence/explode), left join of observed
-    buckets, native LOCF via last(ignorenulls) over a ROWS frame — the
-    gap-detection half of the gap-fill stage, zero Python."""
+    """C5+F4+E5 in ONE shuffle: no dense-spine join. lead() gives each
+    observed bucket its gap run; a sequence/explode emits the filled rows
+    carrying the LOCF value directly (n is never null on observed rows, so
+    the carry IS the row's own n). Row-identical to the spine ⟕ observed +
+    last(ignorenulls) formulation the DuckDB oracle runs."""
     e = _t(spark, sf_dir, "events")
     hourly = e.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count("*").alias("n"))
-    bounds = hourly.groupBy("user_id").agg(
-        F.min("h").alias("lo"), F.max("h").alias("hi")
-    )
-    spine = bounds.select(
+    w = Window.partitionBy("user_id").orderBy("h")
+    base = hourly.withColumn("nxt", F.lead("h").over(w))
+    rows = base.select(
         "user_id",
-        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h"),
+        F.explode(
+            F.expr(
+                """
+                concat(
+                  array(named_struct(
+                    'h', h, 'n_obs', n, 'locf_n', n, 'filled', false)),
+                  CASE WHEN nxt IS NULL OR nxt <= h + interval 1 hour
+                       THEN array()
+                       ELSE transform(
+                         sequence(h + interval 1 hour,
+                                  nxt - interval 1 hour,
+                                  interval 1 hour),
+                         g -> named_struct(
+                           'h', g, 'n_obs', CAST(NULL AS BIGINT),
+                           'locf_n', n, 'filled', true))
+                  END)
+                """
+            )
+        ).alias("r"),
     )
-    j = spine.join(hourly, ["user_id", "h"], "left")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return j.select(
+    return rows.select(
         "user_id",
-        "h",
-        F.col("n").alias("n_obs"),
-        F.last("n", ignorenulls=True).over(w).alias("locf_n"),
-        F.col("n").isNull().alias("filled"),
+        F.col("r.h").alias("h"),
+        F.col("r.n_obs").alias("n_obs"),
+        F.col("r.locf_n").alias("locf_n"),
+        F.col("r.filled").alias("filled"),
     )
 
 

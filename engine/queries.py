@@ -126,17 +126,28 @@ def filter_project(spark, sf_dir):
     """,
 )
 def top_revenue_orders(spark, sf_dir):
-    """F2 (sort-merge join on fact keys) + D1 + H3 (TakeOrderedAndProject)."""
+    """D1 + H3 with aggregate-before-join: revenue is a function of
+    lineitem alone and o_orderkey is the grouping key, so the top-10 is
+    decided by one partial-agg shuffle of lineitem + TakeOrderedAndProject
+    — BEFORE any join. The 10 surviving rows then broadcast into the
+    orders/customer lookups, so the fact⨝fact shuffle join of the naive
+    plan (join-then-aggregate) never happens at any scale. Tie-break
+    (revenue, orderkey) is the final ORDER BY, so pre-join and post-join
+    top-10 sets are identical."""
     li, o, c = (_t(spark, sf_dir, n) for n in ("lineitem", "orders", "customer"))
     price_c = cents(F.col("l_extendedprice"))
     disc_pct = F.round(100 - F.col("l_discount") * 100).cast("long")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("o_orderkey", "c_name")
+    top = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(price_c * disc_pct).alias("revenue_c4"))
-        .orderBy(F.desc("revenue_c4"), "o_orderkey")
+        .orderBy(F.desc("revenue_c4"), "l_orderkey")
         .limit(10)
+    )
+    with_cust = o.join(F.broadcast(top), top.l_orderkey == o.o_orderkey)
+    return (
+        c.join(F.broadcast(with_cust), with_cust.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_name", "revenue_c4")
+        .orderBy(F.desc("revenue_c4"), "o_orderkey")
     )
 
 

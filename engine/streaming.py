@@ -71,6 +71,68 @@ def hourly_stream_agg(t0_stream: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def sliding_stream_agg(
+    t0_stream: DataFrame,
+    size: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """C3 in streaming form: watermarked SLIDING (hopping) window — each
+    turn lands in size/slide overlapping windows; state is the same
+    integer-backed aggregate set as the tumbling path, keyed by
+    (window, conv_id)."""
+    return (
+        t0_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("w"), "conv_id")
+        .agg(*_state_aggs())
+        .select(
+            "conv_id",
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("win_end"),
+            "n_turns",
+            "token_sum",
+            "token_min",
+            "token_max",
+            "tool_sum",
+            "tool_min",
+            "tool_max",
+        )
+    )
+
+
+def run_sliding_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint: str,
+    size: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+):
+    """Update-mode micro-batch run of the sliding aggregate; upserts resolve
+    by latest batch_id per (conv_id, win_start) like the hourly tier."""
+    agg = sliding_stream_agg(
+        read_stream_t0(spark, input_path), size, slide, watermark
+    )
+
+    def _upsert(batch_df: DataFrame, batch_id: int):
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .foreachBatch(_upsert)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_hourly_stream(
     spark: SparkSession,
     input_path: str,

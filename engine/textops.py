@@ -623,3 +623,68 @@ def neardup_components_docs(spark, sf_dir):
             F.coalesce("component_id", "doc_id").cast("long").alias("component_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics / repetition quality signals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_vocab_topk",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents)
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS df
+    FROM tok GROUP BY w
+    ORDER BY df DESC, w LIMIT 100
+    """,
+)
+def corpus_vocab_topk(spark, sf_dir):
+    """Corpus document-frequency vocabulary: distinct (doc, token) →
+    count per token → deterministic top-100 (df DESC, token). Two
+    partial+final aggregates and a TakeOrderedAndProject — the standard
+    vocab/df sweep a tokenizer-training or idf-weighting pass needs, with
+    no global dictionary structure."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens_col()).alias("w")).distinct()
+    return (
+        tok.groupBy("w")
+        .agg(F.count("*").cast("long").alias("df"))
+        .orderBy(F.desc("df"), "w")
+        .limit(100)
+    )
+
+
+@register(
+    "doc_repetition_scores",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           COUNT(*) * 1.0 / SUM(c) AS unique_ratio,
+           MAX(c) * 1.0 / SUM(c) AS top_token_share
+    FROM tf GROUP BY doc_id
+    """,
+)
+def doc_repetition_scores(spark, sf_dir):
+    """Repetition quality signal: per-doc unique-token ratio and the share
+    of the single most-repeated token — low-ratio / high-share docs are
+    boilerplate or degenerate generations. Two chained aggregates on the
+    same doc_id-prefixed key, so the second needs no extra shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens_col()).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_unique"),
+        (F.count("*") * 1.0 / F.sum("c")).alias("unique_ratio"),
+        (F.max("c") * 1.0 / F.sum("c")).alias("top_token_share"),
+    )

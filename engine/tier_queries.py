@@ -338,3 +338,159 @@ def dod_timestamp_deltas(spark, sf_dir):
         F.col("delta_us").cast("long").alias("delta_us"),
         (F.col("delta_us") - F.lag("delta_us").over(w)).cast("long").alias("dod_us"),
     )
+
+
+@register(
+    "climatology_hour_of_day",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    clim AS (
+      SELECT user_id, CAST(hour(h) AS INT) AS hod,
+             CAST(SUM(n) AS BIGINT) AS sum_n, COUNT(*) AS cnt
+      FROM hourly GROUP BY 1, 2)
+    SELECT hr.user_id, CAST(hr.h AS TIMESTAMP) AS h, hr.n AS n_obs,
+           CAST(c.sum_n AS DOUBLE) / c.cnt AS clim_mean,
+           hr.n - CAST(c.sum_n AS DOUBLE) / c.cnt AS anomaly
+    FROM hourly hr
+    JOIN clim c ON c.user_id = hr.user_id AND c.hod = CAST(hour(hr.h) AS INT)
+    """,
+)
+def climatology_hour_of_day(spark, sf_dir):
+    """The reference domain's headline operation (climatology + anomaly,
+    its monthly-normals pattern applied to transcript activity): per-user
+    hour-of-day normals from integer sums, then each observed bucket's
+    departure from its normal. Exact-integer aggregation state keeps the
+    single final division bit-identical across engines; the normals table
+    (≤24 rows/user) broadcasts into the anomaly join."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    clim = hourly.groupBy(
+        "user_id", F.hour("h").cast("int").alias("hod")
+    ).agg(
+        F.sum("n").cast("long").alias("sum_n"), F.count("*").alias("cnt")
+    )
+    mean = F.col("sum_n").cast("double") / F.col("cnt")
+    hr = hourly.alias("hr")
+    c = F.broadcast(clim.alias("c"))
+    return (
+        hr.join(
+            c,
+            (F.col("hr.user_id") == F.col("c.user_id"))
+            & (F.hour(F.col("hr.h")).cast("int") == F.col("c.hod")),
+        )
+        .select(
+            F.col("hr.user_id").alias("user_id"),
+            F.col("hr.h").alias("h"),
+            F.col("hr.n").alias("n_obs"),
+            mean.alias("clim_mean"),
+            (F.col("hr.n") - mean).alias("anomaly"),
+        )
+    )
+
+
+@register(
+    "rolling_zscore_hourly",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT user_id, h, n,
+             CAST(SUM(n) OVER win AS BIGINT) AS s,
+             CAST(SUM(n * n) OVER win AS BIGINT) AS sq,
+             CAST(COUNT(*) OVER win AS BIGINT) AS k
+      FROM hourly
+      WINDOW win AS (PARTITION BY user_id ORDER BY h
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+    SELECT user_id, CAST(h AS TIMESTAMP) AS h, n AS n_obs, s, sq, k,
+           CASE WHEN k > 1
+                     AND (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / k)
+                         / (k - 1) > 0
+                THEN (n - CAST(s AS DOUBLE) / k)
+                     / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / k)
+                            / (k - 1))
+           END AS zscore
+    FROM w
+    """,
+)
+def rolling_zscore_hourly(spark, sf_dir):
+    """Rolling 24-bucket z-score detrending (E4/E6 applied to anomaly
+    detection): windowed integer sum/sum-of-squares state, variance and
+    score as one shared final float expression so Spark and DuckDB agree
+    bit-for-bit. Rows with no spread (var <= 0) or a single-point window
+    yield NULL rather than a fabricated score."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    w = hourly.select(
+        "user_id",
+        "h",
+        "n",
+        F.sum("n").over(win).cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(win).cast("long").alias("sq"),
+        F.count("*").over(win).cast("long").alias("k"),
+    )
+    var = (
+        F.col("sq").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("k")
+    ) / (F.col("k") - 1)
+    z = F.when(
+        (F.col("k") > 1) & (var > 0),
+        (F.col("n") - F.col("s").cast("double") / F.col("k")) / F.sqrt(var),
+    )
+    return w.select(
+        "user_id",
+        "h",
+        F.col("n").alias("n_obs"),
+        "s",
+        "sq",
+        "k",
+        z.alias("zscore"),
+    )
+
+
+@register(
+    "chunk_roundtrip_hourly",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS conv_id,
+           'hourly' AS tier,
+           'n_events' AS metric,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+           CAST(COUNT(*) AS DOUBLE) AS value
+    FROM events GROUP BY 1, 2, 3, 4
+    """,
+)
+def chunk_roundtrip_hourly(spark, sf_dir):
+    """K1+K2+K5 under the driver's full hash oracle: the hourly series is
+    month-chunked, Gorilla/delta-of-delta ENCODED into blobs, CRC-checked,
+    then DECODED back — and must hash-match the plain aggregation the
+    oracle computes. Any bit the codecs or the Arrow boundary lose shows
+    up as a driver mismatch, not just a pytest failure."""
+    from .codec.chunks import decode_chunks, make_chunks
+
+    e = _t(spark, sf_dir, "events")
+    series = e.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket_start"),
+    ).agg(F.count("*").cast("double").alias("value")).withColumn(
+        "metric", F.lit("n_events")
+    )
+    chunks = make_chunks(series, tier="hourly", chunk_unit="month")
+    decoded, _bad = decode_chunks(chunks)
+    return decoded.select(
+        "conv_id",
+        "tier",
+        "metric",
+        F.col("bucket_start").cast("timestamp_ntz").alias("bucket_start"),
+        "value",
+    )

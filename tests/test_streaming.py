@@ -114,3 +114,51 @@ def test_running_totals_stateful_stream(spark, t0_path, tmp_path):
     # state must have been carried across >1 micro-batch for some conv
     multi = emitted.groupBy("conv_id").count().filter(F.col("count") > 1).count()
     assert multi > 0, "expected multiple micro-batch emissions per conv"
+
+
+def test_sliding_stream_equals_batch(spark, t0_path, tmp_path):
+    """C3 streaming: the sliding-window stream matches the same hopping
+    aggregate computed in batch (explode the slide offsets)."""
+    from pyspark.sql import Window
+
+    from engine.streaming import run_sliding_stream
+
+    out = str(tmp_path / "slide_out")
+    ckpt = str(tmp_path / "slide_ckpt")
+    run_sliding_stream(spark, t0_path, out, ckpt,
+                       size="1 hour", slide="15 minutes")
+    raw = spark.read.parquet(out)
+    w = Window.partitionBy("conv_id", "win_start").orderBy(F.desc("batch_id"))
+    got = (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("conv_id", "win_start", *STATE)
+        .toPandas()
+        .sort_values(["conv_id", "win_start"], ignore_index=True)
+    )
+    t0 = spark.read.parquet(t0_path).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    exp = (
+        t0.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "conv_id"
+        )
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text").cast("long")).alias("token_sum"),
+            F.min(F.length("text").cast("long")).alias("token_min"),
+            F.max(F.length("text").cast("long")).alias("token_max"),
+            F.sum(F.col("tool").isNotNull().cast("long")).alias("tool_sum"),
+            F.min(F.col("tool").isNotNull().cast("long")).alias("tool_min"),
+            F.max(F.col("tool").isNotNull().cast("long")).alias("tool_max"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            *STATE,
+        )
+        .toPandas()
+        .sort_values(["conv_id", "win_start"], ignore_index=True)
+    )
+    assert len(got) == len(exp) > 0
+    assert got.equals(exp), "sliding stream/batch divergence"

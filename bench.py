@@ -79,12 +79,15 @@ def synth_t0(spark, n_convs=BENCH_CONVS, hot=BENCH_HOT):
 
 
 def pipeline_queries(spark, t0):
-    """Synthetic-table stages, each returning a DataFrame to sink.
+    """Synthetic-table stages as FACTORIES (a fresh DataFrame per call).
 
     t0 arrives cached (the raw table a real run reads from storage);
     gap-fill/compress consume a cached hourly state, mirroring the pipeline
     where they read the materialized hourly tier, so each timing isolates
-    one stage."""
+    one stage. Factories matter for multi-trial timing: re-sinking the SAME
+    DataFrame lets Spark skip its already-materialized shuffle map stages,
+    silently measuring a fraction of the job — a fresh plan per trial
+    re-executes everything."""
     from engine.codec.chunks import make_chunks
     from engine.gapfill import gapfill, hourly_series
     from engine.rollup import rollup_up, tier_view
@@ -92,13 +95,18 @@ def pipeline_queries(spark, t0):
 
     hourly = rollup_hourly_salted(t0, n_salts=16)
     hourly.cache().count()
-    monthly = rollup_up(rollup_up(rollup_hourly_salted(t0, 16), "daily"), "monthly")
-    series = hourly_series(hourly)
     return {
         # full leaf->monthly path from raw (the primary turns/sec metric)
-        "pipeline_rollup_monthly": tier_view(monthly, "monthly"),
-        "gapfill_locf": gapfill(series, "locf"),
-        "compress_chunks": make_chunks(series, tier="hourly"),
+        "pipeline_rollup_monthly": lambda: tier_view(
+            rollup_up(
+                rollup_up(rollup_hourly_salted(t0, 16), "daily"), "monthly"
+            ),
+            "monthly",
+        ),
+        "gapfill_locf": lambda: gapfill(hourly_series(hourly), "locf"),
+        "compress_chunks": lambda: make_chunks(
+            hourly_series(hourly), tier="hourly"
+        ),
     }
 
 
@@ -112,6 +120,13 @@ RELATIONAL = [
 ]
 
 
+#: per-stage timing trials (min wins). The host's bursty CPU steal makes a
+#: single 32-thread measurement swing 2-3x run-to-run; min-of-N over fresh
+#: plans samples the uncontended duty cycle the same way the scaling
+#: protocol's per-level best-trial does, without changing what is measured.
+BENCH_STAGE_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+
+
 def run_bench(sf_dir: str, cpus: int) -> dict:
     spark = build_session(cpus)
     import __spark_entry__ as entry
@@ -120,15 +135,22 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     t0.cache()
     n_turns = t0.count()
 
+    def best(factory):
+        # a FRESH DataFrame per trial: same full execution every time (no
+        # skipped shuffle stages), min picks the least-stolen sample
+        return min(
+            _timed(lambda: _noop(factory()))[0]
+            for _ in range(BENCH_STAGE_TRIALS)
+        )
+
     timings: dict[str, float] = {}
     # synthetic tier-pipeline stages
-    for name, df in pipeline_queries(spark, t0).items():
-        timings[name], _ = _timed(lambda d=df: _noop(d))
+    for name, make_df in pipeline_queries(spark, t0).items():
+        timings[name] = best(make_df)
     # relational headline queries on the driver tables
     qs = entry.queries()
     for name in RELATIONAL:
-        df = qs[name](spark, sf_dir)
-        timings[name], _ = _timed(lambda d=df: _noop(d))
+        timings[name] = best(lambda n=name: qs[n](spark, sf_dir))
 
     total = sum(timings.values())
     return {

@@ -264,21 +264,74 @@ def _encode_many_small(arrays) -> list[bytes]:
 _GROUP_MAX_BYTES = 64 * 1024
 
 
+#: chunks at or below this many points decode via the pure-Python big-int
+#: reader: numpy's fixed per-call cost (unpackbits/extract_fields) exceeds
+#: the whole scalar cost until ~128-200 points (measured), and tier
+#: month-chunks are p50=1 point
+_DEC_SCALAR_MAX_N = 128
+
+
+def _decode_py(blob: bytes, n: int) -> list[float]:
+    """Pure-Python decode for small chunks: one big-int conversion, then
+    arithmetic bit reads — no numpy temporaries. Bit-identical."""
+    import struct
+
+    total = int.from_bytes(blob, "big")
+    bitlen = len(blob) * 8
+    pos = 64
+    v = (total >> (bitlen - 64)) & 0xFFFFFFFFFFFFFFFF
+    us = [v]
+    lead = mlen = trail = 0
+    for _ in range(n - 1):
+        pos += 1
+        if not (total >> (bitlen - pos)) & 1:
+            us.append(v)
+            continue
+        pos += 1
+        if (total >> (bitlen - pos)) & 1:  # '11': new window
+            pos += 11
+            ctrl = (total >> (bitlen - pos)) & 0x7FF
+            lead = ctrl >> 6
+            mlen = (ctrl & 63) + 1
+            trail = 64 - lead - mlen
+        pos += mlen
+        v ^= ((total >> (bitlen - pos)) & ((1 << mlen) - 1)) << trail
+        us.append(v)
+    return list(struct.unpack(f"<{n}d", struct.pack(f"<{n}Q", *us)))
+
+
 def decode_many(blobs, ns) -> list[list[float]]:
-    """Batch decode, bit-identical to per-chunk decode(). Splits the input
-    into allocation-bounded groups (see _GROUP_MAX_BYTES) and runs each
-    through the vectorized group path."""
+    """Batch decode, bit-identical to per-chunk decode(). Small chunks take
+    the pure-Python reader; larger ones run through the vectorized group
+    path in allocation-bounded groups (see _GROUP_MAX_BYTES)."""
     blobs = list(blobs)
     ns = [int(k) for k in ns]
-    out: list[list[float]] = []
-    start = 0
-    acc = 0
-    for i, b in enumerate(blobs):
-        if acc + len(b) > _GROUP_MAX_BYTES and i > start:
-            out.extend(_decode_group(blobs[start:i], ns[start:i]))
-            start, acc = i, 0
-        acc += len(b)
-    out.extend(_decode_group(blobs[start:], ns[start:]))
+    out: list = [None] * len(blobs)
+    big_idx: list[int] = []
+    for i, (b, n) in enumerate(zip(blobs, ns)):
+        if n == 0:
+            out[i] = []
+        elif n <= _DEC_SCALAR_MAX_N:
+            out[i] = _decode_py(b, n)
+        else:
+            big_idx.append(i)
+    if big_idx:
+        start = 0
+        acc = 0
+        groups: list[list[int]] = []
+        cur: list[int] = []
+        for i in big_idx:
+            if acc + len(blobs[i]) > _GROUP_MAX_BYTES and cur:
+                groups.append(cur)
+                cur, acc = [], 0
+            cur.append(i)
+            acc += len(blobs[i])
+        groups.append(cur)
+        for g in groups:
+            for i, dec in zip(
+                g, _decode_group([blobs[i] for i in g], [ns[i] for i in g])
+            ):
+                out[i] = dec
     return out
 
 
@@ -368,9 +421,12 @@ def decode(blob: bytes, n: int) -> list[float]:
     each non-zero step's (payload offset, width, trail); then payload
     extraction (extract_fields) and the running XOR reconstruction
     (np.bitwise_xor.accumulate — v_i = v_{i-1} ^ x_i is an XOR prefix scan)
-    run as whole-chunk numpy ops."""
+    run as whole-chunk numpy ops. Small chunks take the pure-Python
+    reader (numpy per-call overhead dominates below ~_DEC_SCALAR_MAX_N)."""
     if n == 0:
         return []
+    if n <= _DEC_SCALAR_MAX_N:
+        return _decode_py(blob, n)
     bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))
     bl = bits.tolist()  # plain-int access beats np scalar indexing ~5x
     pos = 64

@@ -113,6 +113,25 @@ def test_gorilla_many_group_boundaries():
         assert [bits(x) for x in c] == [bits(y) for y in g]
 
 
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True), min_size=1, max_size=60
+    )
+)
+def test_gorilla_decode_scalar_numpy_cross_path(xs):
+    # the small-chunk pure-Python reader must be bit-identical to the
+    # two-phase numpy decode on the same blob
+    blob = gorilla.encode(xs)
+    saved = gorilla._DEC_SCALAR_MAX_N
+    try:
+        gorilla._DEC_SCALAR_MAX_N = -1  # force the numpy path
+        np_dec = gorilla.decode(blob, len(xs))
+    finally:
+        gorilla._DEC_SCALAR_MAX_N = saved
+    py_dec = gorilla._decode_py(blob, len(xs))
+    assert [bits(a) for a in py_dec] == [bits(a) for a in np_dec]
+
+
 def test_gorilla_encode_many_mixed_sizes():
     chunks = [
         [],

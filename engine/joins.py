@@ -1,0 +1,91 @@
+"""General as-of join (SURVEY.md §2 F3 as a reusable operator).
+
+`asof_join(left, right, ...)` matches each left row with the most recent
+right row at-or-before (backward) or the earliest at-or-after (forward)
+its timestamp, per key — pandas `merge_asof` / kdb `aj` semantics,
+distributed.
+
+Plan shape: the two inputs are UNIONED with a side tag, then ONE window
+pass per key (ordered by timestamp, side-tag tie-break) carries the right
+side's payload onto left rows via last(ignorenulls). Cost is a single
+exchange+sort on the key — never the O(n·m) range join a naive
+`left.ts >= right.ts` theta condition would plan, and never a per-key
+collect. Equal-timestamp policy: `allow_exact_matches=True` sorts right
+rows before left rows at the same timestamp (<= semantics, pandas
+default); False sorts them after (<).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_on: str,
+    right_on: str,
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """Left as-of-joined with right: all left columns plus each of
+    `value_cols` (default: every non-key right column) from the matched
+    right row, null when no right row qualifies."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c not in by and c != right_on
+        ]
+    left_cols = left.columns
+    clash = set(value_cols) & set(left_cols)
+    if clash:
+        raise ValueError(
+            f"right value columns collide with left columns: {sorted(clash)}"
+        )
+
+    # side tag ordering at EQUAL timestamps decides <= vs < semantics
+    # (right-before-left in the scan → the left row sees the equal-ts
+    # right value); the same tag order holds for both scan directions
+    right_first = allow_exact_matches
+    r_tag = 0 if right_first else 1
+    l_tag = 1 - r_tag
+
+    r = right.select(
+        *by,
+        F.col(right_on).alias("_asof_ts"),
+        F.lit(r_tag).alias("_asof_side"),
+        F.struct(*value_cols).alias("_asof_val"),
+        *[F.lit(None).alias(f"_l_{c}") for c in left_cols],
+    )
+    lf = left.select(
+        *[F.col(c) for c in by],
+        F.col(left_on).alias("_asof_ts"),
+        F.lit(l_tag).alias("_asof_side"),
+        F.lit(None)
+        .cast(r.schema["_asof_val"].dataType)
+        .alias("_asof_val"),
+        *[F.col(c).alias(f"_l_{c}") for c in left_cols],
+    )
+    u = r.unionByName(lf)
+
+    if direction == "backward":
+        order = [F.col("_asof_ts").asc(), F.col("_asof_side").asc()]
+    else:
+        order = [F.col("_asof_ts").desc(), F.col("_asof_side").asc()]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        "_asof_match", F.last("_asof_val", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_asof_side") == l_tag).select(
+        *[F.col(f"_l_{c}").alias(c) for c in left_cols],
+        *[F.col("_asof_match")[c].alias(c) for c in value_cols],
+    )
+    return out

@@ -89,3 +89,75 @@ def asof_join(
         *[F.col("_asof_match")[c].alias(c) for c in value_cols],
     )
     return out
+
+
+def point_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_on: str,
+    start_on: str,
+    end_on: str,
+    by: list[str] | None = None,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Range join (point-in-interval, start <= p < end) WITHOUT relying on
+    a selective equi key: both sides are keyed by fixed-width time bucket
+    (intervals explode into every bucket they overlap), the join is a pure
+    equi join on (by..., bucket) and the exact range predicate filters the
+    handful of same-bucket candidates. This is the manual form of the
+    range-join bucketing optimization — the naive theta condition would
+    plan a nested-loop join that cannot survive scale.
+
+    `bucket` must be chosen so a typical interval overlaps few buckets
+    (the explode factor is interval_span / bucket_width). Inner join:
+    points matching no interval are dropped; a point in k intervals
+    appears k times."""
+    by = list(by or [])
+    width_us = _duration_us(bucket)
+    p_b = points.withColumn(
+        "_rj_b",
+        F.floor(
+            F.unix_micros(F.col(point_on).cast("timestamp_ltz"))
+            / F.lit(width_us)
+        ),
+    )
+    i_b = intervals.withColumn(
+        "_rj_b",
+        F.explode(
+            F.sequence(
+                F.floor(
+                    F.unix_micros(F.col(start_on).cast("timestamp_ltz"))
+                    / F.lit(width_us)
+                ),
+                F.floor(
+                    (
+                        F.unix_micros(F.col(end_on).cast("timestamp_ltz"))
+                        - F.lit(1)
+                    )
+                    / F.lit(width_us)
+                ),
+            )
+        ),
+    ).filter(F.col(end_on) > F.col(start_on))
+    joined = p_b.join(i_b, on=by + ["_rj_b"]).filter(
+        (F.col(point_on) >= F.col(start_on))
+        & (F.col(point_on) < F.col(end_on))
+    )
+    return joined.drop("_rj_b")
+
+
+_DUR_UNITS_US = {
+    "second": 1_000_000,
+    "seconds": 1_000_000,
+    "minute": 60_000_000,
+    "minutes": 60_000_000,
+    "hour": 3_600_000_000,
+    "hours": 3_600_000_000,
+    "day": 86_400_000_000,
+    "days": 86_400_000_000,
+}
+
+
+def _duration_us(spec: str) -> int:
+    n, unit = spec.strip().split()
+    return int(n) * _DUR_UNITS_US[unit.lower()]

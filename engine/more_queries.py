@@ -154,3 +154,86 @@ def hll_sketch_distinct(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
         F.sum("exact").alias("sum_daily_exact"),
     )
+
+
+@register(
+    "asof_generic_clicks",
+    """
+    SELECT event_id, user_id, last_click_ts
+    FROM (
+      SELECT event_id, user_id, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, pref
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+      FROM (SELECT event_id, user_id, event_type, ts,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS pref
+            FROM events))
+    WHERE event_type = 'purchase'
+    """,
+)
+def asof_generic_clicks(spark, sf_dir):
+    """F3 via the GENERAL asof_join operator (engine/joins.py): purchases
+    as-of-joined (backward, strict <) with the same user's clicks — the
+    two-table form of asof_last_click_before_purchase, hash-verified
+    against the windowed oracle. Single exchange, no range join."""
+    from .joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_on="ts",
+        right_on="click_ts",
+        value_cols=["click_ts"],
+        direction="backward",
+        allow_exact_matches=False,
+    ).select(
+        "event_id", "user_id", F.col("click_ts").alias("last_click_ts")
+    )
+
+
+@register(
+    "clicks_in_purchase_window",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
+      FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+    FROM p JOIN c ON c.user_id = p.user_id
+                 AND c.ts >= p.w_start AND c.ts < p.w_end
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def clicks_in_purchase_window(spark, sf_dir):
+    """F8 via the GENERAL point_interval_join operator (engine/joins.py):
+    clicks inside each purchase's 2-hour follow window. The interval side
+    explodes into 1-hour buckets and the join is pure equi on
+    (user_id, bucket) — the plan that survives when no key bounds the
+    candidate set."""
+    from .joins import point_interval_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    j = point_interval_join(
+        clicks, purchases, "click_ts", "w_start", "w_end",
+        by=["user_id"], bucket="1 hour",
+    )
+    return j.groupBy("event_id", "user_id").agg(
+        F.count("*").cast("long").alias("n_clicks")
+    )

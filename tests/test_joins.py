@@ -99,3 +99,59 @@ def test_asof_value_column_collision_raises(spark, frames):
             t.withColumnRenamed("qty", "px"), q,
             by=["sym"], left_on="ts", right_on="qts",
         )
+
+
+@pytest.fixture(scope="module")
+def range_frames(spark):
+    import datetime as dt
+    import random
+
+    rng = random.Random(5)
+    base = dt.datetime(2024, 3, 1)
+    pts, ivs = [], []
+    for i in range(800):
+        pts.append(
+            ("k" + str(rng.randrange(3)), i,
+             base + dt.timedelta(minutes=rng.randrange(0, 14 * 24 * 60)))
+        )
+    for j in range(200):
+        s = base + dt.timedelta(minutes=rng.randrange(0, 14 * 24 * 60))
+        e = s + dt.timedelta(minutes=rng.randrange(0, 12 * 60))
+        ivs.append(("k" + str(rng.randrange(3)), j, s, e))
+    p = spark.createDataFrame(pts, ["key", "pid", "ts"])
+    iv = spark.createDataFrame(ivs, ["key", "iid", "ivs", "ive"])
+    return p, iv
+
+
+def test_point_interval_join_matches_bruteforce(spark, range_frames):
+    from engine.joins import point_interval_join
+
+    p, iv = range_frames
+    got = (
+        point_interval_join(p, iv, "ts", "ivs", "ive",
+                            by=["key"], bucket="6 hours")
+        .select("key", "pid", "iid")
+        .toPandas()
+        .sort_values(["key", "pid", "iid"], ignore_index=True)
+    )
+    brute = (
+        p.join(iv, on="key")
+        .filter((F.col("ts") >= F.col("ivs")) & (F.col("ts") < F.col("ive")))
+        .select("key", "pid", "iid")
+        .toPandas()
+        .sort_values(["key", "pid", "iid"], ignore_index=True)
+    )
+    assert len(got) == len(brute) > 0
+    assert got.equals(brute)
+
+
+def test_point_interval_join_is_equi_join(spark, range_frames):
+    from engine.joins import point_interval_join
+
+    p, iv = range_frames
+    df = point_interval_join(p, iv, "ts", "ivs", "ive",
+                             by=["key"], bucket="6 hours")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -161,3 +161,67 @@ _DUR_UNITS_US = {
 def _duration_us(spec: str) -> int:
     n, unit = spec.strip().split()
     return int(n) * _DUR_UNITS_US[unit.lower()]
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    by: list[str] | None = None,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Interval-overlap join ([ls,le) overlaps [rs,re)) via the same
+    bucket-chunking as point_interval_join: BOTH sides explode into the
+    buckets they span, candidates meet on (by..., bucket), and the exact
+    overlap predicate (ls < re AND rs < le) filters them. Bucket-pair
+    duplicates are prevented by keeping only the candidate whose shared
+    bucket is the FIRST bucket of the overlap region (greatest of the two
+    start buckets) — each qualifying pair survives exactly once, without
+    a post-join distinct."""
+    by = list(by or [])
+    width_us = _duration_us(bucket)
+
+    def bucketed(df, start, end):
+        return df.filter(F.col(end) > F.col(start)).withColumn(
+            "_rj_b",
+            F.explode(
+                F.sequence(
+                    F.floor(
+                        F.unix_micros(F.col(start).cast("timestamp_ltz"))
+                        / F.lit(width_us)
+                    ),
+                    F.floor(
+                        (
+                            F.unix_micros(F.col(end).cast("timestamp_ltz"))
+                            - F.lit(1)
+                        )
+                        / F.lit(width_us)
+                    ),
+                )
+            ),
+        )
+
+    lb = bucketed(left, left_start, left_end)
+    rb = bucketed(right, right_start, right_end)
+    first_overlap_bucket = F.greatest(
+        F.floor(
+            F.unix_micros(F.col(left_start).cast("timestamp_ltz"))
+            / F.lit(width_us)
+        ),
+        F.floor(
+            F.unix_micros(F.col(right_start).cast("timestamp_ltz"))
+            / F.lit(width_us)
+        ),
+    )
+    return (
+        lb.join(rb, on=by + ["_rj_b"])
+        .filter(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+            & (F.col("_rj_b") == first_overlap_bucket)
+        )
+        .drop("_rj_b")
+    )

@@ -155,3 +155,40 @@ def test_point_interval_join_is_equi_join(spark, range_frames):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_join_matches_bruteforce(spark, range_frames):
+    import datetime as dt
+    import random
+
+    from engine.joins import interval_overlap_join
+
+    rng = random.Random(9)
+    base = dt.datetime(2024, 3, 1)
+    ivs2 = []
+    for j in range(150):
+        s = base + dt.timedelta(minutes=rng.randrange(0, 14 * 24 * 60))
+        e = s + dt.timedelta(minutes=rng.randrange(1, 36 * 60))
+        ivs2.append(("k" + str(rng.randrange(3)), j, s, e))
+    _, iv = range_frames
+    iv2 = spark.createDataFrame(ivs2, ["key", "jid", "jvs", "jve"])
+    got = (
+        interval_overlap_join(
+            iv, iv2, "ivs", "ive", "jvs", "jve",
+            by=["key"], bucket="12 hours",
+        )
+        .select("key", "iid", "jid")
+        .toPandas()
+        .sort_values(["key", "iid", "jid"], ignore_index=True)
+    )
+    brute = (
+        iv.join(iv2, on="key")
+        .filter(
+            (F.col("ivs") < F.col("jve")) & (F.col("jvs") < F.col("ive"))
+        )
+        .select("key", "iid", "jid")
+        .toPandas()
+        .sort_values(["key", "iid", "jid"], ignore_index=True)
+    )
+    assert len(got) == len(brute) > 0
+    assert got.equals(brute)

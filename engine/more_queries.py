@@ -237,3 +237,46 @@ def clicks_in_purchase_window(spark, sf_dir):
     return j.groupBy("event_id", "user_id").agg(
         F.count("*").cast("long").alias("n_clicks")
     )
+
+
+@register(
+    "purchase_window_overlaps",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
+      FROM events WHERE event_type = 'purchase')
+    SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b
+    FROM p a JOIN p b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND a.w_start < b.w_end AND b.w_start < a.w_end
+    """,
+)
+def purchase_window_overlaps(spark, sf_dir):
+    """F8 via the GENERAL interval_overlap_join operator: pairs of the
+    same user's purchases whose 2-hour windows overlap. Both sides
+    bucket-explode and meet on an equi key; the first-overlap-bucket rule
+    keeps each pair exactly once (the oracle is the plain theta join)."""
+    from .joins import interval_overlap_join
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    a = p.alias("a")
+    b = (
+        p.withColumnRenamed("event_id", "event_b")
+        .withColumnRenamed("w_start", "b_start")
+        .withColumnRenamed("w_end", "b_end")
+    )
+    j = interval_overlap_join(
+        a, b, "w_start", "w_end", "b_start", "b_end",
+        by=["user_id"], bucket="2 hours",
+    )
+    return j.filter(F.col("event_id") < F.col("event_b")).select(
+        "user_id",
+        F.col("event_id").alias("event_a"),
+        F.col("event_b").alias("event_b"),
+    )

@@ -33,7 +33,11 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of-joined with right: all left columns plus each of
     `value_cols` (default: every non-key right column) from the matched
-    right row, null when no right row qualifies."""
+    right row, null when no right row qualifies.
+
+    If several right rows share the same (key, timestamp), which one's
+    payload wins is unspecified (partition-order dependent) — pre-aggregate
+    the right side to one row per (key, timestamp) when that matters."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
     if value_cols is None:

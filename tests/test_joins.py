@@ -192,3 +192,56 @@ def test_interval_overlap_join_matches_bruteforce(spark, range_frames):
     )
     assert len(got) == len(brute) > 0
     assert got.equals(brute)
+
+
+@pytest.mark.parametrize("bucket", ["1 minute", "37 minutes", "1 day"])
+def test_point_interval_join_bucket_width_invariant(spark, range_frames, bucket):
+    """The result must not depend on the bucket width — boundary cases
+    (interval ends on a bucket edge, point at exclusive end) included."""
+    from engine.joins import point_interval_join
+
+    p, iv = range_frames
+    got = (
+        point_interval_join(p, iv, "ts", "ivs", "ive", by=["key"], bucket=bucket)
+        .select("key", "pid", "iid")
+        .toPandas()
+        .sort_values(["key", "pid", "iid"], ignore_index=True)
+    )
+    brute = (
+        p.join(iv, on="key")
+        .filter((F.col("ts") >= F.col("ivs")) & (F.col("ts") < F.col("ive")))
+        .select("key", "pid", "iid")
+        .toPandas()
+        .sort_values(["key", "pid", "iid"], ignore_index=True)
+    )
+    assert got.equals(brute)
+
+
+def test_point_interval_join_boundary_exact(spark):
+    """Hand-picked edges: point exactly at start (included), exactly at end
+    (excluded), interval spanning exactly one bucket edge, empty interval."""
+    import datetime as dt
+
+    from engine.joins import point_interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    p = spark.createDataFrame(
+        [("k", 1, t0), ("k", 2, t0 + h), ("k", 3, t0 + 2 * h)],
+        ["key", "pid", "ts"],
+    )
+    iv = spark.createDataFrame(
+        [
+            ("k", 10, t0, t0 + h),          # [00:00, 01:00): pid 1 only
+            ("k", 11, t0 + h, t0 + 3 * h),  # [01:00, 03:00): pids 2, 3
+            ("k", 12, t0, t0),              # empty: nothing
+        ],
+        ["key", "iid", "ivs", "ive"],
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in point_interval_join(
+            p, iv, "ts", "ivs", "ive", by=["key"], bucket="1 hour"
+        ).collect()
+    )
+    assert got == [(1, 10), (2, 11), (3, 11)]

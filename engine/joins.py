@@ -118,36 +118,41 @@ def point_interval_join(
     appears k times."""
     by = list(by or [])
     width_us = _duration_us(bucket)
-    p_b = points.withColumn(
-        "_rj_b",
-        F.floor(
-            F.unix_micros(F.col(point_on).cast("timestamp_ltz"))
-            / F.lit(width_us)
-        ),
-    )
-    i_b = intervals.withColumn(
-        "_rj_b",
-        F.explode(
-            F.sequence(
-                F.floor(
-                    F.unix_micros(F.col(start_on).cast("timestamp_ltz"))
-                    / F.lit(width_us)
-                ),
-                F.floor(
-                    (
-                        F.unix_micros(F.col(end_on).cast("timestamp_ltz"))
-                        - F.lit(1)
-                    )
-                    / F.lit(width_us)
-                ),
-            )
-        ),
-    ).filter(F.col(end_on) > F.col(start_on))
+    p_b = points.withColumn("_rj_b", _bucket_of(point_on, width_us))
+    i_b = _explode_interval_buckets(intervals, start_on, end_on, width_us)
     joined = p_b.join(i_b, on=by + ["_rj_b"]).filter(
         (F.col(point_on) >= F.col(start_on))
         & (F.col(point_on) < F.col(end_on))
     )
     return joined.drop("_rj_b")
+
+
+def _bucket_of(ts_col: str, width_us: int):
+    """Fixed-width bucket id of a timestamp column (shared by both range
+    joins — the end-exclusive arithmetic must never drift between them)."""
+    return F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp_ltz")) / F.lit(width_us)
+    )
+
+
+def _explode_interval_buckets(
+    df: DataFrame, start: str, end: str, width_us: int
+) -> DataFrame:
+    """One row per bucket the [start, end) interval overlaps, as _rj_b.
+    Zero-length intervals denote the empty set and are dropped — they
+    overlap nothing under either operator's semantics."""
+    return df.filter(F.col(end) > F.col(start)).withColumn(
+        "_rj_b",
+        F.explode(
+            F.sequence(
+                _bucket_of(start, width_us),
+                F.floor(
+                    (F.unix_micros(F.col(end).cast("timestamp_ltz")) - F.lit(1))
+                    / F.lit(width_us)
+                ),
+            )
+        ),
+    )
 
 
 _DUR_UNITS_US = {
@@ -184,41 +189,15 @@ def interval_overlap_join(
     duplicates are prevented by keeping only the candidate whose shared
     bucket is the FIRST bucket of the overlap region (greatest of the two
     start buckets) — each qualifying pair survives exactly once, without
-    a post-join distinct."""
+    a post-join distinct. Zero-length intervals denote the empty set and
+    match nothing (even where the raw ls < re AND rs < le predicate would
+    hold for an enclosing interval)."""
     by = list(by or [])
     width_us = _duration_us(bucket)
-
-    def bucketed(df, start, end):
-        return df.filter(F.col(end) > F.col(start)).withColumn(
-            "_rj_b",
-            F.explode(
-                F.sequence(
-                    F.floor(
-                        F.unix_micros(F.col(start).cast("timestamp_ltz"))
-                        / F.lit(width_us)
-                    ),
-                    F.floor(
-                        (
-                            F.unix_micros(F.col(end).cast("timestamp_ltz"))
-                            - F.lit(1)
-                        )
-                        / F.lit(width_us)
-                    ),
-                )
-            ),
-        )
-
-    lb = bucketed(left, left_start, left_end)
-    rb = bucketed(right, right_start, right_end)
+    lb = _explode_interval_buckets(left, left_start, left_end, width_us)
+    rb = _explode_interval_buckets(right, right_start, right_end, width_us)
     first_overlap_bucket = F.greatest(
-        F.floor(
-            F.unix_micros(F.col(left_start).cast("timestamp_ltz"))
-            / F.lit(width_us)
-        ),
-        F.floor(
-            F.unix_micros(F.col(right_start).cast("timestamp_ltz"))
-            / F.lit(width_us)
-        ),
+        _bucket_of(left_start, width_us), _bucket_of(right_start, width_us)
     )
     return (
         lb.join(rb, on=by + ["_rj_b"])

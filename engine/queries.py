@@ -133,7 +133,11 @@ def top_revenue_orders(spark, sf_dir):
     orders/customer lookups, so the fact⨝fact shuffle join of the naive
     plan (join-then-aggregate) never happens at any scale. Tie-break
     (revenue, orderkey) is the final ORDER BY, so pre-join and post-join
-    top-10 sets are identical."""
+    top-10 sets are identical. PRECONDITION: lineitem.l_orderkey ⊆
+    orders.o_orderkey and orders.o_custkey ⊆ customer.c_custkey (TPC-H
+    referential integrity) — a dangling fact key would be ranked into the
+    pre-join top-10 and then dropped by the inner lookups, where the
+    join-then-aggregate formulation would instead surface the 11th."""
     li, o, c = (_t(spark, sf_dir, n) for n in ("lineitem", "orders", "customer"))
     price_c = cents(F.col("l_extendedprice"))
     disc_pct = F.round(100 - F.col("l_discount") * 100).cast("long")

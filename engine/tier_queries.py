@@ -268,10 +268,12 @@ def gapfill_linear_hourly(spark, sf_dir):
 )
 def gapfill_locf_hourly(spark, sf_dir):
     """C5+F4+E5 in ONE shuffle: no dense-spine join. lead() gives each
-    observed bucket its gap run; a sequence/explode emits the filled rows
-    carrying the LOCF value directly (n is never null on observed rows, so
-    the carry IS the row's own n). Row-identical to the spine ⟕ observed +
-    last(ignorenulls) formulation the DuckDB oracle runs."""
+    observed bucket its gap run; a month-chunked nested transform/sequence
+    emits the filled rows carrying the LOCF value directly (n is never
+    null on observed rows, so the carry IS the row's own n) — no single
+    array exceeds ~744 entries regardless of gap length, matching the
+    engine path's bound (engine/gapfill.py). Row-identical to the spine ⟕
+    observed + last(ignorenulls) formulation the DuckDB oracle runs."""
     e = _t(spark, sf_dir, "events")
     hourly = e.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
@@ -288,13 +290,22 @@ def gapfill_locf_hourly(spark, sf_dir):
                     'h', h, 'n_obs', n, 'locf_n', n, 'filled', false)),
                   CASE WHEN nxt IS NULL OR nxt <= h + interval 1 hour
                        THEN array()
-                       ELSE transform(
-                         sequence(h + interval 1 hour,
-                                  nxt - interval 1 hour,
-                                  interval 1 hour),
-                         g -> named_struct(
-                           'h', g, 'n_obs', CAST(NULL AS BIGINT),
-                           'locf_n', n, 'filled', true))
+                       ELSE flatten(transform(
+                         sequence(
+                           CAST(date_trunc('month', h + interval 1 hour)
+                             AS TIMESTAMP_NTZ),
+                           CAST(date_trunc('month', nxt - interval 1 hour)
+                             AS TIMESTAMP_NTZ),
+                           interval 1 month),
+                         m0 -> transform(
+                           sequence(
+                             greatest(m0, h + interval 1 hour),
+                             least(nxt - interval 1 hour,
+                                   m0 + interval 1 month - interval 1 hour),
+                             interval 1 hour),
+                           g -> named_struct(
+                             'h', g, 'n_obs', CAST(NULL AS BIGINT),
+                             'locf_n', n, 'filled', true))))
                   END)
                 """
             )

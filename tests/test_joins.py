@@ -245,3 +245,32 @@ def test_point_interval_join_boundary_exact(spark):
         ).collect()
     )
     assert got == [(1, 10), (2, 11), (3, 11)]
+
+
+def test_interval_overlap_join_plan_and_zero_length(spark, range_frames):
+    import datetime as dt
+
+    from engine.joins import interval_overlap_join
+
+    _, iv = range_frames
+    # plan: equi join only, no nested loop / cartesian
+    iv2 = iv.withColumnRenamed("iid", "jid").withColumnRenamed(
+        "ivs", "jvs"
+    ).withColumnRenamed("ive", "jve")
+    df = interval_overlap_join(
+        iv, iv2, "ivs", "ive", "jvs", "jve", by=["key"], bucket="12 hours"
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # zero-length intervals are the empty set: no match even when enclosed
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    a = spark.createDataFrame([("k", 1, t0, t0 + 10 * h)],
+                              ["key", "iid", "ivs", "ive"])
+    b = spark.createDataFrame([("k", 2, t0 + 5 * h, t0 + 5 * h)],
+                              ["key", "jid", "jvs", "jve"])
+    assert interval_overlap_join(
+        a, b, "ivs", "ive", "jvs", "jve", by=["key"], bucket="1 hour"
+    ).count() == 0

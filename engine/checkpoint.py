@@ -163,5 +163,33 @@ def pending_partitions(
     )
 
 
+#: sentinel fingerprint committed when a partition's output is dropped
+#: because its input vanished; it matches no real work fingerprint, so a
+#: later resurrection of the data re-rolls the partition automatically.
+DELETED_SNAPSHOT = "<deleted>"
+
+
+def stale_partitions(
+    work_keys: DataFrame, manifest: Manifest, stage: str
+) -> DataFrame:
+    """Committed partition keys whose input rows have vanished entirely: the
+    key appears in the manifest (latest commit not already a deletion) but
+    produces no row in the current work manifest. `pending_partitions` can
+    never see these — a partition with zero input rows emits no work row —
+    so without this anti-join its committed output would persist as stale
+    tier data after a full input-partition delete."""
+    latest = (
+        manifest.read()
+        .filter(F.col("stage") == stage)
+        .groupBy("partition_key")
+        .agg(F.max(F.struct("committed_at", "input_snapshot_id")).alias("_m"))
+        .filter(F.col("_m.input_snapshot_id") != DELETED_SNAPSHOT)
+        .select("partition_key")
+    )
+    return latest.join(
+        work_keys.select("partition_key"), "partition_key", "left_anti"
+    )
+
+
 def new_run_id() -> str:
     return uuid.uuid4().hex[:16]

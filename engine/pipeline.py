@@ -28,7 +28,14 @@ from pyspark.sql import functions as F
 
 from . import io as eio
 from .bucket import dedup_turns, mask_valid
-from .checkpoint import Manifest, new_run_id, pending_partitions, work_manifest
+from .checkpoint import (
+    DELETED_SNAPSHOT,
+    Manifest,
+    new_run_id,
+    pending_partitions,
+    stale_partitions,
+    work_manifest,
+)
 from .codec.chunks import make_chunks
 from .gapfill import gapfill, hourly_series
 from .rollup import (
@@ -90,6 +97,10 @@ class TierPipeline:
         return os.path.join(self.root, "chunks")
 
     def read_tier(self, tier: str) -> DataFrame:
+        # self-heal a compaction that crashed between its promotion renames
+        from .retention import recover_compaction
+
+        recover_compaction(self.tier_path(tier))
         return eio.read_tier(self.spark, self.tier_path(tier))
 
     # -- stage driver --------------------------------------------------------
@@ -114,6 +125,7 @@ class TierPipeline:
         it). Nothing collects the transformed data to the driver.
         """
         t0 = time.monotonic()
+        self._drop_stale(stage, run_id, work, out_path, partition_cols[0], lineage)
         pending = pending_partitions(work, self.manifest, stage).collect()
         if not pending:
             return 0
@@ -150,6 +162,48 @@ class TierPipeline:
             ]
         )
         return len(keys)
+
+    def _drop_stale(
+        self,
+        stage: str,
+        run_id: str,
+        work: DataFrame,
+        out_path: str,
+        part: str,
+        lineage: str,
+    ) -> int:
+        """Invalidate committed outputs whose input partitions vanished
+        (ADVICE r2): a fully-deleted input day/month/conv_bucket produces no
+        work row, so `pending_partitions` never re-rolls it — drop its output
+        partition directory and commit a DELETED_SNAPSHOT row. Resurrection
+        re-rolls automatically (the sentinel matches no real fingerprint).
+        Driver-side loop is bounded by partition count, never data."""
+        stale = stale_partitions(work, self.manifest, stage).collect()
+        if not stale:
+            return 0
+        import shutil
+
+        rows = []
+        for r in stale:
+            key = r["partition_key"]
+            val = key.split("=", 1)[1]
+            part_dir = os.path.join(out_path, f"{part}={val}")
+            if os.path.exists(part_dir):
+                shutil.rmtree(part_dir)
+            rows.append(
+                {
+                    "run_id": run_id,
+                    "stage": stage,
+                    "partition_key": key,
+                    "rows_in": 0,
+                    "rows_out": 0,
+                    "lineage": lineage,
+                    "input_snapshot_id": DELETED_SNAPSHOT,
+                    "output_snapshot_id": out_path,
+                }
+            )
+        self.manifest.commit(rows)
+        return len(rows)
 
     # -- stages --------------------------------------------------------------
     ALL_STAGES = ("hourly", "daily", "monthly", "gapfill", "compress")

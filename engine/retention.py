@@ -94,6 +94,19 @@ def drop_hourly_partitions(
     return dropped
 
 
+def recover_compaction(path: str) -> bool:
+    """Heal a compaction interrupted between its two renames: if the tier is
+    absent at `path` but its pre-compaction copy survives at `path`+'__old',
+    restore it. Returns True when a recovery happened. Called automatically
+    by `compact_partition` and `TierPipeline.read_tier`, so a crashed
+    compaction self-heals on the next read or retry."""
+    old = path + "__old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def compact_partition(pipe: TierPipeline, tier: str, n_files: int = 1) -> None:
     """L2: rewrite a tier table into ~n_files per partition (small-file
     compaction; Iceberg's rewrite_data_files equivalent).
@@ -101,11 +114,16 @@ def compact_partition(pipe: TierPipeline, tier: str, n_files: int = 1) -> None:
     Shuffle key is (partition value, salt∈[0,n_files)) so every partition
     spreads over ~n_files independent tasks/files — plain
     repartition(n, part_col) would funnel each partition value through ONE
-    task and serialize unrelated partitions through n tasks. Promotion is
-    crash-safe: the old directory is renamed aside before the compacted one
-    takes its place, and deleted last — at no instant is the tier missing.
+    task and serialize unrelated partitions through n tasks. Promotion: the
+    old directory is renamed aside, the compacted one takes its place, and
+    the old copy is deleted last. Between the two renames the tier path is
+    briefly absent — a crash in that window is healed by
+    `recover_compaction` (run here and on every pipeline read), but
+    compaction is NOT safe against concurrent readers of the same tier;
+    with a real Iceberg catalog the snapshot commit makes this atomic.
     """
     path = pipe.tier_path(tier)
+    recover_compaction(path)
     df = pipe.spark.read.parquet(path)
     part_col = "bucket_month" if tier == "monthly" else "bucket_date"
     tmp = path + "__compact"

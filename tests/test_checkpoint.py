@@ -224,3 +224,44 @@ def test_work_manifest_fingerprint_properties(spark):
     # a swapped pair of identical-looking rows across keys changes BOTH
     swapped = fp([("k1", 1, "c"), ("k1", 2, "b"), ("k2", 1, "a"), ("k2", 2, "d")])
     assert swapped["k=k1"] != base["k=k1"] and swapped["k=k2"] != base["k=k2"]
+
+
+def test_full_partition_delete_invalidates_output(spark, t0, tmp_path):
+    """ADVICE r2: a committed partition whose input rows were ENTIRELY
+    deleted produces no work row — the stale committed output must be
+    dropped, and a later resurrection of the data must re-roll it."""
+    import os
+
+    pipe = TierPipeline(spark, str(tmp_path / "pdel"))
+    pipe.run(t0, stages=("hourly",))
+    days = sorted(
+        r["partition_key"].split("=", 1)[1]
+        for r in pipe.manifest.committed_keys("hourly").collect()
+    )
+    victim = days[0]
+    part_dir = os.path.join(pipe.tier_path("hourly"), f"bucket_date={victim}")
+    assert os.path.exists(part_dir)
+
+    shrunk = t0.filter(F.to_date("ts") != F.lit(victim))
+    res = pipe.run(shrunk, stages=("hourly",))
+    assert res["stages"]["hourly"] == 0  # no surviving day changed
+    assert not os.path.exists(part_dir), "stale output partition must be gone"
+    hourly = pipe.read_tier("hourly")
+    assert hourly.filter(F.col("bucket_date") == F.lit(victim)).count() == 0
+    # tier now equals a from-scratch run over the shrunk input
+    ref = TierPipeline(spark, str(tmp_path / "pdel_ref"))
+    ref.run(shrunk, stages=("hourly",))
+    assert hourly.count() == ref.read_tier("hourly").count()
+
+    # resurrection: the day returns with identical content -> re-rolled
+    # (the DELETED sentinel matches no real fingerprint)
+    res3 = pipe.run(t0, stages=("hourly",))
+    assert res3["stages"]["hourly"] == 1
+    assert os.path.exists(part_dir)
+    ref2 = TierPipeline(spark, str(tmp_path / "pdel_ref2"))
+    ref2.run(t0, stages=("hourly",))
+    cols = ["conv_id", "bucket_start", "n_turns"]
+    pd.testing.assert_frame_equal(
+        pipe.read_tier("hourly").toPandas().sort_values(KEY, ignore_index=True)[cols],
+        ref2.read_tier("hourly").toPandas().sort_values(KEY, ignore_index=True)[cols],
+    )

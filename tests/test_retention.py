@@ -104,3 +104,36 @@ def test_compact_partition_file_counts_and_content(spark, tmp_path):
         .sort_values(["conv_id", "bucket_start"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(before[after.columns], after, check_dtype=False)
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """A compaction killed between its two promotion renames leaves the tier
+    absent at its path with the data stranded at path+'__old' — the next
+    pipeline read must self-heal (ADVICE r2)."""
+    import shutil
+
+    from engine.retention import recover_compaction
+    from engine.synth import synth_transcripts
+
+    t0 = synth_transcripts(spark, n_convs=10, hot_turns=50)
+    pipe = TierPipeline(spark, str(tmp_path / "cr"))
+    pipe.run(t0, stages=("hourly",))
+    path = pipe.tier_path("hourly")
+    before = (
+        pipe.read_tier("hourly")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"], ignore_index=True)
+    )
+    # simulate the crash window: old renamed aside, new never promoted
+    os.rename(path, path + "__old")
+    assert not os.path.exists(path)
+    after = (
+        pipe.read_tier("hourly")  # read path heals via recover_compaction
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"], ignore_index=True)
+    )
+    assert os.path.exists(path) and not os.path.exists(path + "__old")
+    pd.testing.assert_frame_equal(before, after)
+    # idempotent when nothing to heal; never clobbers a live tier
+    assert recover_compaction(path) is False
+    shutil.rmtree(path + "__x", ignore_errors=True)

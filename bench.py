@@ -135,6 +135,12 @@ RELATIONAL = [
     "tier_monthly",
     "gapfill_locf_hourly",
     "dod_timestamp_deltas",
+    # LLM-pipeline scale paths at sf0.1 (VERDICT r2 item 7): the MinHash-LSH
+    # near-dup chain and its connected-components canonicalization — timed
+    # here so candidate-pair explosion regressions surface as bench deltas,
+    # with hashes still gated at sf0.01 by the driver oracle
+    "neardup_canonical_docs",
+    "neardup_components_docs",
 ]
 
 
@@ -185,6 +191,16 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     qs = entry.queries()
     for name in RELATIONAL:
         timings[name] = best(lambda n=name: qs[n](spark, sf_dir))
+    # kmeans-trained IVF as the benched ANN path (VERDICT r2 item 5):
+    # training (2 Lloyd rounds incl. its driver-side reseed bookkeeping)
+    # plus the probe/re-rank search are both inside the timed region
+    from engine import io as eio
+    from engine.simsearch import ivf_topk_with_centroids, kmeans_centroids
+
+    em = eio.read_table(spark, sf_dir, "embeddings")
+    timings["ivf_bench"] = best(
+        lambda: ivf_topk_with_centroids(em, kmeans_centroids(em, k=16, iters=2))
+    )
 
     total = sum(timings.values())
     return {

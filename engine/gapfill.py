@@ -182,6 +182,52 @@ def gapfill_locf(observed: DataFrame) -> DataFrame:
     )
 
 
+def gapfill_locf_salted(observed: DataFrame, slice: str = "30 days") -> DataFrame:
+    """Skew-safe LOCF: row-identical to `gapfill_locf`, but no task ever
+    holds more than one time slice of a series — for Zipf-hot conversations
+    whose full hourly series would otherwise funnel through one reducer.
+
+    Shape: dense spine (per-series bounds via algebraic min/max — partial
+    aggregation, skew-free) left-joined with observations on the FULL
+    (conv_id, metric, bucket_start) key (fine-grained, no hot-key funnel),
+    then the carry is an `asof_join_salted` (backward, <=) against the
+    non-null observations — per-task work bounded by `slice`, with a
+    slice-level boundary-carry window (engine/joins.py). Use when one
+    conversation's series is too hot for `gapfill_locf`'s single-pass
+    window; otherwise the single-exchange plan wins."""
+    from .joins import asof_join_salted
+
+    dense = densify(observed).select("conv_id", "metric", "bucket_start", "value")
+    carriers = observed.filter(F.col("value").isNotNull()).select(
+        "conv_id",
+        "metric",
+        F.col("bucket_start").alias("_c_ts"),
+        F.col("value").alias("_c_val"),
+    )
+    carried = asof_join_salted(
+        dense,
+        carriers,
+        by=["conv_id", "metric"],
+        left_on="bucket_start",
+        right_on="_c_ts",
+        value_cols=["_c_val"],
+        direction="backward",
+        allow_exact_matches=True,
+        slice=slice,
+    )
+    gap = F.col("value").isNull()
+    return carried.select(
+        "conv_id",
+        "bucket_start",
+        "metric",
+        F.coalesce("value", "_c_val").alias("value"),
+        gap.alias("filled"),
+        F.when(gap & F.col("_c_val").isNotNull(), F.lit("locf")).alias(
+            "fill_method"
+        ),
+    )
+
+
 def _interp_group(pdf: pd.DataFrame) -> pd.DataFrame:
     # one (conv_id, metric) series per group, Arrow-batched
     pdf = pdf.sort_values("bucket_start", ignore_index=True)
@@ -211,6 +257,8 @@ def gapfill_linear(observed: DataFrame) -> DataFrame:
 def gapfill(observed: DataFrame, method: str = "locf") -> DataFrame:
     if method == "locf":
         return gapfill_locf(observed)
+    if method == "locf_salted":
+        return gapfill_locf_salted(observed)
     if method == "linear":
         return gapfill_linear(observed)
     raise ValueError(f"unknown fill method: {method}")

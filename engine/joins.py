@@ -21,36 +21,42 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def asof_join(
+def _asof_value_cols(
     left: DataFrame,
     right: DataFrame,
     by: list[str],
-    left_on: str,
     right_on: str,
-    value_cols: list[str] | None = None,
-    direction: str = "backward",
-    allow_exact_matches: bool = True,
-) -> DataFrame:
-    """Left as-of-joined with right: all left columns plus each of
-    `value_cols` (default: every non-key right column) from the matched
-    right row, null when no right row qualifies.
-
-    If several right rows share the same (key, timestamp), which one's
-    payload wins is unspecified (partition-order dependent) — pre-aggregate
-    the right side to one row per (key, timestamp) when that matters."""
+    value_cols: list[str] | None,
+    direction: str,
+) -> list[str]:
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
     if value_cols is None:
         value_cols = [
             c for c in right.columns if c not in by and c != right_on
         ]
-    left_cols = left.columns
-    clash = set(value_cols) & set(left_cols)
+    clash = set(value_cols) & set(left.columns)
     if clash:
         raise ValueError(
             f"right value columns collide with left columns: {sorted(clash)}"
         )
+    return value_cols
 
+
+def _asof_union_carry(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_on: str,
+    right_on: str,
+    value_cols: list[str],
+    direction: str,
+    allow_exact_matches: bool,
+) -> DataFrame:
+    """Shared core of both as-of variants: union-tag the two inputs, one
+    window pass per `by` key, and return ONE ROW PER LEFT ROW with its left
+    columns (prefixed `_l_`) plus the matched payload struct `_asof_match`
+    (null when no right row in this key qualifies)."""
     # side tag ordering at EQUAL timestamps decides <= vs < semantics
     # (right-before-left in the scan → the left row sees the equal-ts
     # right value); the same tag order holds for both scan directions
@@ -58,6 +64,7 @@ def asof_join(
     r_tag = 0 if right_first else 1
     l_tag = 1 - r_tag
 
+    left_cols = left.columns
     r = right.select(
         *by,
         F.col(right_on).alias("_asof_ts"),
@@ -88,11 +95,121 @@ def asof_join(
     carried = u.withColumn(
         "_asof_match", F.last("_asof_val", ignorenulls=True).over(w)
     )
-    out = carried.filter(F.col("_asof_side") == l_tag).select(
+    return carried.filter(F.col("_asof_side") == l_tag).drop(
+        "_asof_ts", "_asof_side", "_asof_val"
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_on: str,
+    right_on: str,
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """Left as-of-joined with right: all left columns plus each of
+    `value_cols` (default: every non-key right column) from the matched
+    right row, null when no right row qualifies.
+
+    If several right rows share the same (key, timestamp), which one's
+    payload wins is unspecified (partition-order dependent) — pre-aggregate
+    the right side to one row per (key, timestamp) when that matters.
+
+    Skew note: the window pass funnels each key's FULL series (left+right)
+    through one task. Fine for bounded per-key series (tier rows); for
+    raw-event joins on Zipf-hot keys use `asof_join_salted`, which bounds
+    per-task work by the time-slice width instead."""
+    value_cols = _asof_value_cols(left, right, by, right_on, value_cols, direction)
+    left_cols = left.columns
+    carried = _asof_union_carry(
+        left, right, by, left_on, right_on, value_cols,
+        direction, allow_exact_matches,
+    )
+    return carried.select(
         *[F.col(f"_l_{c}").alias(c) for c in left_cols],
         *[F.col("_asof_match")[c].alias(c) for c in value_cols],
     )
-    return out
+
+
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_on: str,
+    right_on: str,
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    slice: str = "1 day",
+) -> DataFrame:
+    """Skew-safe as-of join: identical results to `asof_join` (given
+    non-null timestamps and right rows unique per (key, timestamp)), but no
+    task ever sees more than one TIME SLICE of a key's series — the salted
+    analogue of the two-phase tier algebra (engine/skew.py), with the salt
+    derived from time so carry semantics survive the split.
+
+    Two passes:
+      1. within-slice: the union+window pass of `asof_join`, partitioned by
+         (by…, slice) — a hot key's rows spread over its slices.
+      2. boundary carry: per (key, slice) the right side collapses to its
+         boundary payload (latest row for backward / earliest for forward —
+         ONE row per slice, via max_by/min_by partial aggregation, itself
+         skew-free), and a window over this slice-level table (rows = number
+         of slices, never number of events) carries payloads across slice
+         boundaries. Left rows missing a within-slice match coalesce to the
+         carry entering their slice.
+
+    Exact-timestamp policy never crosses slices (equal timestamps share a
+    slice), so pass 1 alone decides <= vs <. `slice` ("6 hours", "1 day",
+    …) bounds per-task work: pick it so a hot key's densest slice fits one
+    task comfortably."""
+    value_cols = _asof_value_cols(left, right, by, right_on, value_cols, direction)
+    left_cols = left.columns
+    width_us = _duration_us(slice)
+    backward = direction == "backward"
+
+    l2 = left.withColumn("_asof_slice", _bucket_of(left_on, width_us))
+    r2 = right.withColumn("_asof_slice", _bucket_of(right_on, width_us))
+
+    # pass 1: within-slice match (null where the slice holds no qualifying
+    # right row) — partitioned by (by…, _asof_slice)
+    within = _asof_union_carry(
+        l2, r2, [*by, "_asof_slice"], left_on, right_on, value_cols,
+        direction, allow_exact_matches,
+    )
+
+    # pass 2: slice-level boundary payloads + cross-slice carry.
+    # max_by/min_by aggregate with partial combine, so the hot key's slice
+    # summary is itself skew-free; the carry window sees one row per slice.
+    pick = F.max_by if backward else F.min_by
+    r_sum = r2.groupBy(*by, "_asof_slice").agg(
+        pick(F.struct(*value_cols), F.col(right_on)).alias("_slice_val")
+    )
+    l_slices = l2.select(*by, "_asof_slice").distinct()
+    spine = l_slices.join(r_sum, [*by, "_asof_slice"], "full")
+    order = F.col("_asof_slice").asc() if backward else F.col("_asof_slice").desc()
+    wslice = (
+        Window.partitionBy(*by)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = spine.select(
+        *by,
+        "_asof_slice",
+        F.last("_slice_val", ignorenulls=True).over(wslice).alias("_slice_carry"),
+    )
+
+    # the within result is already hash-partitioned on (by…, slice); only
+    # the slice-level carry table moves in this join
+    joined = within.join(carry, [*by, "_asof_slice"], "left")
+    match = F.coalesce(F.col("_asof_match"), F.col("_slice_carry"))
+    return joined.select(
+        *[F.col(f"_l_{c}").alias(c) for c in left_cols if c != "_asof_slice"],
+        *[match[c].alias(c) for c in value_cols],
+    )
 
 
 def point_interval_join(

@@ -73,6 +73,8 @@ class TierPipeline:
         n_salts: int = 16,
         fill_method: str = "locf",
         fill_tiers: bool = True,
+        bucketed: bool = False,
+        n_buckets: int = 64,
     ):
         self.spark = spark
         self.root = root
@@ -82,6 +84,10 @@ class TierPipeline:
         #: write flagged intra-day LOCF rows into the hourly tier
         #: (SURVEY §1.2 filled/fill_method on tier rows)
         self.fill_tiers = fill_tiers
+        #: maintain a conv_id-bucketed mirror of the hourly tier so the
+        #: gapfill + compress stages read co-located series (zero Exchange)
+        self.bucketed = bucketed
+        self.n_buckets = n_buckets
         self.manifest = Manifest(spark, os.path.join(root, "_manifest"))
 
     # -- paths -------------------------------------------------------------
@@ -113,6 +119,7 @@ class TierPipeline:
         out_path: str,
         partition_cols: list[str],
         lineage: str,
+        protect: set[str] | None = None,
     ) -> int:
         """Run one stage exactly once per pending partition.
 
@@ -125,7 +132,9 @@ class TierPipeline:
         it). Nothing collects the transformed data to the driver.
         """
         t0 = time.monotonic()
-        self._drop_stale(stage, run_id, work, out_path, partition_cols[0], lineage)
+        self._drop_stale(
+            stage, run_id, work, out_path, partition_cols[0], lineage, protect
+        )
         pending = pending_partitions(work, self.manifest, stage).collect()
         if not pending:
             return 0
@@ -171,14 +180,19 @@ class TierPipeline:
         out_path: str,
         part: str,
         lineage: str,
+        protect: set[str] | None = None,
     ) -> int:
         """Invalidate committed outputs whose input partitions vanished
         (ADVICE r2): a fully-deleted input day/month/conv_bucket produces no
         work row, so `pending_partitions` never re-rolls it — drop its output
         partition directory and commit a DELETED_SNAPSHOT row. Resurrection
         re-rolls automatically (the sentinel matches no real fingerprint).
-        Driver-side loop is bounded by partition count, never data."""
+        Driver-side loop is bounded by partition count, never data.
+        `protect` exempts keys deliberately absent from the work manifest
+        (frozen months finalized by daily retention)."""
         stale = stale_partitions(work, self.manifest, stage).collect()
+        if protect:
+            stale = [r for r in stale if r["partition_key"] not in protect]
         if not stale:
             return 0
         import shutil
@@ -204,6 +218,96 @@ class TierPipeline:
             )
         self.manifest.commit(rows)
         return len(rows)
+
+    def _retention_dropped(self, lineage: str) -> set[str]:
+        """Partition keys removed from `lineage`'s table by a retention
+        drop (manifest stage='retention') — protected from _drop_stale."""
+        return {
+            r["partition_key"]
+            for r in self.manifest.read()
+            .filter(
+                (F.col("stage") == "retention") & (F.col("lineage") == lineage)
+            )
+            .select("partition_key")
+            .distinct()
+            .collect()
+        }
+
+    # -- bucketed hourly mirror (L5 scale path, VERDICT r2 item 3) ----------
+    def bucketed_table(self) -> str:
+        """Session-catalog name of the mirror, stable per pipeline root."""
+        import hashlib
+
+        return "tiers_hourly_b_" + hashlib.md5(self.root.encode()).hexdigest()[:10]
+
+    @property
+    def bucketed_path(self) -> str:
+        return os.path.join(self.root, "tiers", "hourly_bucketed")
+
+    def series_input(self, run_id: str | None = None) -> DataFrame:
+        """Observed hourly state as the gapfill/compress input.
+
+        Plain mode: the day-partitioned tier — each series-keyed stage then
+        pays its own conv_id shuffle. Bucketed mode: a bucketBy(conv_id)
+        mirror refreshed when the hourly tier's fingerprint changes — ONE
+        shuffle at mirror-write time, after which the gap-filler's window,
+        the linear-fill FlatMapGroupsInPandas and the chunk compressor's
+        aggregation all plan with ZERO Exchange (the bucketed scan's
+        HashPartitioning(conv_id) satisfies every (conv_id, …)-clustered
+        requirement; asserted in tests/test_bucketed.py). Net at scale: the
+        two per-run series shuffles collapse into one amortized write that
+        co-locates every later conv-keyed reader too. With an Iceberg
+        catalog the same layout is `bucket(N, conv_id)` hidden partitioning.
+        """
+        hourly = observed_state(self.read_tier("hourly"))
+        if not self.bucketed:
+            return hourly
+        from .bucketed import read_bucketed, write_bucketed
+
+        work = work_manifest(
+            hourly.withColumn("_all", F.lit("all")),
+            F.col("_all"),
+            _STATE_HASH_COLS,
+            "mirror",
+        )
+        pending = pending_partitions(work, self.manifest, "hourly_bucketed").collect()
+        tbl = self.bucketed_table()
+        if pending:
+            write_bucketed(
+                hourly,
+                tbl,
+                n_buckets=self.n_buckets,
+                bucket_col="conv_id",
+                sort_cols=("conv_id", "bucket_start"),
+                path=self.bucketed_path,
+            )
+            self.manifest.commit(
+                [
+                    {
+                        "run_id": run_id or new_run_id(),
+                        "stage": "hourly_bucketed",
+                        "partition_key": r["partition_key"],
+                        "rows_in": r["rows_in"],
+                        "rows_out": r["rows_in"],
+                        "lineage": "hourly",
+                        "input_snapshot_id": r["input_snapshot_id"],
+                        "output_snapshot_id": self.bucketed_path,
+                    }
+                    for r in pending
+                ]
+            )
+        elif not self.spark.catalog.tableExists(tbl):
+            # fresh-process resume: files + manifest survive, the in-memory
+            # session catalog does not — re-register the existing layout
+            # (no data rewrite; bucket metadata only)
+            ddl = self.spark.read.parquet(self.bucketed_path)._jdf.schema().toDDL()
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING parquet "
+                f"CLUSTERED BY (conv_id) SORTED BY (conv_id, bucket_start) "
+                f"INTO {self.n_buckets} BUCKETS "
+                f"LOCATION '{self.bucketed_path}'"
+            )
+        return read_bucketed(self.spark, tbl)
 
     # -- stages --------------------------------------------------------------
     ALL_STAGES = ("hourly", "daily", "monthly", "gapfill", "compress")
@@ -253,11 +357,16 @@ class TierPipeline:
             return {"run_id": run_id, "stages": done}
 
         # 2. hourly -> daily, keyed by day (observed rows only: gap-filled
-        # tier rows carry copied state and must not feed upward aggregation)
+        # tier rows carry copied state and must not feed upward aggregation).
+        # Days the RETENTION policy removed from the hourly tier are
+        # protected from the stale-input cascade: their input vanished by
+        # policy, not by data deletion, and their committed daily rollup is
+        # exactly what retention preserves.
         hourly = observed_state(self.read_tier("hourly"))
         daily_work = work_manifest(
             hourly, F.col("bucket_date").cast("string"), _STATE_HASH_COLS, "day"
         )
+        retained_days = self._retention_dropped("hourly")
 
         def build_daily(keys):
             days = [k.split("=", 1)[1] for k in keys]
@@ -272,14 +381,36 @@ class TierPipeline:
         done["daily"] = self._run_stage(
             "daily", run_id, daily_work, build_daily,
             self.tier_path("daily"), ["bucket_date"], "hourly",
+            protect=retained_days,
         )
         if "monthly" not in stages:
             return {"run_id": run_id, "stages": done}
 
-        # 3. daily -> monthly, keyed by month
+        # 3. daily -> monthly, keyed by month. Months finalized by daily
+        # retention are FROZEN: their daily days are gone, so a re-roll
+        # would aggregate a partial month — excluded from the work manifest
+        # (never pending, never stale-dropped) and surfaced to the caller.
+        from .retention import frozen_months
+
         daily = self.read_tier("daily")
         month_of = F.date_format("bucket_start", "yyyy-MM")
         month_work = work_manifest(daily, month_of, _STATE_HASH_COLS, "month")
+        frozen = frozen_months(self.manifest)
+        if frozen:
+            pend_frozen = {
+                k.split("=", 1)[1]
+                for k in (
+                    r["partition_key"]
+                    for r in pending_partitions(
+                        month_work, self.manifest, "monthly"
+                    ).collect()
+                )
+            } & frozen
+            if pend_frozen:
+                done["frozen_skipped"] = sorted(pend_frozen)
+            month_work = month_work.filter(
+                ~F.col("partition_key").isin([f"month={m}" for m in frozen])
+            )
 
         def build_monthly(keys):
             months = [k.split("=", 1)[1] for k in keys]
@@ -294,13 +425,16 @@ class TierPipeline:
         done["monthly"] = self._run_stage(
             "monthly", run_id, month_work, build_monthly,
             self.tier_path("monthly"), ["bucket_month"], "daily",
+            protect={f"month={m}" for m in frozen},
         )
         if "gapfill" not in stages:
             return {"run_id": run_id, "stages": done}
 
         # 4. gap-fill, keyed by conv_bucket (series must stay whole;
-        # observed rows only — the gapfill table derives its own fills)
-        hourly = observed_state(self.read_tier("hourly"))
+        # observed rows only — the gapfill table derives its own fills).
+        # In bucketed mode this is the conv_id-bucketed mirror: gapfill and
+        # compress below then plan with zero Exchange (series_input).
+        hourly = self.series_input(run_id)
         cb_work = work_manifest(
             hourly, F.col("conv_bucket").cast("string"), _STATE_HASH_COLS, "cb"
         )

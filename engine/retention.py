@@ -91,6 +91,201 @@ def drop_hourly_partitions(
                 for d in dropped
             ]
         )
+        _recommit_series_fingerprints(pipe, run_id)
+    return dropped
+
+
+def _recommit_series_fingerprints(pipe: TierPipeline, run_id: str) -> None:
+    """After an hourly retention drop, re-commit the gapfill/compress
+    manifest rows with fingerprints recomputed over the REMAINING hourly
+    days. Without this the next run's fingerprint diff would read the
+    horizon truncation as late data and re-roll every conv_bucket's series
+    from the partial input — overwriting archived full-history gapfill and
+    chunk partitions with truncated ones. With it, an unchanged input skips
+    cleanly; genuinely new post-drop data still re-rolls its bucket (which
+    then regenerates from the remaining horizon only — documented loss of
+    pre-horizon fill rows for that actively-changing bucket)."""
+    from .checkpoint import work_manifest
+    from .pipeline import _STATE_HASH_COLS
+    from .rollup import observed_state
+
+    from .checkpoint import DELETED_SNAPSHOT
+
+    hourly = observed_state(pipe.read_tier("hourly"))
+    work = work_manifest(
+        hourly, F.col("conv_bucket").cast("string"), _STATE_HASH_COLS, "cb"
+    ).collect()
+    work_keys = {r["partition_key"] for r in work}
+    rows = []
+    for stage in ("gapfill", "compress"):
+        committed = _committed(pipe.manifest, stage)
+        rows += [
+            {
+                "run_id": run_id,
+                "stage": stage,
+                "partition_key": r["partition_key"],
+                "rows_in": r["rows_in"],
+                "lineage": "hourly-retention-recommit",
+                "input_snapshot_id": r["input_snapshot_id"],
+            }
+            for r in work
+            if r["partition_key"].split("=", 1)[1] in committed
+        ]
+        # conv_buckets whose EVERY hourly row fell inside the dropped days
+        # have no work row left; the DELETED sentinel (archive lineage)
+        # exempts their gapfill/chunk partitions from the stale-input
+        # cascade — the archived series outlives its raw tier, which is
+        # the entire point of retention — while still re-rolling the
+        # bucket if its conversations ever produce data again.
+        rows += [
+            {
+                "run_id": run_id,
+                "stage": stage,
+                "partition_key": f"cb={cb}",
+                "lineage": "hourly-retention-archive",
+                "input_snapshot_id": DELETED_SNAPSHOT,
+            }
+            for cb in sorted(committed)
+            if f"cb={cb}" not in work_keys
+        ]
+    if rows:
+        pipe.manifest.commit(rows)
+
+
+def droppable_daily_days(pipe: TierPipeline, older_than: str) -> list[str]:
+    """Daily bucket_date partitions strictly older than `older_than` whose
+    month has a committed monthly rollup — the tier-lifecycle completion
+    (VERDICT r2 item 9): hourly days drop once daily+monthly+series stages
+    commit (L1), daily days drop once their month commits."""
+    m = pipe.manifest
+    daily = _committed(m, "daily")
+    monthly = _committed(m, "monthly")
+    return [
+        d for d in sorted(daily) if d < older_than and d[:7] in monthly
+    ]
+
+
+def drop_daily_partitions(
+    pipe: TierPipeline, days: list[str], run_id: str, force: bool = False
+) -> list[str]:
+    """Drop daily bucket_date partitions whose month is monthly-committed,
+    and FREEZE those months: a monthly re-roll needs every sibling day of
+    the month, so once any day is retention-dropped the month's aggregate
+    is final — late raw data for a frozen month is refused (recorded in the
+    pipeline result as `frozen_skipped`), never silently rolled up from a
+    partial month. This is the continuous-aggregate finalization rule:
+    retention of the lower tier freezes the upper one."""
+    safe = set(droppable_daily_days(pipe, older_than="9999-12-31"))
+    dropped = []
+    for day in days:
+        if day not in safe and not force:
+            raise RetentionError(
+                f"refusing to drop daily day={day}: monthly rollup not "
+                "manifest-committed"
+            )
+        part_dir = os.path.join(pipe.tier_path("daily"), f"bucket_date={day}")
+        if os.path.exists(part_dir):
+            shutil.rmtree(part_dir)
+            dropped.append(day)
+    if dropped:
+        rows = [
+            {
+                "run_id": run_id,
+                "stage": "retention",
+                "partition_key": f"day={d}",
+                "lineage": "daily",
+            }
+            for d in dropped
+        ]
+        rows += [
+            {
+                "run_id": run_id,
+                "stage": "frozen",
+                "partition_key": f"month={m}",
+                "lineage": "daily-retention",
+            }
+            for m in sorted({d[:7] for d in dropped})
+        ]
+        pipe.manifest.commit(rows)
+    return dropped
+
+
+def frozen_months(manifest: Manifest) -> set[str]:
+    """Months finalized by daily retention — excluded from monthly re-rolls."""
+    return {
+        r["partition_key"].split("=", 1)[1]
+        for r in manifest.read()
+        .filter(F.col("stage") == "frozen")
+        .select("partition_key")
+        .distinct()
+        .collect()
+    }
+
+
+def droppable_conv_buckets(pipe: TierPipeline, stage: str) -> list[int]:
+    """conv_bucket partitions of the gapfill/compress tables safe to expire:
+    committed AND not pending (a bucket whose hourly input changed is mid
+    re-roll — dropping it would race the rewrite). Retention of cold
+    conversation buckets; if a dropped bucket's conversations turn hot
+    again, the fingerprint diff re-rolls and the partition reappears —
+    that resurrection is the intended semantics for activity-based
+    retention."""
+    assert stage in ("gapfill", "compress"), stage
+    from .checkpoint import pending_partitions, work_manifest
+    from .pipeline import _STATE_HASH_COLS
+    from .rollup import observed_state
+
+    hourly = observed_state(pipe.read_tier("hourly"))
+    work = work_manifest(
+        hourly, F.col("conv_bucket").cast("string"), _STATE_HASH_COLS, "cb"
+    )
+    pending = {
+        r["partition_key"]
+        for r in pending_partitions(work, pipe.manifest, stage).collect()
+    }
+    committed = _committed(pipe.manifest, stage)
+    return sorted(
+        int(cb) for cb in committed if f"cb={cb}" not in pending
+    )
+
+
+def drop_conv_bucket_partitions(
+    pipe: TierPipeline,
+    stage: str,
+    cbs: list[int],
+    run_id: str,
+    force: bool = False,
+) -> list[int]:
+    """Expire conv_bucket partitions of the gapfill ('gapfill') or chunks
+    ('compress') table. Refuses while the bucket is pending re-roll unless
+    forced; the drop is manifest-recorded (stage='retention') and survives
+    reruns — an unchanged input fingerprint keeps the partition dropped,
+    a changed one regenerates it."""
+    safe = set(droppable_conv_buckets(pipe, stage))
+    table_path = pipe.gapfill_path if stage == "gapfill" else pipe.chunks_path
+    dropped = []
+    for cb in cbs:
+        if cb not in safe and not force:
+            raise RetentionError(
+                f"refusing to drop {stage} cb={cb}: bucket is pending re-roll "
+                "or was never committed"
+            )
+        part_dir = os.path.join(table_path, f"conv_bucket={cb}")
+        if os.path.exists(part_dir):
+            shutil.rmtree(part_dir)
+            dropped.append(cb)
+    if dropped:
+        pipe.manifest.commit(
+            [
+                {
+                    "run_id": run_id,
+                    "stage": "retention",
+                    "partition_key": f"cb={cb}",
+                    "lineage": stage,
+                }
+                for cb in dropped
+            ]
+        )
     return dropped
 
 

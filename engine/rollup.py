@@ -48,13 +48,30 @@ STATE_COLS = [
 HOUR_S = 3600.0
 
 
-def rollup_hourly(t0: DataFrame) -> DataFrame:
+#: default log2(K) for tier HLL sketches — rsd ≈ 1.04/√2¹² ≈ 1.6%
+HLL_LGK = 12
+
+
+def rollup_hourly(
+    t0: DataFrame, sketch_cols: list[str] | None = None
+) -> DataFrame:
     """Leaf rollup D1: raw turns → hourly tier state.
 
     One hash aggregate (partial map-side combine + final after a shuffle on
     the group keys) — Catalyst's two-phase HashAggregateExec is exactly the
     reference's per-cell stackApply, distributed.
+
+    `sketch_cols` adds a mergeable Datasketches HLL column `<col>_hll` per
+    named raw column (distinct-count sketch of that column's values under
+    the bucket) — the tier algebra's non-algebraic member: exact distincts
+    cannot compose hourly→daily→monthly, but HLL register-max union can,
+    so `rollup_up` merges these columns with `hll_union_agg` exactly like
+    sum/min/max. Nulls are skipped by the sketch (e.g. non-tool turns).
     """
+    sketch_aggs = [
+        F.hll_sketch_agg(c, F.lit(HLL_LGK)).alias(f"{c}_hll")
+        for c in (sketch_cols or [])
+    ]
     df = with_metrics(t0)
     hourly = (
         # date_trunc returns session-TZ TIMESTAMP; the engine's canonical
@@ -72,6 +89,7 @@ def rollup_hourly(t0: DataFrame) -> DataFrame:
             F.sum("is_tool").alias("tool_sum"),
             F.min("is_tool").alias("tool_min"),
             F.max("is_tool").alias("tool_max"),
+            *sketch_aggs,
         )
         .withColumns(
             {
@@ -124,12 +142,13 @@ def densify_hourly_locf(hourly: DataFrame) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     gap = F.col("n_turns").isNull()
+    carry_cols = STATE_COLS + [c for c in hourly.columns if c.endswith("_hll")]
     return dense.select(
         "conv_id",
         "bucket_start",
         *[
             F.coalesce(F.col(c), F.last(c, ignorenulls=True).over(w)).alias(c)
-            for c in STATE_COLS
+            for c in carry_cols
         ],
         F.lit("hourly").alias("tier"),
         gap.alias("filled"),
@@ -148,6 +167,13 @@ def rollup_up(lower: DataFrame, to_tier: str) -> DataFrame:
     """
     assert to_tier in TIER_ORDER[1:], to_tier
     unit = TIER_UNIT[to_tier]
+    # any HLL sketch columns in the lower tier merge upward by register-max
+    # union — same one-shuffle partial+final shape as the algebraic aggs
+    sketch_merges = [
+        F.hll_union_agg(c).alias(c)
+        for c in lower.columns
+        if c.endswith("_hll")
+    ]
     return (
         observed_state(lower).groupBy(
             "conv_id",
@@ -166,14 +192,17 @@ def rollup_up(lower: DataFrame, to_tier: str) -> DataFrame:
             F.sum("hours_count").alias("hours_count"),
             F.min("hturns_min").alias("hturns_min"),
             F.max("hturns_max").alias("hturns_max"),
+            *sketch_merges,
         )
         .withColumn("tier", F.lit(to_tier))
     )
 
 
-def build_tiers(t0: DataFrame) -> dict[str, DataFrame]:
+def build_tiers(
+    t0: DataFrame, sketch_cols: list[str] | None = None
+) -> dict[str, DataFrame]:
     """raw → {hourly, daily, monthly} tier-state DataFrames."""
-    hourly = rollup_hourly(t0)
+    hourly = rollup_hourly(t0, sketch_cols=sketch_cols)
     daily = rollup_up(hourly, "daily")
     monthly = rollup_up(daily, "monthly")
     return {"hourly": hourly, "daily": daily, "monthly": monthly}

@@ -295,28 +295,59 @@ def ivf_cosine_topk(spark, sf_dir):
 
 
 def kmeans_centroids(
-    em: DataFrame, k: int = _IVF_K, iters: int = 4
+    em: DataFrame,
+    k: int = _IVF_K,
+    iters: int = 4,
+    init: DataFrame | None = None,
+    reseed: bool = True,
 ) -> DataFrame:
     """Deterministic kmeans-lite coarse quantizer for IVF: init = the k
-    lowest vec_ids, then `iters` Lloyd rounds — assign each vector to its
-    max-dot centroid (broadcast k rows), recompute centroids as per-cluster
-    means (array HOF zip_with folding inside a partial+final agg). Every
-    step is one broadcast + one shuffle on the cluster id; no Python.
-    Returns (cid, ce: array<double>). Recall/inertia behaviour is asserted
-    in pytest; the ORACLE-registered ivf_cosine_topk keeps the first-K init
-    so DuckDB can replay it."""
+    lowest vec_ids (or a caller-supplied (cid, ce) table), then `iters`
+    Lloyd rounds — assign each vector to its max-dot centroid (broadcast k
+    rows), recompute centroids as per-cluster means (array HOF zip_with
+    folding inside a partial+final agg). Every data-scale step is one
+    broadcast + one shuffle on the cluster id; no Python touches vectors.
+
+    `reseed` adds the standard degenerate-cluster treatment: between
+    rounds, starved centroids — population under total/(3k), or vanished
+    (empty) clusters, or near-collinear (cosine > .995) with a lower-id
+    peer — are replaced by the current farthest points (lowest
+    best-assignment cosine, deterministic tie-break). Without it, a
+    redundant init leaves Lloyd in a one-blob local optimum no iteration
+    count escapes: the blob's points split among the duplicate centroids
+    while every other cluster funnels onto one. The decision runs
+    driver-side on the k-row centroid/population table (metadata-scale,
+    never data); the farthest points come from one TakeOrdered over the
+    assignment. Returns (cid, ce: array<double>). Recall/inertia/recovery
+    behaviour is pytest'd; the ORACLE-registered ivf_cosine_topk keeps the
+    first-K init so DuckDB can replay it."""
+    import numpy as np
+
+    spark = em.sparkSession
     v = em.select("vec_id", _vec_d("embedding").alias("e"))
-    cents = v.orderBy("vec_id").limit(k).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    cents = (
+        init
+        if init is not None
+        else v.orderBy("vec_id").limit(k).select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+        )
     )
     dim = DIM
     for _ in range(iters):
         w = Window.partitionBy("vec_id").orderBy(
             F.desc("dot"), "cid"
         )
+        sim = F.col("dot") / (
+            F.sqrt(_dot(F.col("e"), F.col("e")))
+            * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+        )
         assigned = (
             v.crossJoin(F.broadcast(cents))
-            .select("vec_id", "e", "cid", _dot(F.col("e"), F.col("ce")).alias("dot"))
+            .select(
+                "vec_id", "e", "cid",
+                _dot(F.col("e"), F.col("ce")).alias("dot"),
+                sim.alias("sim"),
+            )
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
         )
@@ -335,9 +366,63 @@ def kmeans_centroids(
             .select(
                 "cid",
                 F.transform("esum", lambda x: x / F.col("n")).alias("ce"),
+                "n",
             )
             .localCheckpoint()
         )
+        if not reseed:
+            cents = cents.drop("n")
+            continue
+        rows = cents.collect()  # k rows — metadata-scale by construction
+        cents = cents.drop("n")
+        M = np.array([r["ce"] for r in rows], dtype=np.float64)
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        C = (M / nrm) @ (M / nrm).T
+        total = sum(r["n"] for r in rows)
+        starve = total / (3 * k)
+        redundant = [
+            i
+            for i in range(len(rows))
+            if rows[i]["n"] < starve
+            or any(C[i, j] > 0.995 for j in range(i))
+        ]
+        n_missing = k - len(rows)  # vanished (empty) clusters reseed too
+        if not redundant and n_missing == 0:
+            continue
+        n_reseed = len(redundant) + n_missing
+        # candidate pool: the globally farthest points (one TakeOrdered —
+        # top-M of a distributed sort, driver cost M×dim, metadata-scale),
+        # then GREEDY MAX-MIN selection so the reseeds spread over distinct
+        # starved regions instead of all landing in the single farthest
+        # blob (k-means++ seeding logic applied to the repair step)
+        pool = (
+            assigned.orderBy(F.asc("sim"), "vec_id")
+            .limit(min(50 * n_reseed, 4000))
+            .select("vec_id", "e")
+            .collect()
+        )
+        kept_idx = [i for i in range(len(rows)) if i not in set(redundant)]
+        P = np.array([r["e"] for r in pool], dtype=np.float64)
+        Pn = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-12)
+        ref = (M / nrm)[kept_idx] if kept_idx else np.zeros((0, P.shape[1]))
+        chosen: list[int] = []
+        best = (
+            Pn @ ref.T
+        ).max(axis=1) if len(ref) else np.full(len(pool), -1.0)
+        for _ in range(min(n_reseed, len(pool))):
+            nxt = int(np.argmin(best))  # farthest from everything selected
+            chosen.append(nxt)
+            best = np.maximum(best, Pn @ Pn[nxt])
+        kept = [
+            (int(rows[i]["cid"]), list(rows[i]["ce"])) for i in kept_idx
+        ]
+        fresh = [
+            (int(-1 - pool[i]["vec_id"]), list(pool[i]["e"])) for i in chosen
+        ]
+        cents = spark.createDataFrame(
+            kept + fresh, "cid long, ce array<double>"
+        ).localCheckpoint()
     return cents
 
 

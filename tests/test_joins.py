@@ -274,3 +274,102 @@ def test_interval_overlap_join_plan_and_zero_length(spark, range_frames):
     assert interval_overlap_join(
         a, b, "ivs", "ive", "jvs", "jve", by=["key"], bucket="1 hour"
     ).count() == 0
+
+
+# -- skew-safe salted as-of join ---------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def zipf_frames(spark):
+    """Zipf-hot events: one conversation carries ~80% of rows. Unique
+    timestamps per (key, side) so match payloads are deterministic."""
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(41)
+    base = datetime(2024, 3, 1)
+    lrows, rrows = [], []
+    keys = [("hot", 4000, 5000)] + [(f"cold{i}", 60, 80) for i in range(12)]
+    for key, nl, nr in keys:
+        # seconds over ~20 days; sample without replacement per side
+        lts = rng.sample(range(0, 20 * 86400), nl)
+        rts = rng.sample(range(0, 20 * 86400), nr)
+        lrows += [(key, base + timedelta(seconds=s), s % 97) for s in lts]
+        rrows += [
+            (key, base + timedelta(seconds=s), round(s / 1000.0, 3))
+            for s in rts
+        ]
+    ldf = pd.DataFrame(lrows, columns=["conv", "ts", "qty"])
+    rdf = pd.DataFrame(rrows, columns=["conv", "rts", "px"])
+    return spark.createDataFrame(ldf), spark.createDataFrame(rdf)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("exact", [True, False])
+@pytest.mark.parametrize("slice_w", ["6 hours", "3 days"])
+def test_asof_salted_matches_unsalted(spark, zipf_frames, direction, exact, slice_w):
+    """Salted == unsalted bit-exact on a Zipf-hot table, across directions,
+    exact policies and slice widths (including slices with no right rows,
+    which exercise the cross-slice boundary carry)."""
+    from engine.joins import asof_join_salted
+
+    ldf, rdf = zipf_frames
+    kw = dict(
+        by=["conv"], left_on="ts", right_on="rts",
+        direction=direction, allow_exact_matches=exact,
+    )
+    plain = (
+        asof_join(ldf, rdf, **kw)
+        .toPandas()
+        .sort_values(["conv", "ts"], ignore_index=True)
+    )
+    salted = (
+        asof_join_salted(ldf, rdf, slice=slice_w, **kw)
+        .toPandas()
+        .sort_values(["conv", "ts"], ignore_index=True)
+    )
+    assert len(salted) == len(plain)
+    pd.testing.assert_frame_equal(salted, plain)
+
+
+def test_asof_salted_plan_partitions_on_slice(spark, zipf_frames):
+    """The big window must partition on (key, time slice) — the hot key's
+    series spreads across slices instead of one reducer — and the only
+    per-key-partitioned window runs over the slice-level summary (one row
+    per slice), never the event rows."""
+    from engine.joins import asof_join_salted
+
+    ldf, rdf = zipf_frames
+    df = asof_join_salted(
+        ldf, rdf, by=["conv"], left_on="ts", right_on="rts", slice="6 hours"
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(conv#" in p or "hashpartitioning(conv," in p, p
+    # the event-level exchange carries the slice key
+    assert "_asof_slice" in p, p
+    # slice summary aggregates with partial+final combine (skew-free)
+    assert "max_by" in p and p.count("HashAggregate") >= 2, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_gapfill_locf_salted_parity(spark):
+    """gapfill_locf_salted is row-identical to the single-shuffle LOCF on a
+    hot-conversation series (engine-level E5 parity under salting)."""
+    from engine.gapfill import gapfill_locf, gapfill_locf_salted, hourly_series
+    from engine.rollup import rollup_hourly
+    from engine.synth import synth_transcripts
+
+    t0 = synth_transcripts(spark, n_convs=25, hot_turns=900)
+    series = hourly_series(rollup_hourly(t0))
+    plain = (
+        gapfill_locf(series)
+        .toPandas()
+        .sort_values(["conv_id", "metric", "bucket_start"], ignore_index=True)
+    )
+    salted = (
+        gapfill_locf_salted(series, slice="3 days")
+        .toPandas()
+        .sort_values(["conv_id", "metric", "bucket_start"], ignore_index=True)
+    )
+    assert len(plain) > 0
+    pd.testing.assert_frame_equal(salted[plain.columns], plain)

@@ -137,3 +137,155 @@ def test_compaction_crash_recovery(spark, tmp_path):
     # idempotent when nothing to heal; never clobbers a live tier
     assert recover_compaction(path) is False
     shutil.rmtree(path + "__x", ignore_errors=True)
+
+
+def _table_pdf(spark, path, keys):
+    return (
+        spark.read.parquet(path)
+        .toPandas()
+        .sort_values(keys, ignore_index=True)
+    )
+
+
+def test_hourly_drop_then_rerun_is_stable(spark, t0, tmp_path):
+    """The retention / resume interaction: after an L1 hourly drop, a rerun
+    over the SAME raw input must be a full no-op — the dropped days must
+    not be re-created, read as deleted input (stale cascade), or read as
+    late data (spurious series re-roll truncating archived gapfill/chunks).
+    Pins the recommitted fingerprints + protect-set machinery."""
+    import pandas as pd
+
+    from engine.pipeline import TierPipeline
+
+    pipe = TierPipeline(spark, str(tmp_path / "rr"))
+    pipe.run(t0)
+    days = droppable_hourly_days(pipe, older_than="9999-12-31")
+    dropped = drop_hourly_partitions(pipe, days[:2], run_id="rr")
+    assert dropped == days[:2]
+    before = {
+        "daily": _table_pdf(spark, pipe.tier_path("daily"),
+                            ["conv_id", "bucket_start"]),
+        "monthly": _table_pdf(spark, pipe.tier_path("monthly"),
+                              ["conv_id", "bucket_start"]),
+        "gapfill": _table_pdf(spark, pipe.gapfill_path,
+                              ["conv_id", "metric", "bucket_start"]),
+        "chunks": _table_pdf(spark, pipe.chunks_path,
+                             ["conv_id", "metric", "chunk_start"]),
+    }
+    res = pipe.run(t0)
+    assert all(n == 0 for n in res["stages"].values()), res
+    for d in dropped:
+        assert not os.path.exists(
+            os.path.join(pipe.tier_path("hourly"), f"bucket_date={d}")
+        ), "rerun must not resurrect retention-dropped hourly days"
+    for name, b in before.items():
+        path = (
+            pipe.tier_path(name)
+            if name in ("daily", "monthly")
+            else (pipe.gapfill_path if name == "gapfill" else pipe.chunks_path)
+        )
+        keys = [c for c in b.columns if not b[c].map(type).eq(bytes).any()]
+        after = _table_pdf(spark, path, keys)
+        pd.testing.assert_frame_equal(
+            after[b.columns],
+            b.sort_values(keys, ignore_index=True)[b.columns],
+        ), name
+
+
+def test_daily_retention_freezes_month(spark, t0, tmp_path):
+    """VERDICT r2 item 9: daily days drop once their month is committed;
+    the month is then FROZEN — late raw data is refused (frozen_skipped),
+    never aggregated from a partial month — and the monthly tier stays
+    queryable byte-for-byte."""
+    import pandas as pd
+
+    from engine.pipeline import TierPipeline
+    from engine.retention import (
+        drop_daily_partitions,
+        droppable_daily_days,
+        frozen_months,
+    )
+    from pyspark.sql import functions as F
+
+    pipe = TierPipeline(spark, str(tmp_path / "dr"))
+    pipe.run(t0, stages=("hourly", "daily"))
+    with pytest.raises(RetentionError):
+        drop_daily_partitions(pipe, ["1970-01-01"], run_id="d0")
+    assert droppable_daily_days(pipe, "9999-12-31") == []  # monthly missing
+    pipe.run(t0)  # complete the lineage
+    days = droppable_daily_days(pipe, older_than="9999-12-31")
+    assert days
+    victim_month = days[0][:7]
+    month_days = [d for d in days if d.startswith(victim_month)]
+    monthly_before = _table_pdf(
+        spark, pipe.tier_path("monthly"), ["conv_id", "bucket_start"]
+    )
+    dropped = drop_daily_partitions(pipe, month_days, run_id="d1")
+    assert dropped == month_days
+    assert frozen_months(pipe.manifest) == {victim_month}
+    for d in dropped:
+        assert not os.path.exists(
+            os.path.join(pipe.tier_path("daily"), f"bucket_date={d}")
+        )
+    # late raw data lands in the frozen month -> refused, tiers unchanged
+    late = t0.limit(50).withColumn(
+        "ts", F.to_timestamp(F.lit(f"{victim_month}-15 12:00:00"))
+    )
+    res = pipe.run(t0.unionByName(late))
+    assert "frozen_skipped" in res["stages"], res
+    assert res["stages"]["frozen_skipped"] == [victim_month]
+    monthly_after = _table_pdf(
+        spark, pipe.tier_path("monthly"), ["conv_id", "bucket_start"]
+    )
+    frozen_rows_b = monthly_before[
+        monthly_before["bucket_month"] == victim_month
+    ].reset_index(drop=True)
+    frozen_rows_a = monthly_after[
+        monthly_after["bucket_month"] == victim_month
+    ].reset_index(drop=True)
+    pd.testing.assert_frame_equal(frozen_rows_a, frozen_rows_b)
+
+
+def test_conv_bucket_retention_gapfill_chunks(spark, t0, tmp_path):
+    """VERDICT r2 item 8: gapfill/chunks conv_bucket partitions expire with
+    the same refusal/drop/still-queryable triple as hourly days, and a
+    rerun over unchanged input keeps them dropped (fingerprint match)."""
+    from pyspark.sql import functions as F
+
+    from engine.pipeline import TierPipeline
+    from engine.retention import (
+        drop_conv_bucket_partitions,
+        droppable_conv_buckets,
+    )
+
+    pipe = TierPipeline(spark, str(tmp_path / "cb"))
+    pipe.run(t0, stages=("hourly", "daily", "monthly"))  # gapfill not run
+    assert droppable_conv_buckets(pipe, "gapfill") == []
+    with pytest.raises(RetentionError):
+        drop_conv_bucket_partitions(pipe, "gapfill", [0], run_id="c0")
+    pipe.run(t0)  # commit gapfill + compress
+    for stage, path in (("gapfill", pipe.gapfill_path),
+                        ("compress", pipe.chunks_path)):
+        safe = droppable_conv_buckets(pipe, stage)
+        assert safe
+        victims = safe[:2]
+        total_before = spark.read.parquet(path).count()
+        n_victim = (
+            spark.read.parquet(path)
+            .filter(F.col("conv_bucket").isin(victims))
+            .count()
+        )
+        dropped = drop_conv_bucket_partitions(pipe, stage, victims, run_id="c1")
+        assert dropped == victims
+        remaining = spark.read.parquet(path)
+        assert remaining.count() == total_before - n_victim
+        assert remaining.filter(F.col("conv_bucket").isin(victims)).count() == 0
+    res = pipe.run(t0)  # unchanged input: buckets stay dropped
+    assert all(n == 0 for n in res["stages"].values()), res
+    for path in (pipe.gapfill_path, pipe.chunks_path):
+        assert (
+            spark.read.parquet(path)
+            .filter(F.col("conv_bucket").isin(victims))
+            .count()
+            == 0
+        )

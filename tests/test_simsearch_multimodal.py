@@ -10,6 +10,7 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from engine import io as eio  # noqa: E402
@@ -167,3 +168,98 @@ def test_kmeans_ivf_recall_and_convergence(spark):
     g = set(zip(got.qid, got.cid))
     recall = len(e & g) / len(e)
     assert recall >= 0.7, f"kmeans-IVF recall@5 {recall:.2f}"
+
+
+def test_kmeans_ivf_recall_sf01(spark):
+    """VERDICT r2 item 5 at sf0.1 (2000 vectors): the trained quantizer is
+    the benched IVF path. Note recall alone cannot rank quantizers — a
+    collapsed one-list index scans 100% of the corpus and scores a
+    meaningless 1.0 — so every recall here is at the SAME nprobe/K scan
+    fraction (4/16). The fixture's first-K init is near-optimal by
+    construction (recall 1.0), so the falsifiable claims are: (a) kmeans
+    holds recall@5 >= 0.9 vs brute force at that scan fraction, within
+    0.06 of the first-K ceiling; (b) training improves the quantization
+    objective (inertia) over its init; (c) from a COLLAPSED quantizer
+    (one surviving list — zero pruning power), deterministic reseeding
+    restores all k lists with no list hoarding the corpus."""
+    import __spark_entry__ as entrymod
+
+    from engine.simsearch import (
+        _dot,
+        _vec_d,
+        ivf_topk_with_centroids,
+        kmeans_centroids,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+    em = eio.read_table(spark, sf_dir, "embeddings")
+    exact = entrymod.queries()["ann_cosine_topk"](spark, sf_dir).toPandas()
+    e = set(zip(exact.qid, exact.cid))
+
+    def recall(cents):
+        got = ivf_topk_with_centroids(em, cents).toPandas()
+        return len(e & set(zip(got.qid, got.cid))) / len(e)
+
+    firstk = entrymod.queries()["ivf_cosine_topk"](spark, sf_dir).toPandas()
+    r_firstk = len(e & set(zip(firstk.qid, firstk.cid))) / len(e)
+    trained = kmeans_centroids(em, k=16, iters=3)
+    r_trained = recall(trained)
+    assert r_trained >= 0.9, f"kmeans-IVF recall@5 {r_trained:.2f}"
+    assert r_trained >= r_firstk - 0.06, (r_trained, r_firstk)
+
+    # (b) quantization objective: mean best-cosine distance must not worsen
+    v = em.select("vec_id", _vec_d("embedding").alias("e"))
+
+    def inertia(cents):
+        best = (
+            v.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                (
+                    _dot(F.col("e"), F.col("ce"))
+                    / (
+                        F.sqrt(_dot(F.col("e"), F.col("e")))
+                        * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+                    )
+                ).alias("sim"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("sim").alias("best"))
+        )
+        return best.agg(F.sum(1 - F.col("best"))).collect()[0][0]
+
+    init = v.orderBy("vec_id").limit(16).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    assert inertia(trained) <= inertia(init) + 1e-9
+
+    # (c) structural repair: a one-list collapse regrows to k usable lists
+    collapsed = (
+        v.filter(F.col("vec_id") == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+        .localCheckpoint()
+    )
+    repaired = kmeans_centroids(em, k=16, iters=3, init=collapsed)
+    assert repaired.count() == 16
+    pops = (
+        v.crossJoin(F.broadcast(repaired))
+        .select(
+            "vec_id", "cid",
+            _dot(F.col("e"), F.col("ce")).alias("dot"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cid")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .groupBy("cid")
+        .count()
+        .toPandas()["count"]
+    )
+    assert len(pops) == 16 and pops.max() / pops.sum() < 0.5, pops.tolist()
+    # without reseeding the collapse is permanent — the control that the
+    # repair assertion isn't vacuous
+    stuck = kmeans_centroids(em, k=16, iters=3, init=collapsed, reseed=False)
+    assert stuck.count() == 1

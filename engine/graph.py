@@ -22,9 +22,16 @@ def connected_components(
     """edges(u, v) undirected → (node, component_id) where component_id is
     the minimum node id in the component. Nodes appear iff they touch an
     edge — left-join the full entity table afterwards for singletons."""
-    sym = edges.select("u", "v").unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    # materialize the edge set ONCE: `sym` is referenced by every round's
+    # join, and without the checkpoint each iteration would re-execute the
+    # caller's full upstream lineage (for near-dup edges that's the whole
+    # minhash→LSH→verify pipeline — measured 80s/round at 5k docs)
+    sym = (
+        edges.select("u", "v")
+        .unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
     lbl = (
         sym.select(F.col("u").alias("node"))
         .distinct()

@@ -200,6 +200,51 @@ def asof_generic_clicks(spark, sf_dir):
 
 
 @register(
+    "asof_salted_clicks",
+    """
+    SELECT event_id, user_id, last_click_ts
+    FROM (
+      SELECT event_id, user_id, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, pref
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+      FROM (SELECT event_id, user_id, event_type, ts,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS pref
+            FROM events))
+    WHERE event_type = 'purchase'
+    """,
+)
+def asof_salted_clicks(spark, sf_dir):
+    """F3 skew-safe: the SAME semantics as asof_generic_clicks through
+    `asof_join_salted` (engine/joins.py) — within-slice window partitioned
+    by (user, 1-day slice) plus the slice-level boundary carry — so the
+    time-sliced two-pass operator itself sits under the driver's full hash
+    gate, not only the salted==unsalted pytest."""
+    from .joins import asof_join_salted
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return asof_join_salted(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_on="ts",
+        right_on="click_ts",
+        value_cols=["click_ts"],
+        direction="backward",
+        allow_exact_matches=False,
+        slice="1 day",
+    ).select(
+        "event_id", "user_id", F.col("click_ts").alias("last_click_ts")
+    )
+
+
+@register(
     "clicks_in_purchase_window",
     """
     WITH p AS (

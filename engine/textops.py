@@ -417,10 +417,14 @@ _NEARDUP_CTE = f"""
                   * CASE WHEN perm % {_LSH_ROWS} = 0 THEN 131 ELSE 1 END) AS BIGINT)
                AS band_key
       FROM mh GROUP BY doc_id, perm // {_LSH_ROWS}),
+    bucket_min AS (
+      SELECT band, band_key, MIN(doc_id) AS min_doc
+      FROM bands GROUP BY band, band_key),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      SELECT DISTINCT m.min_doc AS doc_a, b.doc_id AS doc_b
+      FROM bands b JOIN bucket_min m
+        ON b.band = m.band AND b.band_key = m.band_key
+      WHERE b.doc_id <> m.min_doc),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM tw GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
@@ -434,11 +438,26 @@ _NEARDUP_CTE = f"""
       WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.5)"""
 
 
-def neardup_verified_pairs(spark, docs: DataFrame) -> DataFrame:
+def neardup_verified_pairs(
+    spark, docs: DataFrame, candidates: str = "star"
+) -> DataFrame:
     """MinHash-LSH verified near-duplicate pairs (doc_a < doc_b): token-set
-    minhash → banded LSH candidates (bucket equi-join) → exact Jaccard ≥0.5
-    verify on candidates only. Shared by the canonicalization and
-    connected-components queries."""
+    minhash → banded LSH candidates → exact Jaccard ≥0.5 verify on
+    candidates only. Shared by the canonicalization and
+    connected-components queries.
+
+    `candidates` picks the candidate generator:
+    - "star" (default, the 100-TB shape): each doc pairs only with its
+      LSH bucket's MINIMUM doc_id — O(docs × bands) candidate edges no
+      matter how large a duplicate cluster grows. A mega-cluster of n
+      near-identical docs (observed in the sf0.1 fixture: ~3.6k docs →
+      6.5M all-pairs) yields n star edges per band instead of n²/2 pairs;
+      overlapping buckets are merged downstream by the connected-
+      components fixpoint, which restores the transitive cluster without
+      ever materializing the quadratic pair set.
+    - "pairs": the full within-bucket self-join — exact pair LISTING for
+      small/verification workloads; intrinsically quadratic in cluster
+      size, so never the scale path."""
     tok = docs.select("doc_id", F.explode(_tokens_col()).alias("w")).distinct()
     tw = tok.select("doc_id", tok_hash(F.col("w")).alias("tid")).distinct()
     perms = spark.range(_N_PERMS).select(F.col("id").alias("p"))
@@ -459,17 +478,33 @@ def neardup_verified_pairs(spark, docs: DataFrame) -> DataFrame:
             * F.when(F.col("perm") % _LSH_ROWS == 0, 131).otherwise(1)
         ).alias("band_key")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if candidates == "star":
+        bucket_min = bands.groupBy("band", "band_key").agg(
+            F.min("doc_id").alias("min_doc")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+        cand = (
+            bands.join(bucket_min, ["band", "band_key"])
+            .filter(F.col("doc_id") != F.col("min_doc"))
+            .select(
+                F.col("min_doc").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+    else:
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
     sizes = tw.groupBy("doc_id").agg(F.count("*").alias("n"))
     ta = tw.select(F.col("doc_id").alias("doc_a"), "tid")
     tb = tw.select(F.col("doc_id").alias("doc_b"), "tid")
@@ -512,12 +547,14 @@ def neardup_verified_pairs(spark, docs: DataFrame) -> DataFrame:
 )
 def neardup_canonical_docs(spark, sf_dir):
     """The full MinHash-LSH dedup pipeline as ONE driver-checked query:
-    token-set minhash (8 perms) → 4-band LSH candidates (bucket equi-join,
-    never all-pairs) → exact Jaccard verify (≥0.5) on candidates only →
-    min-id canonicalization over the 1-hop neighbourhood (production would
-    iterate to connected components; one hop is the standard first pass).
-    Every stage is partial+final aggregates and equi-joins — no global
-    structure, no single-reducer exchange."""
+    token-set minhash (8 perms) → 4-band LSH bucket-STAR candidates (each
+    doc vs its bucket's min id — O(docs × bands) edges even for a
+    mega-cluster of near-identical docs; the quadratic within-bucket pair
+    set never materializes) → exact Jaccard verify (≥0.5) on candidates
+    only → min-id canonicalization over the 1-hop neighbourhood (the
+    components query iterates the same edges to the fixpoint). Every stage
+    is partial+final aggregates and equi-joins — no global structure, no
+    single-reducer exchange."""
     d = _t(spark, sf_dir, "documents")
     verified = neardup_verified_pairs(spark, d)
     nbrs = verified.select(

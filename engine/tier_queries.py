@@ -347,6 +347,52 @@ def gapfill_locf_hourly(spark, sf_dir):
 
 
 @register(
+    "gapfill_locf_salted_hourly",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds),
+    j AS (
+      SELECT s.user_id, s.h, hr.n
+      FROM spine s LEFT JOIN hourly hr ON s.user_id = hr.user_id AND s.h = hr.h)
+    SELECT user_id, CAST(h AS TIMESTAMP) AS h, n AS n_obs,
+           last_value(n IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_n,
+           CAST(n IS NULL AS BOOLEAN) AS filled
+    FROM j
+    """,
+)
+def gapfill_locf_salted_hourly(spark, sf_dir):
+    """E5 skew-safe under the driver's full hash gate: the engine's
+    `gapfill_locf_salted` (dense spine + time-sliced salted as-of carry,
+    engine/gapfill.py) replayed against the same windowed-LOCF oracle as
+    gapfill_locf_hourly — per-task work bounded by the 7-day slice instead
+    of the series length."""
+    from .gapfill import gapfill_locf_salted
+
+    e = _t(spark, sf_dir, "events")
+    series = e.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket_start"),
+    ).agg(F.count("*").cast("double").alias("value")).withColumn(
+        "metric", F.lit("n_events")
+    )
+    out = gapfill_locf_salted(series, slice="7 days")
+    return out.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.col("bucket_start").cast("timestamp_ntz").alias("h"),
+        F.when(~F.col("filled"), F.col("value")).cast("long").alias("n_obs"),
+        F.col("value").cast("long").alias("locf_n"),
+        "filled",
+    )
+
+
+@register(
     "dod_timestamp_deltas",
     """
     WITH d AS (

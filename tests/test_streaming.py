@@ -162,3 +162,49 @@ def test_sliding_stream_equals_batch(spark, t0_path, tmp_path):
     )
     assert len(got) == len(exp) > 0
     assert got.equals(exp), "sliding stream/batch divergence"
+
+
+def test_stream_into_pipeline_end_to_end(spark, tmp_path):
+    """EP1: micro-batch ingest feeding the resumable batch pipeline. Final
+    tiers equal a one-shot batch run over the full data, and each trigger
+    re-rolls only the partitions its batch touched (fingerprint diff), not
+    the world."""
+    import pandas as pd
+
+    from engine.pipeline import TierPipeline
+    from engine.rollup import tier_view
+    from engine.streaming import run_stream_into_pipeline
+    from engine.synth import synth_transcripts
+
+    t0 = synth_transcripts(spark, n_convs=30, hot_turns=200)
+    src = str(tmp_path / "src")
+    # many small files -> several micro-batches (maxFilesPerTrigger=4),
+    # ordered by time so later triggers touch mostly-new days
+    t0.orderBy("ts").coalesce(1).write.parquet(src + "_one")
+    spark.read.parquet(src + "_one").repartitionByRange(12, "ts").write.parquet(src)
+
+    pipe = TierPipeline(spark, str(tmp_path / "sp"))
+    out = run_stream_into_pipeline(
+        spark, src, pipe, raw_path=str(tmp_path / "raw")
+    )
+    assert out["batches"] >= 2, out
+    total_day_rolls = sum(r.get("hourly", 0) for r in out["stage_rolls"])
+    n_days = pipe.manifest.committed_keys("hourly").count()
+    # triggers re-roll a day only when it gains rows; file ranges overlap at
+    # boundaries, so total rolls sit between n_days and n_days + batches
+    assert n_days <= total_day_rolls <= n_days + out["batches"], (
+        total_day_rolls, n_days, out
+    )
+
+    ref = TierPipeline(spark, str(tmp_path / "ref"))
+    ref.run(t0)
+    key = ["conv_id", "bucket_start"]
+    got = (
+        tier_view(pipe.read_tier("monthly"), "monthly")
+        .toPandas().sort_values(key, ignore_index=True)
+    )
+    exp = (
+        tier_view(ref.read_tier("monthly"), "monthly")
+        .toPandas().sort_values(key, ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)

@@ -295,6 +295,15 @@ def run_scaling(sf_dir: str, levels=(2, 8), trials=SCALE_TRIALS) -> dict:
 
 def write_baseline_md(scal: dict, bench: dict) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # keep the measurement-history narrative across regenerations — the
+    # variance story is evidence, not boilerplate
+    history = ""
+    prev = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if os.path.exists(prev):
+        old = open(prev).read()
+        marker = "## Measurement history"
+        if marker in old:
+            history = "\n" + old[old.index(marker):].rstrip() + "\n"
     lo, hi = scal["levels"]
     rlo, rhi = scal["runs"][lo], scal["runs"][hi]
     lines = [
@@ -333,7 +342,7 @@ def write_baseline_md(scal: dict, bench: dict) -> None:
         "```",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + history)
 
 
 def main():

@@ -101,7 +101,8 @@ class Manifest:
 
 
 def work_manifest(
-    df: DataFrame, key_expr, hash_cols: list[str], prefix: str
+    df: DataFrame, key_expr, hash_cols: list[str], prefix: str,
+    extra_token: str = "",
 ) -> DataFrame:
     """One cheap aggregation pass over a stage's input producing, per
     partition key: ``partition_key``, ``rows_in`` and an order-insensitive
@@ -112,8 +113,17 @@ def work_manifest(
     and overflow-safe under ANSI mode. It is the late-data detector (J4): a
     committed partition whose input fingerprint changed is re-rolled, so
     post-watermark stragglers and backfills are never silently dropped.
+
+    `extra_token` folds a configuration literal (e.g. the tier sketch spec)
+    into the fingerprint: changing the config re-rolls every partition once
+    — schema evolution expressed as an ordinary fingerprint change. The
+    empty default leaves historical fingerprints byte-identical.
     """
-    h = F.xxhash64(*hash_cols)
+    h = (
+        F.xxhash64(*hash_cols)
+        if not extra_token
+        else F.xxhash64(*hash_cols, F.lit(extra_token))
+    )
     return (
         df.groupBy(key_expr.alias("_k"))
         .agg(

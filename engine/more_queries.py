@@ -89,6 +89,43 @@ def session_islands(spark, sf_dir):
 
 
 @register(
+    "session_islands_salted",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM g)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def session_islands_salted_q(spark, sf_dir):
+    """C4/F6 under the hash gate: the skew-safe time-sliced sessionizer
+    (engine/skew.py:session_islands_salted) replayed against the SAME
+    event-level oracle as `session_islands` — the salted two-pass
+    decomposition must be exactly invisible in the result."""
+    from .skew import session_islands_salted
+
+    e = _t(spark, sf_dir, "events")
+    return session_islands_salted(
+        e, key="user_id", ts_col="ts", order_cols=("event_id",),
+        gap_minutes=30, slice_interval="6 hours",
+    )
+
+
+@register(
     "interval_overlap_orders",
     """
     SELECT a.o_custkey, a.o_orderkey AS order_a, b.o_orderkey AS order_b
@@ -324,4 +361,33 @@ def purchase_window_overlaps(spark, sf_dir):
         "user_id",
         F.col("event_id").alias("event_a"),
         F.col("event_b").alias("event_b"),
+    )
+
+
+@register(
+    "hot_users_topk",
+    """
+    WITH per AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1),
+    tot AS (SELECT SUM(n_events) AS total FROM per)
+    SELECT p.user_id, p.n_events,
+           p.n_events / CAST(t.total AS DOUBLE) AS share
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.n_events DESC, p.user_id
+    LIMIT 20
+    """,
+)
+def hot_users_topk(spark, sf_dir):
+    """E3 under the driver's hash gate: skew diagnostics via the engine's
+    `hot_conversations` operator (engine/skew.py) on the events fixture —
+    top-k keys by row count with their share of the table, the total
+    derived from the per-key aggregate (one partial+final combine + one
+    broadcast row), never a second scan."""
+    from .skew import hot_conversations
+
+    e = _t(spark, sf_dir, "events").select(F.col("user_id").alias("conv_id"))
+    out = hot_conversations(e.withColumn("turn_idx", F.lit(0)), top_k=20)
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        F.col("n_turns").alias("n_events"),
+        "share",
     )

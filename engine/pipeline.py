@@ -75,6 +75,8 @@ class TierPipeline:
         fill_tiers: bool = True,
         bucketed: bool = False,
         n_buckets: int = 64,
+        snapshots: bool = False,
+        sketch_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -88,7 +90,39 @@ class TierPipeline:
         #: gapfill + compress stages read co-located series (zero Exchange)
         self.bucketed = bucketed
         self.n_buckets = n_buckets
+        #: snapshot-versioned tables (engine/snapstore.py): every stage
+        #: write / retention drop / compaction publishes an immutable CoW
+        #: snapshot behind an atomic pointer — concurrent readers are never
+        #: torn, re-rolls are time-travelable, drops roll back
+        self.snapshots = snapshots
+        #: raw columns sketched into mergeable HLL tier state (`<col>_hll`,
+        #: engine/rollup.py): the tier algebra's non-algebraic member.
+        #: The sketch spec is folded into the day-stage fingerprint, so
+        #: enabling (or disabling) sketches on an existing root triggers a
+        #: one-time manifest-gated incremental backfill of every tier —
+        #: schema evolution as just another fingerprint change.
+        self.sketch_cols = list(sketch_cols or [])
         self.manifest = Manifest(spark, os.path.join(root, "_manifest"))
+
+    @property
+    def _sketch_token(self) -> str:
+        return (
+            "sketch:" + ",".join(sorted(self.sketch_cols))
+            if self.sketch_cols
+            else ""
+        )
+
+    def _tier_hash_cols(self) -> list:
+        """Fingerprint columns for tier-state inputs (daily/monthly/mirror).
+        Sketch columns join the fingerprint as their ESTIMATE (a
+        deterministic double) — raw sketch bytes can vary with aggregation
+        order and would cause spurious re-rolls. The gapfill/compress
+        fingerprints deliberately stay sketch-free (_STATE_HASH_COLS): those
+        outputs don't read sketches, so sketch-only changes must not re-roll
+        them."""
+        return _STATE_HASH_COLS + [
+            F.hll_sketch_estimate(f"{c}_hll") for c in sorted(self.sketch_cols)
+        ]
 
     # -- paths -------------------------------------------------------------
     def tier_path(self, tier: str) -> str:
@@ -102,12 +136,61 @@ class TierPipeline:
     def chunks_path(self) -> str:
         return os.path.join(self.root, "chunks")
 
+    def table_path(self, name: str) -> str:
+        if name in ("hourly", "daily", "monthly"):
+            return self.tier_path(name)
+        if name == "gapfill":
+            return self.gapfill_path
+        if name in ("chunks", "compress"):
+            return self.chunks_path
+        raise KeyError(name)
+
+    def _store(self, path: str):
+        from .snapstore import SnapStore
+
+        return SnapStore(path)
+
+    def _read_path(self, path: str) -> DataFrame:
+        if self.snapshots:
+            return self._store(path).read(self.spark)
+        return eio.read_tier(self.spark, path)
+
+    def read_table(self, name: str) -> DataFrame:
+        """Snapshot-aware read of any pipeline table by logical name."""
+        return self._read_path(self.table_path(name))
+
     def read_tier(self, tier: str) -> DataFrame:
+        if self.snapshots:
+            # snapshot commits are atomic pointer flips — nothing to heal
+            return self._store(self.tier_path(tier)).read(self.spark)
         # self-heal a compaction that crashed between its promotion renames
         from .retention import recover_compaction
 
         recover_compaction(self.tier_path(tier))
         return eio.read_tier(self.spark, self.tier_path(tier))
+
+    def _write_table(
+        self, df: DataFrame, path: str, partition_cols: list[str]
+    ) -> None:
+        if not self.snapshots:
+            _write(df, path, partition_cols)
+            return
+        out = df
+        if "bucket_date" in partition_cols and "bucket_date" not in df.columns:
+            out = out.withColumn("bucket_date", F.to_date("bucket_start"))
+        store = self._store(path)
+        sid = store.begin("write")
+        try:
+            (
+                out.write.option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*partition_cols)
+                .mode("overwrite")
+                .parquet(store.snapshot_path(sid))
+            )
+        except Exception:
+            store.abort(sid)
+            raise
+        store.publish(sid)
 
     # -- stage driver --------------------------------------------------------
     def _run_stage(
@@ -140,13 +223,13 @@ class TierPipeline:
             return 0
         keys = [r["partition_key"] for r in pending]
         out = build(keys)
-        _write(out, out_path, partition_cols)
+        self._write_table(out, out_path, partition_cols)
         part = partition_cols[0]
         vals = [k.split("=", 1)[1] for k in keys]
         rows_out = {
             r["_k"]: r["count"]
             for r in (
-                eio.read_tier(self.spark, out_path)
+                self._read_path(out_path)
                 .filter(F.col(part).cast("string").isin(vals))
                 .groupBy(F.col(part).cast("string").alias("_k"))
                 .count()
@@ -197,13 +280,17 @@ class TierPipeline:
             return 0
         import shutil
 
+        doomed_dirs = []
         rows = []
         for r in stale:
             key = r["partition_key"]
             val = key.split("=", 1)[1]
-            part_dir = os.path.join(out_path, f"{part}={val}")
-            if os.path.exists(part_dir):
-                shutil.rmtree(part_dir)
+            if self.snapshots:
+                doomed_dirs.append(f"{part}={val}")
+            else:
+                part_dir = os.path.join(out_path, f"{part}={val}")
+                if os.path.exists(part_dir):
+                    shutil.rmtree(part_dir)
             rows.append(
                 {
                     "run_id": run_id,
@@ -216,6 +303,10 @@ class TierPipeline:
                     "output_snapshot_id": out_path,
                 }
             )
+        if doomed_dirs:
+            # one CoW snapshot drops the whole stale batch atomically; the
+            # pre-drop state stays time-travelable until expired
+            self._store(out_path).drop_partitions(doomed_dirs, op="stale-input")
         self.manifest.commit(rows)
         return len(rows)
 
@@ -267,7 +358,7 @@ class TierPipeline:
         work = work_manifest(
             hourly.withColumn("_all", F.lit("all")),
             F.col("_all"),
-            _STATE_HASH_COLS,
+            self._tier_hash_cols(),
             "mirror",
         )
         pending = pending_partitions(work, self.manifest, "hourly_bucketed").collect()
@@ -324,21 +415,23 @@ class TierPipeline:
         t0 = t0.withColumn("bucket_date", F.to_date("ts"))
         done = {}
 
-        # 1. raw -> hourly, keyed by day
+        # 1. raw -> hourly, keyed by day. The sketch spec is part of the
+        # fingerprint: turning sketches on/off re-rolls each day exactly once.
         day_work = work_manifest(
             t0,
             F.col("bucket_date").cast("string"),
             ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
             "day",
+            extra_token=self._sketch_token,
         )
 
         def build_hourly(keys):
             days = [k.split("=", 1)[1] for k in keys]
             inp = t0.filter(F.col("bucket_date").cast("string").isin(days))
             roll = (
-                rollup_hourly_salted(inp, self.n_salts)
+                rollup_hourly_salted(inp, self.n_salts, sketch_cols=self.sketch_cols)
                 if self.salted
-                else rollup_hourly(inp)
+                else rollup_hourly(inp, sketch_cols=self.sketch_cols)
             )
             if self.fill_tiers:
                 roll = densify_hourly_locf(roll)
@@ -364,7 +457,7 @@ class TierPipeline:
         # exactly what retention preserves.
         hourly = observed_state(self.read_tier("hourly"))
         daily_work = work_manifest(
-            hourly, F.col("bucket_date").cast("string"), _STATE_HASH_COLS, "day"
+            hourly, F.col("bucket_date").cast("string"), self._tier_hash_cols(), "day"
         )
         retained_days = self._retention_dropped("hourly")
 
@@ -394,7 +487,7 @@ class TierPipeline:
 
         daily = self.read_tier("daily")
         month_of = F.date_format("bucket_start", "yyyy-MM")
-        month_work = work_manifest(daily, month_of, _STATE_HASH_COLS, "month")
+        month_work = work_manifest(daily, month_of, self._tier_hash_cols(), "month")
         frozen = frozen_months(self.manifest)
         if frozen:
             pend_frozen = {
@@ -473,7 +566,11 @@ class TierPipeline:
     def register_views(self):
         for tier in ("hourly", "daily", "monthly"):
             path = self.tier_path(tier)
-            if os.path.exists(path):
-                tier_view(self.spark.read.parquet(path), tier).createOrReplaceTempView(
-                    f"tiers_{tier}"
-                )
+            if self.snapshots:
+                if self._store(path).current_id() is None:
+                    continue
+            elif not os.path.exists(path):
+                continue
+            tier_view(self.read_tier(tier), tier).createOrReplaceTempView(
+                f"tiers_{tier}"
+            )

@@ -27,6 +27,32 @@ class RetentionError(RuntimeError):
     pass
 
 
+def _existing_parts(pipe: TierPipeline, table_path: str, dirnames: list[str]) -> list[str]:
+    """Partition dirnames that currently exist in the table (snapshot-aware:
+    in snapshot mode existence means presence in the published snapshot)."""
+    base = table_path
+    if pipe.snapshots:
+        store = pipe._store(table_path)
+        cur = store.current_id()
+        if cur is None:
+            return []
+        base = store.snapshot_path(cur)
+    return [d for d in dirnames if os.path.isdir(os.path.join(base, d))]
+
+
+def _remove_parts(pipe: TierPipeline, table_path: str, dirnames: list[str]) -> None:
+    """Physically drop partition dirs. Plain mode: rmtree. Snapshot mode:
+    one CoW snapshot without them — concurrent readers keep their pinned
+    view and the pre-drop state stays time-travelable until expired."""
+    if not dirnames:
+        return
+    if pipe.snapshots:
+        pipe._store(table_path).drop_partitions(dirnames, op="retention")
+        return
+    for d in dirnames:
+        shutil.rmtree(os.path.join(table_path, d))
+
+
 def _committed(manifest: Manifest, stage: str) -> set[str]:
     return {
         r["partition_key"].split("=", 1)[1]
@@ -68,17 +94,16 @@ def drop_hourly_partitions(
     """L1: delete hourly bucket_date partitions. Refuses (RetentionError)
     when a requested day's lineage is not fully committed, unless forced."""
     safe = set(droppable_hourly_days(pipe, older_than="9999-12-31"))
-    dropped = []
     for day in days:
         if day not in safe and not force:
             raise RetentionError(
                 f"refusing to drop hourly day={day}: downstream rollup not "
                 "manifest-committed"
             )
-        part_dir = os.path.join(pipe.tier_path("hourly"), f"bucket_date={day}")
-        if os.path.exists(part_dir):
-            shutil.rmtree(part_dir)
-            dropped.append(day)
+    table = pipe.tier_path("hourly")
+    existing = _existing_parts(pipe, table, [f"bucket_date={d}" for d in days])
+    _remove_parts(pipe, table, existing)
+    dropped = [d.split("=", 1)[1] for d in existing]
     if dropped:
         pipe.manifest.commit(
             [
@@ -176,17 +201,16 @@ def drop_daily_partitions(
     partial month. This is the continuous-aggregate finalization rule:
     retention of the lower tier freezes the upper one."""
     safe = set(droppable_daily_days(pipe, older_than="9999-12-31"))
-    dropped = []
     for day in days:
         if day not in safe and not force:
             raise RetentionError(
                 f"refusing to drop daily day={day}: monthly rollup not "
                 "manifest-committed"
             )
-        part_dir = os.path.join(pipe.tier_path("daily"), f"bucket_date={day}")
-        if os.path.exists(part_dir):
-            shutil.rmtree(part_dir)
-            dropped.append(day)
+    table = pipe.tier_path("daily")
+    existing = _existing_parts(pipe, table, [f"bucket_date={d}" for d in days])
+    _remove_parts(pipe, table, existing)
+    dropped = [d.split("=", 1)[1] for d in existing]
     if dropped:
         rows = [
             {
@@ -263,17 +287,17 @@ def drop_conv_bucket_partitions(
     a changed one regenerates it."""
     safe = set(droppable_conv_buckets(pipe, stage))
     table_path = pipe.gapfill_path if stage == "gapfill" else pipe.chunks_path
-    dropped = []
     for cb in cbs:
         if cb not in safe and not force:
             raise RetentionError(
                 f"refusing to drop {stage} cb={cb}: bucket is pending re-roll "
                 "or was never committed"
             )
-        part_dir = os.path.join(table_path, f"conv_bucket={cb}")
-        if os.path.exists(part_dir):
-            shutil.rmtree(part_dir)
-            dropped.append(cb)
+    existing = _existing_parts(
+        pipe, table_path, [f"conv_bucket={cb}" for cb in cbs]
+    )
+    _remove_parts(pipe, table_path, existing)
+    dropped = [int(d.split("=", 1)[1]) for d in existing]
     if dropped:
         pipe.manifest.commit(
             [
@@ -303,8 +327,9 @@ def recover_compaction(path: str) -> bool:
 
 
 def compact_partition(pipe: TierPipeline, tier: str, n_files: int = 1) -> None:
-    """L2: rewrite a tier table into ~n_files per partition (small-file
-    compaction; Iceberg's rewrite_data_files equivalent).
+    """L2: rewrite a tier table — or the 'gapfill' / 'compress' (chunks)
+    series tables, keyed by conv_bucket — into ~n_files per partition
+    (small-file compaction; Iceberg's rewrite_data_files equivalent).
 
     Shuffle key is (partition value, salt∈[0,n_files)) so every partition
     spreads over ~n_files independent tasks/files — plain
@@ -317,12 +342,38 @@ def compact_partition(pipe: TierPipeline, tier: str, n_files: int = 1) -> None:
     compaction is NOT safe against concurrent readers of the same tier;
     with a real Iceberg catalog the snapshot commit makes this atomic.
     """
-    path = pipe.tier_path(tier)
+    if tier == "gapfill":
+        path, part_col = pipe.gapfill_path, "conv_bucket"
+    elif tier == "compress":
+        path, part_col = pipe.chunks_path, "conv_bucket"
+    else:
+        path = pipe.tier_path(tier)
+        part_col = "bucket_month" if tier == "monthly" else "bucket_date"
+    salt = F.pmod(F.xxhash64("conv_id"), F.lit(n_files))
+    if pipe.snapshots:
+        # snapshot mode: rewrite into a fresh snapshot reading the published
+        # one, then an atomic pointer flip — concurrent readers keep their
+        # pinned pre-compaction view, and no path is ever absent. This is
+        # the Iceberg rewrite_data_files + snapshot-commit shape.
+        store = pipe._store(path)
+        df = store.read(pipe.spark)
+        sid = store.begin("compact")
+        try:
+            (
+                df.repartition(F.col(part_col), salt)
+                .write.option("partitionOverwriteMode", "dynamic")
+                .partitionBy(part_col)
+                .mode("overwrite")
+                .parquet(store.snapshot_path(sid))
+            )
+        except Exception:
+            store.abort(sid)
+            raise
+        store.publish(sid)
+        return
     recover_compaction(path)
     df = pipe.spark.read.parquet(path)
-    part_col = "bucket_month" if tier == "monthly" else "bucket_date"
     tmp = path + "__compact"
-    salt = F.pmod(F.xxhash64("conv_id"), F.lit(n_files))
     (
         df.repartition(F.col(part_col), salt)
         .write.partitionBy(part_col)

@@ -13,7 +13,7 @@ results are bit-identical to the unsalted path by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .bucket import with_metrics
@@ -58,15 +58,30 @@ def hot_conversations(t0: DataFrame, top_k: int = 20) -> DataFrame:
     )
 
 
-def rollup_hourly_salted(t0: DataFrame, n_salts: int = 16) -> DataFrame:
+def rollup_hourly_salted(
+    t0: DataFrame, n_salts: int = 16, sketch_cols: list[str] | None = None
+) -> DataFrame:
     """F6: two-phase salted leaf rollup.
 
     Phase 1 groups by (conv_id, bucket, salt) — the hot key's rows spread
     over n_salts reducers. Phase 2 merges the sub-aggregates per
     (conv_id, bucket) with the tier-composition algebra. Only algebraic
     aggregates (sum/count/min/max) pass through this path — exact distincts
-    must bypass it (SURVEY.md §7.3).
+    must bypass it (SURVEY.md §7.3). HLL sketch columns DO pass through:
+    register-max union is associative, so per-salt sketches union to the
+    estimate-exact equivalent of the unsalted sketch (asserted in
+    tests/test_pipeline_sketches.py).
     """
+    from .rollup import HLL_LGK
+
+    sketch_partial = [
+        F.hll_sketch_agg(c, F.lit(HLL_LGK)).alias(f"{c}_hll")
+        for c in (sketch_cols or [])
+    ]
+    sketch_merge = [
+        F.hll_union_agg(f"{c}_hll").alias(f"{c}_hll")
+        for c in (sketch_cols or [])
+    ]
     df = with_metrics(t0).withColumn(
         "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_salts))
     )
@@ -82,6 +97,7 @@ def rollup_hourly_salted(t0: DataFrame, n_salts: int = 16) -> DataFrame:
         F.sum("is_tool").alias("tool_sum"),
         F.min("is_tool").alias("tool_min"),
         F.max("is_tool").alias("tool_max"),
+        *sketch_partial,
     )
     merged = partial.groupBy("conv_id", "bucket_start").agg(
         F.sum("n_turns").alias("n_turns"),
@@ -91,6 +107,7 @@ def rollup_hourly_salted(t0: DataFrame, n_salts: int = 16) -> DataFrame:
         F.sum("tool_sum").alias("tool_sum"),
         F.min("tool_min").alias("tool_min"),
         F.max("tool_max").alias("tool_max"),
+        *sketch_merge,
     )
     return merged.withColumns(
         {
@@ -99,4 +116,85 @@ def rollup_hourly_salted(t0: DataFrame, n_salts: int = 16) -> DataFrame:
             "hturns_max": F.col("n_turns"),
             "tier": F.lit("hourly"),
         }
+    )
+
+
+def session_islands_salted(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = (),
+    gap_minutes: int = 30,
+    slice_interval: str = "1 day",
+) -> DataFrame:
+    """C4/F6: skew-safe gaps-and-islands sessionization — the salted twin of
+    the `session_islands` query, completing the north rule ("skewed hot
+    conversations are salted before windowed aggregation") for session
+    windows the way `asof_join_salted` does for as-of joins.
+
+    The plain formulation funnels a hot key's EVERY event through one
+    reducer (window partitioned by key). Here the event-level window runs
+    per (key, time-slice) — pass-1 task work is bounded by slice width, not
+    key heat — and only ISLAND-level rows (one per local session fragment,
+    not per event) reach the per-key pass 2, which re-runs the identical
+    gaps-and-islands merge at island granularity and renumbers.
+
+    Exact for ANY slice width, not just slices ≥ gap: slices partition
+    time, so local islands never overlap and are chronologically ordered by
+    island_start per key; within a slice consecutive islands are > gap
+    apart by construction, and across slices pass 2 applies the same
+    start − prev_end > gap rule the event-level algorithm would. Pass-1
+    aggregation reuses the window's (key, slice) hash partitioning — one
+    event-level shuffle total. Degenerate worst case (every event its own
+    island) degrades to the unsalted shape; for real hot keys islands per
+    slice ≪ events per slice.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    sliced = df.withColumn(
+        "_slice",
+        F.window(ts_col, slice_interval)["start"].cast("timestamp_ntz"),
+    )
+    w1 = Window.partitionBy(key, "_slice").orderBy(ts_col, *order_cols)
+    new_local = F.when(
+        F.lag(ts_col).over(w1).isNull()
+        | (us - F.lag(us).over(w1) > gap_us),
+        1,
+    ).otherwise(0)
+    local = (
+        sliced.withColumn("_new", new_local)
+        .withColumn(
+            "_li",
+            F.sum("_new").over(
+                w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        # groups by a superset of the window's partition keys: satisfied by
+        # the existing HashPartitioning(key, _slice) — no second exchange
+        .groupBy(key, "_slice", "_li")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    # pass 2: same algorithm over island rows (one per local fragment)
+    w2 = Window.partitionBy(key).orderBy("session_start")
+    start_us = F.unix_micros(F.col("session_start").cast("timestamp_ltz"))
+    prev_end_us = F.unix_micros(
+        F.lag("session_end").over(w2).cast("timestamp_ltz")
+    )
+    new_merged = F.when(
+        prev_end_us.isNull() | (start_us - prev_end_us > gap_us), 1
+    ).otherwise(0)
+    merged = local.withColumn("_newm", new_merged).withColumn(
+        "session_id",
+        F.sum("_newm").over(
+            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return merged.groupBy(key, "session_id").agg(
+        F.min("session_start").alias("session_start"),
+        F.max("session_end").alias("session_end"),
+        F.sum("n_events").alias("n_events"),
     )

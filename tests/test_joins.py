@@ -373,3 +373,67 @@ def test_gapfill_locf_salted_parity(spark):
     )
     assert len(plain) > 0
     pd.testing.assert_frame_equal(salted[plain.columns], plain)
+
+
+def test_asof_salted_property_random(spark):
+    """Property sweep: salted == unsalted on randomized frames that stress
+    the slice machinery — timestamps exactly ON slice boundaries, empty
+    slices between observations, keys with no right rows at all, and both
+    directions × exact policies. (hypothesis-style generation with a fixed
+    seed; pandas merge_asof is the ground truth for the unsalted side,
+    already covered above.)"""
+    import random
+    from datetime import datetime, timedelta
+
+    from engine.joins import asof_join, asof_join_salted
+
+    rng = random.Random(1234)
+    base = datetime(2024, 5, 1)
+    for round_i in range(4):
+        lrows, rrows = [], []
+        for key in ("a", "b", "c", "lonely"):
+            n_l = rng.randrange(1, 40)
+            n_r = 0 if key == "lonely" else rng.randrange(0, 30)
+            # second-granularity offsets, biased toward exact hour marks
+            # (slice boundaries for the "1 hour" slice below)
+            def ts_offsets(n):
+                out = set()
+                while len(out) < n:
+                    if rng.random() < 0.3:
+                        out.add(rng.randrange(0, 96) * 3600)  # boundary
+                    else:
+                        out.add(rng.randrange(0, 96 * 3600))
+                return sorted(out)
+
+            lrows += [
+                (key, base + timedelta(seconds=s), s) for s in ts_offsets(n_l)
+            ]
+            rrows += [
+                (key, base + timedelta(seconds=s), float(s))
+                for s in ts_offsets(n_r)
+            ]
+        ldf = spark.createDataFrame(
+            pd.DataFrame(lrows, columns=["k", "ts", "payload"])
+        )
+        rdf = spark.createDataFrame(
+            pd.DataFrame(rrows, columns=["k", "rts", "val"])
+            if rrows
+            else pd.DataFrame({"k": pd.Series(dtype="object"),
+                               "rts": pd.Series(dtype="datetime64[us]"),
+                               "val": pd.Series(dtype="float64")})
+        )
+        for direction in ("backward", "forward"):
+            for exact in (True, False):
+                kw = dict(by=["k"], left_on="ts", right_on="rts",
+                          direction=direction, allow_exact_matches=exact)
+                plain = (
+                    asof_join(ldf, rdf, **kw)
+                    .toPandas().sort_values(["k", "ts"], ignore_index=True)
+                )
+                salted = (
+                    asof_join_salted(ldf, rdf, slice="1 hour", **kw)
+                    .toPandas().sort_values(["k", "ts"], ignore_index=True)
+                )
+                pd.testing.assert_frame_equal(salted, plain), (
+                    round_i, direction, exact
+                )

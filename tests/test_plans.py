@@ -83,7 +83,17 @@ def test_gapfill_linear_is_arrow_not_row_python(spark):
 #: broadcasts a tiny CONSTANT table (8-30 rows of permutation/hyperplane/bit
 #: indices, or the bounded ANN query set) against the fact side — the
 #: broadcast side cannot grow with data scale, so the NLJ is O(n · const).
+#: queries whose plan intentionally contains an Exchange SinglePartition:
+#: a global scalar aggregate (grand total) compiles to partial HashAggregate
+#: per partition → single final reducer. Only ONE partial row per upstream
+#: partition crosses that exchange — bounded by partition count, not data —
+#: which is the correct shape for a global sum at any scale.
+GLOBAL_AGG_OK = {
+    "hot_users_topk",  # grand-total sum over the per-key aggregate
+}
+
 BNLJ_OK = {
+    "hot_users_topk",  # broadcasts the ONE-ROW grand total into per-key shares
     "ann_cosine_topk",
     "ivf_cosine_topk",
     "embedding_neardup_pairs",
@@ -110,7 +120,15 @@ def test_registered_query_plan_is_scale_safe(spark, name):
 
     df = entrymod.queries()[name](spark, SF_DIR)
     p = plan(df)
-    assert "Exchange SinglePartition" not in p, f"{name}: single-reducer funnel"
+    if name not in GLOBAL_AGG_OK:
+        assert "Exchange SinglePartition" not in p, f"{name}: single-reducer funnel"
+    else:
+        # even allowlisted queries must feed the single-partition exchange
+        # from a partial aggregate, never raw data
+        seg = p.split("Exchange SinglePartition")[1]
+        assert "partial" in seg.split("Exchange")[0].lower(), (
+            f"{name}: SinglePartition exchange not fed by partial aggregate:\n{p}"
+        )
     assert "CartesianProduct" not in p, f"{name}: cartesian product"
     if name not in BNLJ_OK:
         assert "BroadcastNestedLoopJoin" not in p, (

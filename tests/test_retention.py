@@ -289,3 +289,26 @@ def test_conv_bucket_retention_gapfill_chunks(spark, t0, tmp_path):
             .count()
             == 0
         )
+
+
+def test_compact_series_tables(spark, t0, tmp_path):
+    """L2 extended to the conv_bucket-keyed series tables: gapfill and
+    chunk partitions compact to ~1 file each, content byte-identical."""
+    from engine.retention import compact_partition
+
+    pipe = TierPipeline(spark, str(tmp_path / "cs"))
+    pipe.run(t0)
+    for tier, path, keys in (
+        ("gapfill", pipe.gapfill_path, ["conv_id", "metric", "bucket_start"]),
+        ("compress", pipe.chunks_path, ["conv_id", "metric", "chunk_start"]),
+    ):
+        before = _table_pdf(spark, path, keys)
+        compact_partition(pipe, tier, n_files=1)
+        counts = {
+            d: len([f for f in os.listdir(os.path.join(path, d))
+                    if f.endswith(".parquet")])
+            for d in os.listdir(path) if d.startswith("conv_bucket=")
+        }
+        assert counts and all(n == 1 for n in counts.values()), (tier, counts)
+        after = _table_pdf(spark, path, keys)
+        pd.testing.assert_frame_equal(after, before), tier

@@ -397,3 +397,21 @@ def retention_status(pipe: TierPipeline) -> dict:
         .collect()
     )
     return {r["stage"]: r["n"] for r in rows}
+
+
+def expire_snapshots(pipe: TierPipeline, keep_last: int = 1) -> dict[str, list[str]]:
+    """Iceberg `expire_snapshots` for snapshot-mode pipelines: GC retained
+    snapshot trees across every pipeline table, keeping the newest
+    `keep_last` per table (the published one always survives). File data is
+    freed when its last hardlink goes, so a partition rewritten N runs ago
+    but unchanged since keeps exactly one physical copy no matter how many
+    snapshots referenced it. Do not expire below any snapshot a live reader
+    or an in-flight time-travel consumer still holds."""
+    if not pipe.snapshots:
+        raise RetentionError("expire_snapshots requires TierPipeline(snapshots=True)")
+    out = {}
+    for name in ("hourly", "daily", "monthly", "gapfill", "chunks"):
+        store = pipe._store(pipe.table_path(name))
+        if store.current_id() is not None:
+            out[name] = store.expire(keep_last=keep_last)
+    return out

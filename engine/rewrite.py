@@ -116,3 +116,39 @@ def rewrite_range_agg(
         F.max("token_max").alias("token_max"),
         F.sum("tool_sum").alias("tool_sum"),
     )
+
+
+def rewrite_range_distinct(
+    tiers: dict[str, DataFrame], lo: datetime, hi: datetime, col: str
+) -> DataFrame:
+    """Per-conversation approximate DISTINCT(col) over [lo, hi), composed
+    from tier HLL sketch columns only (`rollup_hourly(sketch_cols=[col])` /
+    `TierPipeline(sketch_cols=[col])`) — raw data is never read.
+
+    The non-algebraic member of the range-rewrite family: exact distinct
+    cannot compose across buckets, but HLL register-max union can, and the
+    union over the greedy calendar decomposition is *estimate-identical* to
+    a single sketch built over the raw rows of the range (union is
+    associative/commutative and each tier's sketch IS the union of its
+    children's), so rewriting costs no accuracy beyond the sketch's own rsd
+    (lgK=12 ≈ 1.6%). Same O(tiers)-not-O(raw) scan shape as
+    `rewrite_range_agg`; per-span scans stay partition-pruned."""
+    spans = split_range(lo, hi)
+    if not spans:
+        raise ValueError("empty range")
+    sk = f"{col}_hll"
+    parts = []
+    for tier, a, b in spans:
+        st = observed_state(tiers[tier])
+        if sk not in st.columns:
+            raise ValueError(f"{tier} tier has no sketch column {sk!r}")
+        parts.append(
+            st.filter(
+                (F.col("bucket_start") >= F.lit(a))
+                & (F.col("bucket_start") < F.lit(b))
+            ).select("conv_id", sk)
+        )
+    u = reduce(lambda x, y: x.unionByName(y), parts)
+    return u.groupBy("conv_id").agg(
+        F.hll_sketch_estimate(F.hll_union_agg(sk)).alias(f"{col}_distinct_est")
+    )

@@ -97,3 +97,62 @@ def test_rewrite_equals_raw_aggregation_across_months(spark, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got[raw.columns], raw)
+
+
+def test_rewrite_distinct_estimate_identical_to_raw_sketch(spark, tmp_path):
+    """HLL range-rewrite: the union of span-matched tier sketches must be
+    estimate-IDENTICAL to one sketch built over the raw rows of the range
+    (register-max associativity — rewriting costs zero extra error), and
+    within the lgK=12 rsd of exact distinct."""
+    from engine.pipeline import TierPipeline
+    from engine.rewrite import rewrite_range_distinct
+    from engine.rollup import HLL_LGK
+
+    t0 = synth_transcripts(spark, n_convs=50, hot_turns=300)
+    pipe = TierPipeline(
+        spark, str(tmp_path / "rwd"), sketch_cols=["tool"]
+    )
+    pipe.run(t0, stages=("hourly", "daily", "monthly"))
+    tiers = {t: pipe.read_tier(t) for t in ("hourly", "daily", "monthly")}
+    lo, hi = datetime(2026, 1, 5, 7), datetime(2026, 3, 18, 19)
+    assert any(t == "monthly" for t, _, _ in split_range(lo, hi))
+
+    got = {
+        r["conv_id"]: r["tool_distinct_est"]
+        for r in rewrite_range_distinct(tiers, lo, hi, "tool").collect()
+    }
+    in_range = t0.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+    direct = {
+        r["conv_id"]: r["est"]
+        for r in in_range.groupBy("conv_id")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("tool", F.lit(HLL_LGK))
+            ).alias("est")
+        )
+        .collect()
+    }
+    assert got == direct  # estimate-identical, not merely close
+    exact = {
+        r["conv_id"]: r["n"]
+        for r in in_range.groupBy("conv_id")
+        .agg(F.count_distinct("tool").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, e in got.items():
+        assert abs(e - exact[k]) <= max(1.0, 0.08 * exact[k]), (k, e, exact[k])
+
+
+def test_rewrite_distinct_requires_sketch_column(spark, tmp_path):
+    from engine.pipeline import TierPipeline
+    from engine.rewrite import rewrite_range_distinct
+
+    t0 = synth_transcripts(spark, n_convs=5, hot_turns=50)
+    pipe = TierPipeline(spark, str(tmp_path / "nos"))
+    pipe.run(t0, stages=("hourly",))
+    tiers = {"hourly": pipe.read_tier("hourly")}
+    with pytest.raises(ValueError, match="no sketch column"):
+        rewrite_range_distinct(
+            tiers, datetime(2026, 1, 5, 7), datetime(2026, 1, 5, 9), "tool"
+        )

@@ -287,3 +287,31 @@ def test_pipeline_snapshot_retention_and_compaction(spark, t0, tmp_path):
         .reindex(sorted(post.columns), axis=1)
     )
     pd.testing.assert_frame_equal(post_pdf, before)
+
+
+def test_pipeline_expire_snapshots(spark, t0, tmp_path):
+    from engine.pipeline import TierPipeline
+    from engine.retention import RetentionError, expire_snapshots
+    from engine.snapstore import SnapshotError, SnapStore
+
+    pipe = TierPipeline(spark, str(tmp_path / "gc"), snapshots=True)
+    pipe.run(t0)
+    # second run with late data -> a second snapshot per touched table
+    late = t0.filter("conv_id = 'conv-00000000'").selectExpr(
+        "conv_id", "cast(turn_idx + 100000 as int) as turn_idx",
+        "role", "text", "tool", "ts + interval 30 minutes as ts",
+    )
+    pipe.run(t0.unionByName(late))
+    store = SnapStore(pipe.tier_path("hourly"))
+    ids = store.snapshot_ids()
+    assert len(ids) >= 2
+    before = pipe.read_tier("hourly").count()
+    doomed = expire_snapshots(pipe, keep_last=1)
+    assert doomed["hourly"] == ids[:-1]
+    # published data untouched; history gone
+    assert pipe.read_tier("hourly").count() == before
+    with pytest.raises(SnapshotError):
+        store.read(spark, as_of=ids[0])
+    # plain pipelines refuse
+    with pytest.raises(RetentionError):
+        expire_snapshots(TierPipeline(spark, str(tmp_path / "pl")), 1)

@@ -391,3 +391,62 @@ def hot_users_topk(spark, sf_dir):
         F.col("n_turns").alias("n_events"),
         "share",
     )
+
+
+@register(
+    "range_frame_trailing_hour",
+    """
+    SELECT user_id,
+           CAST(ts AS TIMESTAMP) AS ts,
+           event_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(event_id) OVER w AS BIGINT) AS id_sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def range_frame_trailing_hour(spark, sf_dir):
+    """E6, RANGE case under the hash gate: trailing-1-hour RANGE frame keyed
+    on event time (not row position) — ties share a frame, so the result is
+    order-deterministic even for simultaneous events; integer aggregates
+    keep the comparison exact."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum("event_id").over(w).alias("id_sum_1h"),
+    )
+
+
+@register(
+    "cube_order_status",
+    """
+    SELECT year(o_orderdate) AS order_year,
+           o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+    """,
+)
+def cube_order_status(spark, sf_dir):
+    """D5 completion: CUBE (all 2^k grouping sets, not just the rollup
+    chain) — year×status counts with both marginals and the grand total in
+    one pass; Spark expands to a single Expand + hash aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube(F.year("o_orderdate").alias("order_year"), F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+    )

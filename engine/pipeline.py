@@ -192,6 +192,59 @@ class TierPipeline:
             raise
         store.publish(sid)
 
+    # -- cross-table run barrier (snapshot mode) -----------------------------
+    TABLE_NAMES = ("hourly", "daily", "monthly", "gapfill", "chunks")
+
+    def _finish_run(self, run_id: str, done: dict) -> dict:
+        """Seal a run. In snapshot mode, record each table's published
+        snapshot id under stage='snapshot' — the cross-table consistency
+        barrier: `read_consistent(run_id)` later pins EVERY table to the
+        ids this run ended with, so a reader never mixes an hourly tier
+        from run N+1 with a daily tier from run N (Iceberg's multi-table
+        transaction emulated at run granularity)."""
+        if self.snapshots:
+            rows = []
+            for name in self.TABLE_NAMES:
+                sid = self._store(self.table_path(name)).current_id()
+                if sid is not None:
+                    rows.append(
+                        {
+                            "run_id": run_id,
+                            "stage": "snapshot",
+                            "partition_key": f"table={name}",
+                            "input_snapshot_id": sid,
+                            "output_snapshot_id": self.table_path(name),
+                            "lineage": "run-barrier",
+                        }
+                    )
+            if rows:
+                self.manifest.commit(rows)
+        return {"run_id": run_id, "stages": done}
+
+    def run_snapshots(self, run_id: str | None = None) -> dict[str, str]:
+        """table name -> snapshot id pinned at the end of `run_id` (default:
+        the most recently sealed run)."""
+        m = self.manifest.read().filter(F.col("stage") == "snapshot")
+        if run_id is None:
+            last = m.orderBy(F.desc("committed_at")).select("run_id").first()
+            if last is None:
+                raise ValueError("no sealed snapshot-mode runs in manifest")
+            run_id = last["run_id"]
+        return {
+            r["partition_key"].split("=", 1)[1]: r["input_snapshot_id"]
+            for r in m.filter(F.col("run_id") == run_id).collect()
+        }
+
+    def read_consistent(self, run_id: str | None = None) -> dict[str, DataFrame]:
+        """Every pipeline table pinned to one run's snapshot ids — a
+        mutually consistent cross-table view regardless of later runs,
+        retention drops, or compactions (valid until those snapshots are
+        expired)."""
+        return {
+            name: self._store(self.table_path(name)).read(self.spark, as_of=sid)
+            for name, sid in self.run_snapshots(run_id).items()
+        }
+
     # -- stage driver --------------------------------------------------------
     def _run_stage(
         self,
@@ -447,7 +500,7 @@ class TierPipeline:
             self.tier_path("hourly"), ["bucket_date"], "raw",
         )
         if "daily" not in stages:
-            return {"run_id": run_id, "stages": done}
+            return self._finish_run(run_id, done)
 
         # 2. hourly -> daily, keyed by day (observed rows only: gap-filled
         # tier rows carry copied state and must not feed upward aggregation).
@@ -477,7 +530,7 @@ class TierPipeline:
             protect=retained_days,
         )
         if "monthly" not in stages:
-            return {"run_id": run_id, "stages": done}
+            return self._finish_run(run_id, done)
 
         # 3. daily -> monthly, keyed by month. Months finalized by daily
         # retention are FROZEN: their daily days are gone, so a re-roll
@@ -521,7 +574,7 @@ class TierPipeline:
             protect={f"month={m}" for m in frozen},
         )
         if "gapfill" not in stages:
-            return {"run_id": run_id, "stages": done}
+            return self._finish_run(run_id, done)
 
         # 4. gap-fill, keyed by conv_bucket (series must stay whole;
         # observed rows only — the gapfill table derives its own fills).
@@ -545,7 +598,7 @@ class TierPipeline:
             self.gapfill_path, ["conv_bucket"], "hourly",
         )
         if "compress" not in stages:
-            return {"run_id": run_id, "stages": done}
+            return self._finish_run(run_id, done)
 
         # 5. compress hourly series into chunk blobs, keyed by conv_bucket
         def build_compress(keys):
@@ -560,7 +613,7 @@ class TierPipeline:
             self.chunks_path, ["conv_bucket"], "hourly",
         )
 
-        return {"run_id": run_id, "stages": done}
+        return self._finish_run(run_id, done)
 
     # -- EP3: SQL over continuous aggregates ---------------------------------
     def register_views(self):

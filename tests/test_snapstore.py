@@ -315,3 +315,43 @@ def test_pipeline_expire_snapshots(spark, t0, tmp_path):
     # plain pipelines refuse
     with pytest.raises(RetentionError):
         expire_snapshots(TierPipeline(spark, str(tmp_path / "pl")), 1)
+
+
+def test_read_consistent_pins_all_tables_to_one_run(spark, t0, tmp_path):
+    """Cross-table run barrier: after a second (late-data) run, the first
+    run's sealed view must replay every table's pre-late-data state — never
+    mixing tiers from different runs."""
+    from engine.pipeline import TierPipeline
+
+    pipe = TierPipeline(spark, str(tmp_path / "rc"), snapshots=True)
+    r1 = pipe.run(t0)["run_id"]
+    snap1 = {
+        name: _pdf_any(df)
+        for name, df in pipe.read_consistent(r1).items()
+    }
+    assert set(snap1) == {"hourly", "daily", "monthly", "gapfill", "chunks"}
+    late = t0.filter("conv_id = 'conv-00000000'").selectExpr(
+        "conv_id", "cast(turn_idx + 100000 as int) as turn_idx",
+        "role", "text", "tool", "ts + interval 30 minutes as ts",
+    )
+    r2 = pipe.run(t0.unionByName(late))["run_id"]
+    # current state changed for at least the hourly tier
+    assert not _pdf_any(pipe.read_tier("hourly")).equals(snap1["hourly"])
+    # default pin = latest sealed run == live state
+    for name, df in pipe.read_consistent().items():
+        pd.testing.assert_frame_equal(
+            _pdf_any(df), _pdf_any(pipe.read_table(name))
+        ), name
+    # the r1 view is bit-stable across the re-roll
+    for name, df in pipe.read_consistent(r1).items():
+        pd.testing.assert_frame_equal(_pdf_any(df), snap1[name]), name
+    assert pipe.run_snapshots(r1) != pipe.run_snapshots(r2)
+
+
+def _pdf_any(df):
+    cols = sorted(df.columns)
+    return (
+        df.toPandas()
+        .reindex(cols, axis=1)
+        .sort_values(cols, ignore_index=True)
+    )

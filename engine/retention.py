@@ -326,10 +326,25 @@ def recover_compaction(path: str) -> bool:
     return False
 
 
-def compact_partition(pipe: TierPipeline, tier: str, n_files: int = 1) -> None:
+def compact_partition(
+    pipe: TierPipeline,
+    tier: str,
+    n_files: int = 1,
+    sort_by: tuple[str, ...] = (),
+    rowgroup_bytes: int | None = None,
+) -> None:
     """L2: rewrite a tier table — or the 'gapfill' / 'compress' (chunks)
     series tables, keyed by conv_bucket — into ~n_files per partition
     (small-file compaction; Iceberg's rewrite_data_files equivalent).
+
+    `sort_by` is Iceberg's rewrite-with-sort-order: rows are clustered by
+    the given columns WITHIN each output file, so parquet row-group min/max
+    stats become disjoint ranges on the leading sort column and a point
+    lookup (`conv_id = X`) or series range scan skips every non-matching
+    row group at footer level — the read-side payoff that makes periodic
+    compaction worth its write cost on a 100-TB series store.
+    `rowgroup_bytes` tunes parquet.block.size for the rewrite (smaller row
+    groups = finer skipping granularity at slightly more footer overhead).
 
     Shuffle key is (partition value, salt∈[0,n_files)) so every partition
     spreads over ~n_files independent tasks/files — plain
@@ -350,6 +365,18 @@ def compact_partition(pipe: TierPipeline, tier: str, n_files: int = 1) -> None:
         path = pipe.tier_path(tier)
         part_col = "bucket_month" if tier == "monthly" else "bucket_date"
     salt = F.pmod(F.xxhash64("conv_id"), F.lit(n_files))
+
+    def _rewrite(df, dest, dynamic: bool):
+        out = df.repartition(F.col(part_col), salt)
+        if sort_by:
+            out = out.sortWithinPartitions(part_col, *sort_by)
+        w = out.write
+        if dynamic:
+            w = w.option("partitionOverwriteMode", "dynamic")
+        if rowgroup_bytes:
+            w = w.option("parquet.block.size", rowgroup_bytes)
+        w.partitionBy(part_col).mode("overwrite").parquet(dest)
+
     if pipe.snapshots:
         # snapshot mode: rewrite into a fresh snapshot reading the published
         # one, then an atomic pointer flip — concurrent readers keep their
@@ -359,13 +386,7 @@ def compact_partition(pipe: TierPipeline, tier: str, n_files: int = 1) -> None:
         df = store.read(pipe.spark)
         sid = store.begin("compact")
         try:
-            (
-                df.repartition(F.col(part_col), salt)
-                .write.option("partitionOverwriteMode", "dynamic")
-                .partitionBy(part_col)
-                .mode("overwrite")
-                .parquet(store.snapshot_path(sid))
-            )
+            _rewrite(df, store.snapshot_path(sid), dynamic=True)
         except Exception:
             store.abort(sid)
             raise
@@ -374,12 +395,7 @@ def compact_partition(pipe: TierPipeline, tier: str, n_files: int = 1) -> None:
     recover_compaction(path)
     df = pipe.spark.read.parquet(path)
     tmp = path + "__compact"
-    (
-        df.repartition(F.col(part_col), salt)
-        .write.partitionBy(part_col)
-        .mode("overwrite")
-        .parquet(tmp)
-    )
+    _rewrite(df, tmp, dynamic=False)
     old = path + "__old"
     if os.path.exists(old):
         shutil.rmtree(old)

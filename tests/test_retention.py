@@ -312,3 +312,59 @@ def test_compact_series_tables(spark, t0, tmp_path):
         assert counts and all(n == 1 for n in counts.values()), (tier, counts)
         after = _table_pdf(spark, path, keys)
         pd.testing.assert_frame_equal(after, before), tier
+
+
+def test_compact_with_sort_order_enables_rowgroup_skipping(spark, t0, tmp_path):
+    """Iceberg rewrite-with-sort-order: after a sorted compaction, each
+    file's row groups carry disjoint, ordered conv_id min/max stats — a
+    point lookup can skip every non-matching row group from the footer
+    alone — and the data is byte-identical to before."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from engine.retention import compact_partition
+
+    dense = synth_transcripts(spark, n_convs=400, hot_turns=4000)
+    pipe = TierPipeline(spark, str(tmp_path / "srt"))
+    pipe.run(dense, stages=("hourly",))
+    path = pipe.tier_path("hourly")
+    keys = ["conv_id", "bucket_start", "filled"]
+    before = _table_pdf(spark, path, keys)
+    compact_partition(
+        pipe, "hourly", n_files=1,
+        sort_by=("conv_id", "bucket_start"), rowgroup_bytes=4 * 1024,
+    )
+    pd.testing.assert_frame_equal(_table_pdf(spark, path, keys), before)
+
+    multi_rg_files = 0
+    for d in os.listdir(path):
+        if not d.startswith("bucket_date="):
+            continue
+        for fn in os.listdir(os.path.join(path, d)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, d, fn)).metadata
+            idx = md.schema.names.index("conv_id")
+            spans = [
+                (
+                    md.row_group(i).column(idx).statistics.min,
+                    md.row_group(i).column(idx).statistics.max,
+                )
+                for i in range(md.num_row_groups)
+            ]
+            assert all(lo <= hi for lo, hi in spans)
+            # ordered and non-overlapping beyond the shared boundary key:
+            # a conv spanning two row groups may repeat at the seam
+            for (plo, phi), (lo, hi) in zip(spans, spans[1:]):
+                assert lo >= phi, (fn, spans)
+            if md.num_row_groups >= 2:
+                multi_rg_files += 1
+    assert multi_rg_files > 0  # small block size actually split groups
+    # the skipping-shaped query still answers correctly
+    one = before["conv_id"].iloc[0]
+    got = (
+        spark.read.parquet(path)
+        .filter(F.col("conv_id") == one)
+        .count()
+    )
+    assert got == int((before["conv_id"] == one).sum())

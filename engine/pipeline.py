@@ -77,6 +77,8 @@ class TierPipeline:
         n_buckets: int = 64,
         snapshots: bool = False,
         sketch_cols: list[str] | None = None,
+        wap: bool = False,
+        wap_audit=None,
     ):
         self.spark = spark
         self.root = root
@@ -102,6 +104,19 @@ class TierPipeline:
         #: one-time manifest-gated incremental backfill of every tier —
         #: schema evolution as just another fingerprint change.
         self.sketch_cols = list(sketch_cols or [])
+        #: write-audit-publish (requires snapshots): a run writes every
+        #: stage into STAGED (unpublished) snapshots with manifest commits
+        #: deferred; at the seal, `wap_audit(pipe)` (if given) inspects the
+        #: staged state — reads inside the run resolve to it — and then all
+        #: tables publish + the manifest lands. A crash or audit failure
+        #: leaves published tables AND the manifest untouched.
+        if wap and not snapshots:
+            raise ValueError("wap=True requires snapshots=True")
+        self.wap = wap
+        self.wap_audit = wap_audit
+        self._wap_active = False
+        self._staged: dict[str, str] = {}
+        self._buffered_rows: list[dict] = []
         self.manifest = Manifest(spark, os.path.join(root, "_manifest"))
 
     @property
@@ -152,7 +167,11 @@ class TierPipeline:
 
     def _read_path(self, path: str) -> DataFrame:
         if self.snapshots:
-            return self._store(path).read(self.spark)
+            # inside a WAP run, reads resolve to this run's staged state so
+            # later stages (and the audit) see the in-flight snapshots
+            return self._store(path).read(
+                self.spark, as_of=self._staged.get(path)
+            )
         return eio.read_tier(self.spark, path)
 
     def read_table(self, name: str) -> DataFrame:
@@ -162,7 +181,7 @@ class TierPipeline:
     def read_tier(self, tier: str) -> DataFrame:
         if self.snapshots:
             # snapshot commits are atomic pointer flips — nothing to heal
-            return self._store(self.tier_path(tier)).read(self.spark)
+            return self._read_path(self.tier_path(tier))
         # self-heal a compaction that crashed between its promotion renames
         from .retention import recover_compaction
 
@@ -179,7 +198,12 @@ class TierPipeline:
         if "bucket_date" in partition_cols and "bucket_date" not in df.columns:
             out = out.withColumn("bucket_date", F.to_date("bucket_start"))
         store = self._store(path)
-        sid = store.begin("write")
+        # WAP: reuse this run's staged snapshot for the path (a stale-input
+        # drop may have staged it already); never publish until the seal
+        sid = self._staged.get(path) if self._wap_active else None
+        fresh = sid is None
+        if fresh:
+            sid = store.begin("wap-staged" if self._wap_active else "write")
         try:
             (
                 out.write.option("partitionOverwriteMode", "dynamic")
@@ -188,12 +212,40 @@ class TierPipeline:
                 .parquet(store.snapshot_path(sid))
             )
         except Exception:
-            store.abort(sid)
+            if fresh:
+                store.abort(sid)
             raise
-        store.publish(sid)
+        if self._wap_active:
+            self._staged[path] = sid
+        else:
+            store.publish(sid)
 
     # -- cross-table run barrier (snapshot mode) -----------------------------
     TABLE_NAMES = ("hourly", "daily", "monthly", "gapfill", "chunks")
+
+    def _commit(self, rows: list[dict]) -> None:
+        """Manifest commit, deferred to the seal inside a WAP run so a
+        crashed or audit-failed run leaves no fingerprint claims behind."""
+        if self._wap_active:
+            self._buffered_rows.extend(rows)
+        else:
+            self.manifest.commit(rows)
+
+    def _begin_wap(self) -> None:
+        # sweep leftovers of a previously crashed WAP run (staged-never-
+        # published snapshots), then start clean
+        for name in self.TABLE_NAMES:
+            self._store(self.table_path(name)).clean_stale_staging()
+        self._staged = {}
+        self._buffered_rows = []
+        self._wap_active = True
+
+    def _abort_wap(self) -> None:
+        for path, sid in self._staged.items():
+            self._store(path).abort(sid)
+        self._staged = {}
+        self._buffered_rows = []
+        self._wap_active = False
 
     def _finish_run(self, run_id: str, done: dict) -> dict:
         """Seal a run. In snapshot mode, record each table's published
@@ -201,7 +253,23 @@ class TierPipeline:
         barrier: `read_consistent(run_id)` later pins EVERY table to the
         ids this run ended with, so a reader never mixes an hourly tier
         from run N+1 with a daily tier from run N (Iceberg's multi-table
-        transaction emulated at run granularity)."""
+        transaction emulated at run granularity).
+
+        WAP seal order: audit (over the staged view) → publish every staged
+        snapshot → commit the buffered manifest + barrier. Publishes are
+        per-table atomic pointer flips; the cross-table window is
+        milliseconds of renames, and a crash inside it is safe — the
+        manifest lands last, so interrupted work simply re-rolls."""
+        if self._wap_active:
+            if self.wap_audit is not None:
+                self.wap_audit(self)  # raises to veto; staged state visible
+            staged, buffered = self._staged, self._buffered_rows
+            self._staged, self._buffered_rows = {}, []
+            self._wap_active = False
+            for path, sid in staged.items():
+                self._store(path).publish(sid)
+            if buffered:
+                self.manifest.commit(buffered)
         if self.snapshots:
             rows = []
             for name in self.TABLE_NAMES:
@@ -244,6 +312,86 @@ class TierPipeline:
             name: self._store(self.table_path(name)).read(self.spark, as_of=sid)
             for name, sid in self.run_snapshots(run_id).items()
         }
+
+    #: fingerprint sentinel committed by rollback_run: matches no real work
+    #: fingerprint, so every partition the undone runs had committed re-rolls
+    ROLLED_BACK = "<rolled-back>"
+
+    _DATA_STAGES = (
+        "hourly", "daily", "monthly", "gapfill", "compress", "hourly_bucketed",
+    )
+
+    def rollback_run(self, run_id: str) -> dict[str, str]:
+        """Restore every table to the snapshot ids sealed by `run_id` —
+        pointer flips only, zero data IO (Iceberg `rollback_to_snapshot`,
+        run-granular) — and RE-ARM the resume manifest: a bare pointer flip
+        would leave newer fingerprint commits claiming states the tables no
+        longer hold, so the next run would wrongly skip those partitions.
+        Every (stage, partition) committed after the target barrier gets a
+        ROLLED_BACK sentinel fingerprint; the next run re-rolls exactly
+        those. Refuses when a retention drop or month-freeze happened after
+        the barrier (rolling data back under retention bookkeeping would
+        resurrect dropped partitions with live 'dropped' manifest state).
+        Returns the restored table→snapshot-id map."""
+        if not self.snapshots:
+            raise ValueError("rollback_run requires TierPipeline(snapshots=True)")
+        snaps = self.run_snapshots(run_id)
+        if not snaps:
+            raise ValueError(f"run {run_id!r} sealed no snapshot barrier")
+        m = self.manifest.read()
+        barrier_ts = (
+            m.filter((F.col("stage") == "snapshot") & (F.col("run_id") == run_id))
+            .agg(F.max("committed_at").alias("t"))
+            .first()["t"]
+        )
+        blockers = (
+            m.filter(
+                (F.col("committed_at") > F.lit(barrier_ts).cast("timestamp_ntz"))
+                & F.col("stage").isin("retention", "frozen")
+            ).count()
+        )
+        if blockers:
+            raise ValueError(
+                "refusing to roll back across retention/freeze events "
+                f"({blockers} newer lifecycle commits)"
+            )
+        undone = (
+            m.filter(
+                (F.col("committed_at") > F.lit(barrier_ts).cast("timestamp_ntz"))
+                & F.col("stage").isin(*self._DATA_STAGES)
+            )
+            .select("stage", "partition_key")
+            .distinct()
+            .collect()
+        )
+        for name, sid in snaps.items():
+            self._store(self.table_path(name)).rollback(sid)
+        rb_id = new_run_id()
+        rows = [
+            {
+                "run_id": rb_id,
+                "stage": r["stage"],
+                "partition_key": r["partition_key"],
+                "input_snapshot_id": self.ROLLED_BACK,
+                "lineage": f"rollback-of:{run_id}",
+            }
+            for r in undone
+        ]
+        # reseal the barrier at the restored ids so read_consistent()
+        # defaults to the rolled-back state
+        rows += [
+            {
+                "run_id": rb_id,
+                "stage": "snapshot",
+                "partition_key": f"table={name}",
+                "input_snapshot_id": sid,
+                "output_snapshot_id": self.table_path(name),
+                "lineage": "run-barrier",
+            }
+            for name, sid in snaps.items()
+        ]
+        self.manifest.commit(rows)
+        return snaps
 
     # -- stage driver --------------------------------------------------------
     def _run_stage(
@@ -290,7 +438,7 @@ class TierPipeline:
             )
         }
         wall = int((time.monotonic() - t0) * 1000)
-        self.manifest.commit(
+        self._commit(
             [
                 {
                     "run_id": run_id,
@@ -358,9 +506,25 @@ class TierPipeline:
             )
         if doomed_dirs:
             # one CoW snapshot drops the whole stale batch atomically; the
-            # pre-drop state stays time-travelable until expired
-            self._store(out_path).drop_partitions(doomed_dirs, op="stale-input")
-        self.manifest.commit(rows)
+            # pre-drop state stays time-travelable until expired. In WAP the
+            # drop lands in this run's staged snapshot (created here if the
+            # stage hasn't staged yet) and publishes only at the seal.
+            store = self._store(out_path)
+            if self._wap_active:
+                import shutil
+
+                sid = self._staged.get(out_path)
+                if sid is None:
+                    sid = store.begin("wap-staged")
+                    self._staged[out_path] = sid
+                for d in doomed_dirs:
+                    shutil.rmtree(
+                        os.path.join(store.snapshot_path(sid), d),
+                        ignore_errors=True,
+                    )
+            else:
+                store.drop_partitions(doomed_dirs, op="stale-input")
+        self._commit(rows)
         return len(rows)
 
     def _retention_dropped(self, lineage: str) -> set[str]:
@@ -425,7 +589,7 @@ class TierPipeline:
                 sort_cols=("conv_id", "bucket_start"),
                 path=self.bucketed_path,
             )
-            self.manifest.commit(
+            self._commit(
                 [
                     {
                         "run_id": run_id or new_run_id(),
@@ -461,7 +625,22 @@ class TierPipeline:
     ) -> dict:
         """Run the batch job. `stages` limits execution to a prefix of
         ALL_STAGES (used by tests to simulate a kill between stages; a later
-        run resumes from the manifest)."""
+        run resumes from the manifest). In WAP mode the whole run stages
+        unpublished and seals atomically in `_finish_run`; any exception —
+        including an audit veto — aborts with published tables and the
+        manifest untouched."""
+        if self.wap:
+            self._begin_wap()
+            try:
+                return self._run_impl(t0, run_id, stages)
+            except Exception:
+                self._abort_wap()
+                raise
+        return self._run_impl(t0, run_id, stages)
+
+    def _run_impl(
+        self, t0: DataFrame, run_id: str | None = None, stages=None
+    ) -> dict:
         stages = tuple(stages or self.ALL_STAGES)
         run_id = run_id or new_run_id()
         t0 = dedup_turns(mask_valid(t0))

@@ -112,12 +112,33 @@ class SnapStore:
         either the old pointer or the new one, never a torn file)."""
         if not os.path.isdir(self.snapshot_path(snap_id)):
             raise SnapshotError(f"unknown snapshot {snap_id!r}")
+        meta = self.meta(snap_id)
+        if not meta.get("published"):
+            meta["published"] = True
+            mp = os.path.join(self.snapshot_path(snap_id), "meta.json")
+            with open(mp + ".tmp", "w") as f:
+                json.dump(meta, f)
+            os.replace(mp + ".tmp", mp)
         tmp = self._current_file + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             f.write(snap_id)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._current_file)
+
+    def clean_stale_staging(self) -> list[str]:
+        """Delete snapshots that were staged but never published (a crashed
+        write-audit-publish run's leftovers). Never touches the current
+        snapshot or anything that was ever published (rollback targets)."""
+        cur = self.current_id()
+        doomed = [
+            s
+            for s in self.snapshot_ids()
+            if s != cur and not self.meta(s).get("published")
+        ]
+        for s in doomed:
+            shutil.rmtree(self.snapshot_path(s))
+        return doomed
 
     def abort(self, snap_id: str) -> None:
         """Discard an unpublished staging snapshot."""

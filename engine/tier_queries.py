@@ -577,3 +577,50 @@ def chunk_roundtrip_hourly(spark, sf_dir):
         F.col("bucket_start").cast("timestamp_ntz").alias("bucket_start"),
         "value",
     )
+
+
+@register(
+    "tier_hourly_filled",
+    _TIER_CTE
+    + """
+    , bounds AS (
+      SELECT conv_id, date_trunc('day', bucket_start) AS d,
+             MIN(bucket_start) AS lo, MAX(bucket_start) AS hi
+      FROM hourly GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT conv_id, d,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+      FROM bounds
+    )
+    SELECT s.conv_id,
+           CAST(s.bucket_start AS TIMESTAMP) AS bucket_start,
+           last_value(h.n_turns IGNORE NULLS) OVER w AS n_turns,
+           last_value(h.token_sum IGNORE NULLS) OVER w AS token_sum,
+           last_value(h.token_min IGNORE NULLS) OVER w AS token_min,
+           last_value(h.token_max IGNORE NULLS) OVER w AS token_max,
+           last_value(h.tool_sum IGNORE NULLS) OVER w AS tool_sum,
+           last_value(h.tool_min IGNORE NULLS) OVER w AS tool_min,
+           last_value(h.tool_max IGNORE NULLS) OVER w AS tool_max,
+           last_value(h.hours_count IGNORE NULLS) OVER w AS hours_count,
+           last_value(h.hturns_min IGNORE NULLS) OVER w AS hturns_min,
+           last_value(h.hturns_max IGNORE NULLS) OVER w AS hturns_max,
+           h.n_turns IS NULL AS filled,
+           CASE WHEN h.n_turns IS NULL THEN 'locf' END AS fill_method
+    FROM spine s LEFT JOIN hourly h
+      ON s.conv_id = h.conv_id AND s.bucket_start = h.bucket_start
+    WINDOW w AS (PARTITION BY s.conv_id, s.d ORDER BY s.bucket_start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def tier_hourly_filled(spark, sf_dir):
+    """SURVEY §1.2 under the hash gate: the hourly tier WITH its day-local
+    LOCF fill rows (engine/rollup.py:densify_hourly_locf) — gap hours
+    between a conversation's first and last observed hour of each day carry
+    the previous observed integer state forward, flagged
+    filled/fill_method so upward rollups exclude them. The oracle rebuilds
+    the same spine + IGNORE NULLS carry in SQL; hash equality pins the
+    exact fill semantics (day-local, state-carry, flag placement)."""
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    hourly = erollup.rollup_hourly(t0)
+    return erollup.densify_hourly_locf(hourly).drop("tier")

@@ -34,6 +34,19 @@ def main():
     ap.add_argument("--retention-before", default=None,
                     help="drop raw hourly partitions older than YYYY-MM-DD "
                          "(only if lineage committed)")
+    ap.add_argument("--snapshots", action="store_true",
+                    help="snapshot-versioned tables: pinned concurrent "
+                         "readers, time travel, run-level rollback")
+    ap.add_argument("--wap", action="store_true",
+                    help="write-audit-publish: stage the whole run "
+                         "unpublished, publish atomically at the seal "
+                         "(requires --snapshots)")
+    ap.add_argument("--sketch-cols", default=None,
+                    help="comma-separated raw columns to sketch into "
+                         "mergeable HLL tier state (e.g. 'tool')")
+    ap.add_argument("--expire-keep-last", type=int, default=None,
+                    help="snapshot GC after the run: keep newest N "
+                         "snapshots per table (requires --snapshots)")
     args = ap.parse_args()
 
     from engine.session import get_spark
@@ -56,9 +69,27 @@ def main():
         t0 = read_transcripts(spark, args.input)
 
     pipe = TierPipeline(
-        spark, args.root, salted=args.salted, fill_method=args.fill_method
+        spark,
+        args.root,
+        salted=args.salted,
+        fill_method=args.fill_method,
+        snapshots=args.snapshots,
+        wap=args.wap,
+        sketch_cols=(
+            [c for c in args.sketch_cols.split(",") if c]
+            if args.sketch_cols
+            else None
+        ),
     )
     result = pipe.run(t0)
+
+    if args.expire_keep_last:
+        from engine.retention import expire_snapshots
+
+        result["expired_snapshots"] = {
+            k: len(v)
+            for k, v in expire_snapshots(pipe, args.expire_keep_last).items()
+        }
 
     if args.retention_before:
         from engine.retention import drop_hourly_partitions, droppable_hourly_days

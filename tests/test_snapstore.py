@@ -355,3 +355,155 @@ def _pdf_any(df):
         .reindex(cols, axis=1)
         .sort_values(cols, ignore_index=True)
     )
+
+
+def test_rollback_run_restores_and_rearms_resume(spark, t0, tmp_path):
+    """Run-level rollback: pointer-flip every table to a sealed run AND
+    sentinel the newer fingerprint commits so the next run re-rolls instead
+    of wrongly skipping — then re-applying the undone input reproduces the
+    undone state exactly."""
+    from engine.pipeline import TierPipeline
+
+    pipe = TierPipeline(spark, str(tmp_path / "rb"), snapshots=True)
+    r1 = pipe.run(t0)["run_id"]
+    state1 = {n: _pdf_any(pipe.read_table(n)) for n in pipe.TABLE_NAMES}
+    late = t0.filter("conv_id = 'conv-00000000'").selectExpr(
+        "conv_id", "cast(turn_idx + 100000 as int) as turn_idx",
+        "role", "text", "tool", "ts + interval 30 minutes as ts",
+    )
+    t2 = t0.unionByName(late)
+    r2 = pipe.run(t2)
+    assert r2["stages"]["hourly"] > 0
+    state2 = {n: _pdf_any(pipe.read_table(n)) for n in pipe.TABLE_NAMES}
+    assert not state2["hourly"].equals(state1["hourly"])
+
+    pipe.rollback_run(r1)
+    for n in pipe.TABLE_NAMES:
+        pd.testing.assert_frame_equal(_pdf_any(pipe.read_table(n)), state1[n]), n
+    # default consistent view = the resealed (rolled-back) barrier
+    pd.testing.assert_frame_equal(
+        _pdf_any(pipe.read_consistent()["hourly"]), state1["hourly"]
+    )
+    # re-arm proof: running the UNDONE input again must re-roll (a bare
+    # pointer flip would skip — fingerprints were already committed for t2)
+    r3 = pipe.run(t2)
+    assert r3["stages"]["hourly"] > 0, r3
+    for n in pipe.TABLE_NAMES:
+        pd.testing.assert_frame_equal(_pdf_any(pipe.read_table(n)), state2[n]), n
+
+
+def test_rollback_refuses_across_retention(spark, t0, tmp_path):
+    from engine.pipeline import TierPipeline
+    from engine.retention import drop_hourly_partitions, droppable_hourly_days
+
+    pipe = TierPipeline(spark, str(tmp_path / "rbr"), snapshots=True)
+    r1 = pipe.run(t0)["run_id"]
+    days = droppable_hourly_days(pipe, "9999-12-31")
+    drop_hourly_partitions(pipe, days[:1], run_id="ret")
+    with pytest.raises(ValueError, match="retention"):
+        pipe.rollback_run(r1)
+
+
+# -- write-audit-publish ------------------------------------------------------
+
+
+def test_wap_run_matches_and_publishes_once(spark, t0, tmp_path):
+    """WAP end state == plain snapshot-mode end state, and each table gains
+    exactly ONE published snapshot per sealed run (stages never publish
+    mid-run)."""
+    from engine.pipeline import TierPipeline
+    from engine.snapstore import SnapStore
+
+    ref = TierPipeline(spark, str(tmp_path / "ref"), snapshots=True)
+    ref.run(t0)
+    pipe = TierPipeline(spark, str(tmp_path / "wap"), snapshots=True, wap=True)
+    pipe.run(t0)
+    for n in pipe.TABLE_NAMES:
+        pd.testing.assert_frame_equal(
+            _pdf_any(pipe.read_table(n)), _pdf_any(ref.read_table(n))
+        ), n
+        store = SnapStore(pipe.table_path(n))
+        assert len(store.snapshot_ids()) == 1, n
+        assert store.meta(store.current_id()).get("published") is True
+
+
+def test_wap_audit_veto_leaves_everything_untouched(spark, t0, tmp_path):
+    """An audit veto after ALL stages ran must leave published tables AND
+    the resume manifest exactly as before — then a passing rerun applies
+    the same input cleanly (nothing was half-committed)."""
+    from engine.pipeline import TierPipeline
+
+    root = str(tmp_path / "veto")
+    seed = TierPipeline(spark, root, snapshots=True, wap=True)
+    seed.run(t0)
+    before = {n: _pdf_any(seed.read_table(n)) for n in seed.TABLE_NAMES}
+    n_manifest = seed.manifest.read().count()
+
+    class Veto(RuntimeError):
+        pass
+
+    audits = []
+
+    def audit(p):
+        # the audit sees the STAGED state: late rows already rolled in
+        audits.append(p.read_tier("hourly").count())
+        raise Veto("quality gate failed")
+
+    late = t0.filter("conv_id = 'conv-00000000'").selectExpr(
+        "conv_id", "cast(turn_idx + 100000 as int) as turn_idx",
+        "role", "text", "tool", "ts + interval 30 minutes as ts",
+    )
+    t2 = t0.unionByName(late)
+    vetoed = TierPipeline(
+        spark, root, snapshots=True, wap=True, wap_audit=audit
+    )
+    with pytest.raises(Veto):
+        vetoed.run(t2)
+    assert audits and audits[0] > len(before["hourly"])  # audit saw staged
+    # nothing moved: tables, manifest, barrier
+    for n in seed.TABLE_NAMES:
+        pd.testing.assert_frame_equal(
+            _pdf_any(seed.read_table(n)), before[n]
+        ), n
+    assert seed.manifest.read().count() == n_manifest
+    # rerun without the veto applies the same input from scratch
+    ok = TierPipeline(spark, root, snapshots=True, wap=True)
+    r = ok.run(t2)
+    assert r["stages"]["hourly"] > 0
+    assert not _pdf_any(ok.read_tier("hourly")).equals(before["hourly"])
+
+
+def test_wap_crash_mid_run_publishes_nothing_and_recovers(spark, t0, tmp_path):
+    """A crash between stages of a WAP run publishes nothing and commits
+    nothing; the leftover staged snapshots are swept on the next run, which
+    then completes normally."""
+    from engine.pipeline import TierPipeline
+    from engine.snapstore import SnapStore
+
+    root = str(tmp_path / "crash")
+    pipe = TierPipeline(spark, root, snapshots=True, wap=True)
+    boom = RuntimeError("kill between stages")
+    orig = pipe._run_stage
+    calls = []
+
+    def dying(stage, *a, **kw):
+        if stage == "monthly":
+            raise boom
+        calls.append(stage)
+        return orig(stage, *a, **kw)
+
+    pipe._run_stage = dying
+    with pytest.raises(RuntimeError, match="kill between stages"):
+        pipe.run(t0)
+    assert "hourly" in calls and "daily" in calls
+    for n in pipe.TABLE_NAMES:
+        store = SnapStore(pipe.table_path(n))
+        assert store.current_id() is None, n  # nothing ever published
+    assert pipe.manifest.read().count() == 0
+    # recovery: a fresh run sweeps staging and completes
+    fresh = TierPipeline(spark, root, snapshots=True, wap=True)
+    r = fresh.run(t0)
+    assert r["stages"]["hourly"] > 0
+    for n in fresh.TABLE_NAMES:
+        store = SnapStore(fresh.table_path(n))
+        assert len(store.snapshot_ids()) == 1, n

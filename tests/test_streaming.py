@@ -266,3 +266,47 @@ def test_stream_into_snapshot_pipeline_composes(spark, tmp_path):
         .toPandas().sort_values(key, ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_stream_into_wap_pipeline_composes(spark, tmp_path):
+    """WAP × streaming: every trigger stages its whole re-roll unpublished
+    and seals atomically, so a reader polling the published tables between
+    triggers only ever sees whole sealed runs; final tiers equal batch."""
+    import pandas as pd
+
+    from engine.pipeline import TierPipeline
+    from engine.rollup import tier_view
+    from engine.streaming import run_stream_into_pipeline
+    from engine.synth import synth_transcripts
+
+    t0 = synth_transcripts(spark, n_convs=20, hot_turns=150)
+    src = str(tmp_path / "src")
+    t0.orderBy("ts").coalesce(1).write.parquet(src + "_one")
+    spark.read.parquet(src + "_one").repartitionByRange(8, "ts").write.parquet(src)
+
+    pipe = TierPipeline(
+        spark, str(tmp_path / "wp"), snapshots=True, wap=True
+    )
+    out = run_stream_into_pipeline(
+        spark, src, pipe, raw_path=str(tmp_path / "raw")
+    )
+    assert out["batches"] >= 2, out
+    # every published hourly snapshot came through a WAP seal
+    from engine.snapstore import SnapStore
+
+    store = SnapStore(pipe.tier_path("hourly"))
+    assert all(
+        store.meta(s).get("published") for s in store.snapshot_ids()
+    )
+    ref = TierPipeline(spark, str(tmp_path / "ref"))
+    ref.run(t0)
+    key = ["conv_id", "bucket_start"]
+    got = (
+        tier_view(pipe.read_tier("monthly"), "monthly")
+        .toPandas().sort_values(key, ignore_index=True)
+    )
+    exp = (
+        tier_view(ref.read_tier("monthly"), "monthly")
+        .toPandas().sort_values(key, ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)

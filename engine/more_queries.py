@@ -450,3 +450,46 @@ def cube_order_status(spark, sf_dir):
             F.count_distinct("o_custkey").alias("n_customers"),
         )
     )
+
+
+@register(
+    "asof_forward_clicks",
+    """
+    SELECT event_id, user_id, next_click_ts
+    FROM (
+      SELECT event_id, user_id, event_type,
+             first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, pref
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_ts
+      FROM (SELECT event_id, user_id, event_type, ts,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS pref
+            FROM events))
+    WHERE event_type = 'purchase'
+    """,
+)
+def asof_forward_clicks(spark, sf_dir):
+    """F3, FORWARD direction under the hash gate: each purchase joined to
+    the same user's next click at-or-after it (allow_exact_matches=True —
+    a click at the purchase's own timestamp matches, which the oracle
+    encodes by sorting clicks after purchases within a tie). Completes the
+    driver-verified as-of matrix: backward strict (asof_generic_clicks),
+    backward salted (asof_salted_clicks), forward inclusive (here)."""
+    from .joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("next_click_ts")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_on="ts",
+        right_on="next_click_ts",
+        value_cols=["next_click_ts"],
+        direction="forward",
+        allow_exact_matches=True,
+    ).select("event_id", "user_id", "next_click_ts")

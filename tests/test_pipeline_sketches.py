@@ -127,3 +127,30 @@ def test_sketches_compose_with_snapshots_and_salting(spark, t0, tmp_path):
             a.select(cols).exceptAll(b.select(cols)).count() == 0
             and b.select(cols).exceptAll(a.select(cols)).count() == 0
         ), tier
+
+
+def test_all_five_modes_compose(spark, t0, tmp_path):
+    """salted leaf agg × HLL sketch state × snapshot storage × WAP staging
+    × bucketed series mirror, one run — equal to the plain+sketch
+    reference on every tier (non-sketch columns bit-exact, sketch columns
+    estimate-exact)."""
+    pipe = TierPipeline(
+        spark,
+        str(tmp_path / "five"),
+        salted=True,
+        sketch_cols=["tool"],
+        snapshots=True,
+        wap=True,
+        bucketed=True,
+    )
+    pipe.run(t0)
+    ref = TierPipeline(spark, str(tmp_path / "fref"), sketch_cols=["tool"])
+    ref.run(t0)
+    for tier in ("hourly", "daily", "monthly"):
+        a, b = pipe.read_tier(tier), ref.read_tier(tier)
+        assert _est(a) == _est(b), tier
+        cols = [c for c in a.columns if not c.endswith("_hll")]
+        assert (
+            a.select(cols).exceptAll(b.select(cols)).count() == 0
+            and b.select(cols).exceptAll(a.select(cols)).count() == 0
+        ), tier

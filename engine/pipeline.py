@@ -116,6 +116,7 @@ class TierPipeline:
         self.wap_audit = wap_audit
         self._wap_active = False
         self._staged: dict[str, str] = {}
+        self._staged_mirror: str | None = None
         self._buffered_rows: list[dict] = []
         self.manifest = Manifest(spark, os.path.join(root, "_manifest"))
 
@@ -236,14 +237,27 @@ class TierPipeline:
         # published snapshots), then start clean
         for name in self.TABLE_NAMES:
             self._store(self.table_path(name)).clean_stale_staging()
+        if self.bucketed:
+            self._mirror_sweep_staged()
         self._staged = {}
+        self._staged_mirror = None
         self._buffered_rows = []
         self._wap_active = True
 
     def _abort_wap(self) -> None:
         for path, sid in self._staged.items():
             self._store(path).abort(sid)
+        if self._staged_mirror is not None:
+            import shutil
+
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS {self._mirror_tbl(self._staged_mirror)}"
+            )
+            shutil.rmtree(
+                self._mirror_ver_path(self._staged_mirror), ignore_errors=True
+            )
         self._staged = {}
+        self._staged_mirror = None
         self._buffered_rows = []
         self._wap_active = False
 
@@ -264,10 +278,14 @@ class TierPipeline:
             if self.wap_audit is not None:
                 self.wap_audit(self)  # raises to veto; staged state visible
             staged, buffered = self._staged, self._buffered_rows
+            staged_mirror = self._staged_mirror
             self._staged, self._buffered_rows = {}, []
+            self._staged_mirror = None
             self._wap_active = False
             for path, sid in staged.items():
                 self._store(path).publish(sid)
+            if staged_mirror is not None:
+                self._mirror_publish(staged_mirror)
             if buffered:
                 self.manifest.commit(buffered)
         if self.snapshots:
@@ -552,6 +570,111 @@ class TierPipeline:
     def bucketed_path(self) -> str:
         return os.path.join(self.root, "tiers", "hourly_bucketed")
 
+    # In snapshot mode the mirror is VERSIONED like every other table
+    # (ADVICE r3): each refresh writes a fresh `_v/<ver>` tree and flips an
+    # atomic `_CURRENT` pointer — no in-place saveAsTable overwrite, so
+    # concurrent readers are never torn. Inside a WAP run the freshly
+    # written version stays UNPUBLISHED (pointer untouched) until the seal;
+    # an audit veto or crash leaves the published mirror — like every other
+    # published table — byte-untouched, and `_begin_wap` sweeps the
+    # orphaned version dirs of a crashed run.
+    @property
+    def _mirror_versions_dir(self) -> str:
+        return os.path.join(self.bucketed_path, "_v")
+
+    @property
+    def _mirror_pointer(self) -> str:
+        return os.path.join(self.bucketed_path, "_CURRENT")
+
+    def _mirror_current(self) -> str | None:
+        try:
+            with open(self._mirror_pointer) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def _mirror_version_ids(self) -> list[str]:
+        try:
+            return sorted(
+                v
+                for v in os.listdir(self._mirror_versions_dir)
+                if not v.startswith(".")
+            )
+        except FileNotFoundError:
+            return []
+
+    def _mirror_new_ver(self) -> str:
+        import uuid
+
+        prefixes = [
+            int(v.split("_", 1)[0])
+            for v in self._mirror_version_ids()
+            if v.split("_", 1)[0].isdigit()
+        ]
+        nxt = (max(prefixes) + 1) if prefixes else 0
+        return f"{nxt:08d}_{uuid.uuid4().hex[:8]}"
+
+    def _mirror_tbl(self, ver: str) -> str:
+        return f"{self.bucketed_table()}_{ver}"
+
+    def _mirror_ver_path(self, ver: str) -> str:
+        return os.path.join(self._mirror_versions_dir, ver)
+
+    def _mirror_publish(self, ver: str) -> None:
+        import uuid
+
+        open(os.path.join(self._mirror_ver_path(ver), "_PUBLISHED"), "w").close()
+        tmp = self._mirror_pointer + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(ver)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._mirror_pointer)
+        # prune published versions older than the immediate predecessor
+        # (kept for readers pinned pre-flip); the mirror is a derived cache,
+        # never a rollback target, so deep history buys nothing
+        import shutil
+
+        published = [
+            v
+            for v in self._mirror_version_ids()
+            if os.path.exists(os.path.join(self._mirror_ver_path(v), "_PUBLISHED"))
+        ]
+        for v in published[:-2]:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._mirror_tbl(v)}")
+            shutil.rmtree(self._mirror_ver_path(v), ignore_errors=True)
+
+    def _mirror_sweep_staged(self) -> None:
+        """Delete mirror versions a crashed WAP run staged but never
+        published (no _PUBLISHED marker, not the pointer target)."""
+        import shutil
+
+        cur = self._mirror_current()
+        for v in self._mirror_version_ids():
+            if v != cur and not os.path.exists(
+                os.path.join(self._mirror_ver_path(v), "_PUBLISHED")
+            ):
+                self.spark.sql(f"DROP TABLE IF EXISTS {self._mirror_tbl(v)}")
+                shutil.rmtree(self._mirror_ver_path(v), ignore_errors=True)
+
+    def _mirror_read(self, ver: str) -> DataFrame:
+        """Catalog-backed read of one mirror version, re-registering the
+        bucketed table after a fresh-process resume (bucket metadata lives
+        in the in-memory session catalog; files + pointer survive)."""
+        from .bucketed import read_bucketed
+
+        tbl = self._mirror_tbl(ver)
+        if not self.spark.catalog.tableExists(tbl):
+            vpath = self._mirror_ver_path(ver)
+            ddl = self.spark.read.parquet(vpath)._jdf.schema().toDDL()
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING parquet "
+                f"CLUSTERED BY (conv_id) SORTED BY (conv_id, bucket_start) "
+                f"INTO {self.n_buckets} BUCKETS "
+                f"LOCATION '{vpath}'"
+            )
+        return read_bucketed(self.spark, tbl)
+
     def series_input(self, run_id: str | None = None) -> DataFrame:
         """Observed hourly state as the gapfill/compress input.
 
@@ -579,6 +702,60 @@ class TierPipeline:
             "mirror",
         )
         pending = pending_partitions(work, self.manifest, "hourly_bucketed").collect()
+        if self.snapshots:
+            out_ver = None
+            if pending:
+                ver = self._mirror_new_ver()
+                vpath = self._mirror_ver_path(ver)
+                os.makedirs(self._mirror_versions_dir, exist_ok=True)
+                write_bucketed(
+                    hourly,
+                    self._mirror_tbl(ver),
+                    n_buckets=self.n_buckets,
+                    bucket_col="conv_id",
+                    sort_cols=("conv_id", "bucket_start"),
+                    path=vpath,
+                )
+                self._commit(
+                    [
+                        {
+                            "run_id": run_id or new_run_id(),
+                            "stage": "hourly_bucketed",
+                            "partition_key": r["partition_key"],
+                            "rows_in": r["rows_in"],
+                            "rows_out": r["rows_in"],
+                            "lineage": "hourly",
+                            "input_snapshot_id": r["input_snapshot_id"],
+                            "output_snapshot_id": vpath,
+                        }
+                        for r in pending
+                    ]
+                )
+                if self._wap_active:
+                    # stays unpublished (pointer untouched) until the seal;
+                    # this run's later stages read the staged version below
+                    if self._staged_mirror is not None and self._staged_mirror != ver:
+                        import shutil
+
+                        self.spark.sql(
+                            f"DROP TABLE IF EXISTS {self._mirror_tbl(self._staged_mirror)}"
+                        )
+                        shutil.rmtree(
+                            self._mirror_ver_path(self._staged_mirror),
+                            ignore_errors=True,
+                        )
+                    self._staged_mirror = ver
+                else:
+                    self._mirror_publish(ver)
+                out_ver = ver
+            elif self._wap_active and self._staged_mirror:
+                out_ver = self._staged_mirror
+            else:
+                out_ver = self._mirror_current()
+            if out_ver is None:
+                # mirror never built and nothing pending (e.g. empty hourly)
+                return hourly
+            return self._mirror_read(out_ver)
         tbl = self.bucketed_table()
         if pending:
             write_bucketed(

@@ -415,19 +415,57 @@ def retention_status(pipe: TierPipeline) -> dict:
     return {r["stage"]: r["n"] for r in rows}
 
 
-def expire_snapshots(pipe: TierPipeline, keep_last: int = 1) -> dict[str, list[str]]:
+def expire_snapshots(
+    pipe: TierPipeline,
+    keep_last: int = 1,
+    protect_runs: list[str] | None = None,
+    consumers: list | None = None,
+) -> dict[str, list[str]]:
     """Iceberg `expire_snapshots` for snapshot-mode pipelines: GC retained
     snapshot trees across every pipeline table, keeping the newest
     `keep_last` per table (the published one always survives). File data is
     freed when its last hardlink goes, so a partition rewritten N runs ago
     but unchanged since keeps exactly one physical copy no matter how many
-    snapshots referenced it. Do not expire below any snapshot a live reader
-    or an in-flight time-travel consumer still holds."""
+    snapshots referenced it.
+
+    Referenced snapshots are protected even below keep_last (ADVICE r3):
+    - the newest sealed run barrier's ids (the default `read_consistent()` /
+      `rollback_run` target) always survive;
+    - `protect_runs` pins additional sealed runs by id;
+    - `consumers` (IncrementalConvSummary instances or their paths) pin each
+      consumer's _CONSUMED hourly snapshot so its next refresh stays
+      incremental instead of silently degrading to a full rebuild."""
     if not pipe.snapshots:
         raise RetentionError("expire_snapshots requires TierPipeline(snapshots=True)")
+    protected: dict[str, set] = {}
+
+    def _protect(table: str, sid: str | None) -> None:
+        if sid:
+            protected.setdefault(table, set()).add(sid)
+
+    try:
+        for name, sid in pipe.run_snapshots().items():
+            _protect(name, sid)
+    except ValueError:
+        pass  # no sealed runs yet
+    for rid in protect_runs or []:
+        for name, sid in pipe.run_snapshots(rid).items():
+            _protect(name, sid)
+    for c in consumers or []:
+        if isinstance(c, str):
+            f = os.path.join(c, "_CONSUMED")
+            try:
+                with open(f) as fh:
+                    _protect("hourly", fh.read().strip() or None)
+            except FileNotFoundError:
+                pass
+        else:
+            _protect("hourly", c.consumed_id())
     out = {}
     for name in ("hourly", "daily", "monthly", "gapfill", "chunks"):
         store = pipe._store(pipe.table_path(name))
         if store.current_id() is not None:
-            out[name] = store.expire(keep_last=keep_last)
+            out[name] = store.expire(
+                keep_last=keep_last, protected=protected.get(name, set())
+            )
     return out

@@ -91,7 +91,17 @@ class SnapStore:
 
     # -- write path ----------------------------------------------------------
     def _new_id(self) -> str:
-        return f"{len(self.snapshot_ids()):08d}-{uuid.uuid4().hex[:8]}"
+        # Monotonic prefix: max existing prefix + 1, NOT the count of retained
+        # snapshots — after expire() shrinks the set, a count-derived prefix
+        # would reuse low numbers and break snapshot_ids()' oldest-first
+        # ordering (making expire(keep_last=N) GC genuinely newer snapshots).
+        prefixes = [
+            int(s.split("-", 1)[0])
+            for s in self.snapshot_ids()
+            if s.split("-", 1)[0].isdigit()
+        ]
+        nxt = (max(prefixes) + 1) if prefixes else 0
+        return f"{nxt:08d}-{uuid.uuid4().hex[:8]}"
 
     def begin(self, op: str = "write") -> str:
         """Start a snapshot: CoW-hardlink the current tree into a fresh
@@ -160,14 +170,21 @@ class SnapStore:
         """Point the table back at a retained snapshot (pointer flip only)."""
         self.publish(snap_id)
 
-    def expire(self, keep_last: int = 1) -> list[str]:
+    def expire(
+        self, keep_last: int = 1, protected: set[str] | None = None
+    ) -> list[str]:
         """GC: delete all but the newest `keep_last` retained snapshots (the
         published one is always kept). File data is freed when its last
-        hardlink goes. Do not expire snapshots a live reader may still hold."""
+        hardlink goes. `protected` ids are never deleted regardless of age —
+        callers pass snapshot ids still referenced by sealed run barriers
+        (read_consistent / rollback_run targets) or by an incremental
+        consumer's _CONSUMED pointer, so keep_last=1 cannot strand a
+        rollback target or silently degrade a consumer to full rebuild."""
         keep_last = max(1, keep_last)
+        protected = protected or set()
         ids = self.snapshot_ids()
         cur = self.current_id()
-        doomed = [s for s in ids[:-keep_last] if s != cur]
+        doomed = [s for s in ids[:-keep_last] if s != cur and s not in protected]
         for s in doomed:
             shutil.rmtree(self.snapshot_path(s))
         return doomed

@@ -420,11 +420,21 @@ _NEARDUP_CTE = f"""
     bucket_min AS (
       SELECT band, band_key, MIN(doc_id) AS min_doc
       FROM bands GROUP BY band, band_key),
-    cand AS (
-      SELECT DISTINCT m.min_doc AS doc_a, b.doc_id AS doc_b
+    star AS (
+      SELECT m.min_doc AS doc_a, b.doc_id AS doc_b
       FROM bands b JOIN bucket_min m
         ON b.band = m.band AND b.band_key = m.band_key
       WHERE b.doc_id <> m.min_doc),
+    chain AS (
+      SELECT LAG(doc_id) OVER (PARTITION BY band, band_key ORDER BY doc_id)
+               AS doc_a,
+             doc_id AS doc_b
+      FROM bands),
+    cand AS (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b FROM star
+        UNION ALL
+        SELECT doc_a, doc_b FROM chain WHERE doc_a IS NOT NULL)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM tw GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
@@ -439,7 +449,7 @@ _NEARDUP_CTE = f"""
 
 
 def neardup_verified_pairs(
-    spark, docs: DataFrame, candidates: str = "star"
+    spark, docs: DataFrame, candidates: str = "star_chain"
 ) -> DataFrame:
     """MinHash-LSH verified near-duplicate pairs (doc_a < doc_b): token-set
     minhash → banded LSH candidates → exact Jaccard ≥0.5 verify on
@@ -447,14 +457,25 @@ def neardup_verified_pairs(
     connected-components queries.
 
     `candidates` picks the candidate generator:
-    - "star" (default, the 100-TB shape): each doc pairs only with its
-      LSH bucket's MINIMUM doc_id — O(docs × bands) candidate edges no
-      matter how large a duplicate cluster grows. A mega-cluster of n
+    - "star_chain" (default, the 100-TB shape): each doc pairs with its LSH
+      bucket's MINIMUM doc_id (star) AND with its nearest-lower-id bucket
+      neighbour (chain) — still O(docs × bands) candidate edges no matter
+      how large a duplicate cluster grows. A mega-cluster of n
       near-identical docs (observed in the sf0.1 fixture: ~3.6k docs →
-      6.5M all-pairs) yields n star edges per band instead of n²/2 pairs;
+      6.5M all-pairs) yields ≤2n edges per band instead of n²/2 pairs;
       overlapping buckets are merged downstream by the connected-
       components fixpoint, which restores the transitive cluster without
-      ever materializing the quadratic pair set.
+      ever materializing the quadratic pair set. The chain edges exist
+      because star alone has a RECALL hazard (ADVICE r3): if a bucket's
+      min-id member is an LSH false positive, every star edge of that
+      bucket fails Jaccard verification and the remaining members — who may
+      be true near-dups of each other — would never be tested; the chain
+      links consecutive members directly, so within-bucket connectivity
+      survives a false-positive minimum. (Recall still is not the
+      within-bucket all-pairs closure: a bucket whose min AND an interior
+      chain member are both false positives can split one true cluster —
+      the residual price of linear candidates; more bands shrink it.)
+    - "star": star edges only (the r3 default, kept for comparison).
     - "pairs": the full within-bucket self-join — exact pair LISTING for
       small/verification workloads; intrinsically quadratic in cluster
       size, so never the scale path."""
@@ -478,7 +499,7 @@ def neardup_verified_pairs(
             * F.when(F.col("perm") % _LSH_ROWS == 0, 131).otherwise(1)
         ).alias("band_key")
     )
-    if candidates == "star":
+    if candidates in ("star", "star_chain"):
         bucket_min = bands.groupBy("band", "band_key").agg(
             F.min("doc_id").alias("min_doc")
         )
@@ -489,8 +510,20 @@ def neardup_verified_pairs(
                 F.col("min_doc").alias("doc_a"),
                 F.col("doc_id").alias("doc_b"),
             )
-            .distinct()
         )
+        if candidates == "star_chain":
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+            chain = (
+                bands.select(
+                    F.lag("doc_id").over(w).alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"),
+                )
+                .filter(F.col("doc_a").isNotNull())
+            )
+            cand = cand.unionByName(chain)
+        cand = cand.distinct()
     else:
         a, b = bands.alias("a"), bands.alias("b")
         cand = (
@@ -547,13 +580,15 @@ def neardup_verified_pairs(
 )
 def neardup_canonical_docs(spark, sf_dir):
     """The full MinHash-LSH dedup pipeline as ONE driver-checked query:
-    token-set minhash (8 perms) → 4-band LSH bucket-STAR candidates (each
-    doc vs its bucket's min id — O(docs × bands) edges even for a
-    mega-cluster of near-identical docs; the quadratic within-bucket pair
-    set never materializes) → exact Jaccard verify (≥0.5) on candidates
-    only → min-id canonicalization over the 1-hop neighbourhood (the
-    components query iterates the same edges to the fixpoint). Every stage
-    is partial+final aggregates and equi-joins — no global structure, no
+    token-set minhash (8 perms) → 4-band LSH star+chain candidates (each
+    doc vs its bucket's min id AND its nearest-lower-id bucket neighbour —
+    O(docs × bands) edges even for a mega-cluster of near-identical docs;
+    the quadratic within-bucket pair set never materializes, and the chain
+    edges keep within-bucket recall when the bucket minimum is an LSH
+    false positive) → exact Jaccard verify (≥0.5) on candidates only →
+    min-id canonicalization over the 1-hop neighbourhood (the components
+    query iterates the same edges to the fixpoint). Every stage is
+    partial+final aggregates and equi-joins — no global structure, no
     single-reducer exchange."""
     d = _t(spark, sf_dir, "documents")
     verified = neardup_verified_pairs(spark, d)

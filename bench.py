@@ -202,6 +202,42 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         lambda: ivf_topk_with_centroids(em, kmeans_centroids(em, k=16, iters=2))
     )
 
+    # persisted-index refresh (VERDICT r3 #1): base index over 90% of the
+    # corpus is built UNTIMED; the timed unit is one incremental batch
+    # ingest — hash+assign the new 10%, partition-pruned candidate join
+    # against the stored index, verified-pair append. Each trial ingests
+    # into a fresh hardlink copy of the base root (the fingerprint gate
+    # would no-op a repeat ingest into the same root).
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from engine.simindex import SimIndex
+
+    cut = int((em.agg(F.max("vec_id")).first()[0] + 1) * 0.9)
+    base_root = os.path.join(base, "bench_simindex_base")
+    shutil.rmtree(base_root, ignore_errors=True)
+    SimIndex(spark, base_root).ingest(em.filter(F.col("vec_id") < cut), "base")
+    delta = em.filter(F.col("vec_id") >= cut)
+
+    def refresh_trial():
+        troot = base_root + "_trial"
+        shutil.rmtree(troot, ignore_errors=True)
+        shutil.copytree(base_root, troot, copy_function=os.link)
+        idx = SimIndex(spark, troot)
+        return _timed(lambda: idx.ingest(delta, "delta"))[0]
+
+    timings["index_refresh"] = min(
+        refresh_trial() for _ in range(BENCH_STAGE_TRIALS)
+    )
+
+    # dedup scale-stress (VERDICT r3 #8): 50k synthetic docs with a planted
+    # 5k-doc mega-cluster; the star+chain candidate count vs the quadratic
+    # all-pairs counterfactual is logged so candidate-explosion regressions
+    # surface numerically, not just as wall-time drift
+    stress_wall, stress_stats = _neardup_stress(spark, base)
+    timings["neardup_stress_50k"] = stress_wall
+
     total = sum(timings.values())
     return {
         "metric": "headline_queries_total_wall",
@@ -212,7 +248,53 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "synthetic_turns": n_turns,
         "turns_per_sec_rollup": round(n_turns / timings["pipeline_rollup_monthly"]),
         "cpus": cpus,
+        "neardup_stress": stress_stats,
     }
+
+
+def _neardup_stress(spark, base: str) -> tuple[float, dict]:
+    """50k-doc corpus, 5k of them one near-dup mega-cluster (30 shared
+    tokens + 1 of 13 variant tokens: pairwise Jaccard ≈ 0.94). Returns
+    (best wall for the verified-pair pipeline, candidate-count stats)."""
+    import pyspark.sql.functions as F
+
+    from engine.textops import neardup_candidate_stats, neardup_verified_pairs
+
+    n_docs, n_cluster = 50_000, 5_000
+    path = os.path.join(base, "bench_stress_docs.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        fixed = " ".join(f"core{i:02d}" for i in range(30))
+        uniq = F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit(f"t{k}x"),
+                    F.pmod(F.xxhash64(F.col("id") * (k + 7)), F.lit(100000))
+                    .cast("string"),
+                )
+                for k in range(8)
+            ],
+        )
+        spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") < n_cluster,
+                F.concat(
+                    F.lit(fixed + " var"),
+                    (F.col("id") % 13).cast("string"),
+                ),
+            )
+            .otherwise(uniq)
+            .alias("text"),
+        ).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    stats = neardup_candidate_stats(spark, docs)
+    stats.update({"docs": n_docs, "planted_cluster": n_cluster})
+    wall = min(
+        _timed(lambda: _noop(neardup_verified_pairs(spark, docs)))[0]
+        for _ in range(BENCH_STAGE_TRIALS)
+    )
+    return wall, stats
 
 
 def scale_worker(cpus: int, table_path: str) -> dict:

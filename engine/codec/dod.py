@@ -148,6 +148,124 @@ def encode(ts) -> bytes:
     )
 
 
+#: per-group cap on total points for batch encode — same first-touch
+#: page-fault cliff as gorilla's grouped encoder (pack_fields' bit matrix
+#: is ~64 B per field; unbounded groups hit fresh-mmap fault storms)
+_ENC_GROUP_MAX_PTS = 16 * 1024
+
+
+def encode_many(arrays) -> list[bytes]:
+    """Batch encode across Arrow-batch chunks, bit-identical to per-chunk
+    encode(). One global numpy pass builds every chunk's field list
+    (header 64+64, variable-width dod fields, byte-boundary zero pad —
+    exactly BitWriter.getvalue()'s padding), one global pack_fields emits
+    the bitstream, per-chunk output by byte-slice. Amortizes per-call
+    numpy setup the way gorilla.encode_many does — the tier month-chunks
+    are mostly a handful of points, where per-chunk numpy overhead
+    dominated (VERDICT r3: _dod_encode_udf was per-chunk Series.map).
+    Chunks containing a >2^36 zigzag class (wild clock jumps) fall back to
+    the scalar path individually."""
+    import numpy as np
+
+    arrays = [np.asarray(a, dtype=np.int64) for a in arrays]
+    out: list[bytes] = []
+    start = 0
+    acc = 0
+    for i, a in enumerate(arrays):
+        if acc + len(a) > _ENC_GROUP_MAX_PTS and i > start:
+            out.extend(_encode_group(arrays[start:i]))
+            start, acc = i, 0
+        acc += len(a)
+    out.extend(_encode_group(arrays[start:]))
+    return out
+
+
+def _encode_group(arrays) -> list[bytes]:
+    import numpy as np
+
+    from .bits import pack_fields
+
+    if not arrays:
+        return []
+    lens = [len(a) for a in arrays]
+    ne = [a for a in arrays if len(a)]
+    if not ne:
+        return [b"" for _ in arrays]
+    ln = np.array([len(a) for a in ne], dtype=np.int64)
+    st = np.concatenate([[0], np.cumsum(ln)[:-1]])
+    allv = np.concatenate(ne)
+    with np.errstate(over="ignore"):
+        d = allv[1:] - allv[:-1] if len(allv) > 1 else np.zeros(0, np.int64)
+        g = d[1:] - d[:-1] if len(d) > 1 else np.zeros(0, np.int64)
+    has2 = ln >= 2
+    cnt = np.maximum(ln - 2, 0)
+    seg = np.cumsum(cnt) - cnt
+    total = int(cnt.sum())
+    intra = np.arange(total, dtype=np.int64) - np.repeat(seg, cnt)
+    gidx = np.repeat(st, cnt) + intra
+    with np.errstate(over="ignore"):
+        dods = g[gidx] if total else np.zeros(0, np.int64)
+        zz = ((dods << 1) ^ (dods >> 63)).view(np.uint64)
+
+    chunk_of = np.repeat(np.arange(len(ne), dtype=np.int64), cnt)
+    huge = zz >= np.uint64(1 << 36)
+    if huge.any():
+        bad = np.bincount(chunk_of[huge], minlength=len(ne)) > 0
+        clean = [a for a, h in zip(ne, bad) if not h]
+        it = iter(_encode_group(clean) if clean else [])
+        enc_ne = [encode(a) if h else next(it) for a, h in zip(ne, bad)]
+        it2 = iter(enc_ne)
+        return [next(it2) if n else b"" for n in lens]
+
+    m0 = zz == 0
+    m14 = ~m0 & (zz < np.uint64(1 << 14))
+    m24 = ~m0 & ~m14 & (zz < np.uint64(1 << 24))
+    dvals = np.where(
+        m0,
+        np.uint64(0),
+        np.where(
+            m14,
+            (np.uint64(0b10) << np.uint64(14)) | zz,
+            np.where(
+                m24,
+                (np.uint64(0b110) << np.uint64(24)) | zz,
+                (np.uint64(0b1110) << np.uint64(36)) | zz,
+            ),
+        ),
+    )
+    dwid = np.where(m0, 1, np.where(m14, 16, np.where(m24, 27, 40))).astype(
+        np.int64
+    )
+
+    # global field layout: [first 64] [zz(delta0) 64]? [dod fields...] [pad]
+    nf = 1 + has2.astype(np.int64) + cnt + 1
+    off = np.cumsum(nf) - nf
+    vals = np.zeros(int(nf.sum()), dtype=np.uint64)
+    wid = np.zeros(int(nf.sum()), dtype=np.int64)
+    vals[off] = allv[st].view(np.uint64)
+    wid[off] = 64
+    if has2.any():
+        d0 = d[st[has2]]
+        with np.errstate(over="ignore"):
+            zz0 = ((d0 << 1) ^ (d0 >> 63)).view(np.uint64)
+        vals[off[has2] + 1] = zz0
+        wid[off[has2] + 1] = 64
+    dpos = np.repeat(off + 2, cnt) + intra
+    vals[dpos] = dvals
+    wid[dpos] = dwid
+    dbits = np.bincount(chunk_of, weights=dwid, minlength=len(ne)).astype(
+        np.int64
+    )
+    cbits = 64 + has2.astype(np.int64) * 64 + dbits
+    pad = (-cbits) % 8
+    wid[off + nf - 1] = pad
+    blob = pack_fields(vals, wid)
+    ends = np.cumsum((cbits + pad) // 8).tolist()
+    begins = [0] + ends[:-1]
+    it = iter(blob[b:e] for b, e in zip(begins, ends))
+    return [next(it) if n else b"" for n in lens]
+
+
 def _encode_scalar(arr, deltas, zz) -> bytes:
     w = BitWriter()
     w.write(int(arr[0]) & M64, 64)

@@ -1,0 +1,503 @@
+"""Persisted, incrementally-maintained similarity indexes (VERDICT r3 #1).
+
+At 100 TB the similarity index IS the asset: rebuilding LSH buckets or IVF
+inverted lists from the full corpus on every query run (what
+`engine/simsearch.py` does per call) re-pays O(corpus) work that an
+ingestion pipeline should pay once per NEW batch. `SimIndex` stores the
+index state as snapshot-versioned tables (engine/snapstore.py) gated by the
+same fingerprint manifest the tier pipeline uses (engine/checkpoint.py):
+
+    <root>/
+      _manifest/   # per-batch fingerprints: resume + config gate
+      lsh/         # (vec_id) partitioned by batch, tbl, bucket
+      ivf/         # inverted lists WITH vectors: (vec_id, e, nrm)
+                   #   partitioned by batch, cid — the FAISS shape: probing
+                   #   a list reads everything re-rank needs, no join back
+      vectors/     # (vec_id, e, nrm) partitioned by batch — re-rank store
+                   #   for LSH pair verification
+      centroids/   # k rows (cid, ce) — FROZEN at build time
+      pairs/       # verified near-dup pairs, partitioned by batch
+
+Incremental maintenance contract:
+
+- `ingest(em_batch, batch_id)` hashes and assigns ONLY the new batch
+  (O(batch) compute; one shuffle each for the lsh/ivf group-bys), writes
+  its `batch=<id>/...` partitions, and — because the LSH hyperplanes and
+  the frozen centroids are deterministic — the resulting index state is
+  BIT-EXACT equal to a full rebuild over the union of batches (pytest'd).
+- The per-batch manifest fingerprint covers the batch rows AND the index
+  config (plane counts + a centroid-content token), so re-ingesting an
+  unchanged batch is a no-op and retraining centroids marks every batch
+  pending for re-assignment — config evolution as a fingerprint change,
+  the same pattern as TierPipeline.sketch_cols. A re-rolled batch's old
+  partitions are dropped inside the same snapshot commit (dynamic
+  overwrite alone would leave stale sub-partitions the new data no longer
+  touches).
+- New-vs-index candidates (`pairs` maintenance) join the new batch's
+  bucket rows (broadcast) against the STORED lsh table on its PARTITION
+  columns (tbl, bucket): partition pruning restricts the stored scan to
+  colliding bucket directories — the inverted-list read pattern — so a
+  refresh never rescans the whole index. Pairs discovered at batch N
+  involve at least one batch-N vector; unioning the per-batch pair
+  partitions therefore reproduces the full-rebuild pair set exactly
+  (every pair is emitted exactly once, at the LATER member's ingest).
+  Caveat: batches are treated as append-only corpus growth — re-rolling
+  an OLD batch with different content refreshes that batch's own
+  partitions but does not retroactively re-verify pair partitions of
+  later batches; a content rewrite of history warrants `rebuild_pairs()`.
+- `expire(keep_last=N)` GCs old snapshots per table.
+
+The LSH partition layout (tbl, bucket) holds while bucket cardinality
+(2^planes_per_table × n_tables) stays directory-friendly; with many more
+planes the same design swaps partitionBy for bucketBy(bucket) hash
+buckets. LSH pair verification broadcasts the per-refresh candidate set,
+restricts the vector store to candidate ids broadcast-side, and only then
+joins — every join in the refresh is bounded by the candidate count, never
+by the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .checkpoint import Manifest, new_run_id, pending_partitions, work_manifest
+from .simsearch import _dot, _vec_d, lsh_table_buckets
+from .snapstore import SnapStore
+
+_PAIR_THRESHOLD = 0.5
+
+
+class SimIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_tables: int = 6,
+        planes_per_table: int = 5,
+        k: int = 16,
+    ):
+        self.spark = spark
+        self.root = root
+        self.n_tables = n_tables
+        self.planes_per_table = planes_per_table
+        self.k = k
+        self.manifest = Manifest(spark, os.path.join(root, "_manifest"))
+
+    # -- stores --------------------------------------------------------------
+    def _store(self, name: str) -> SnapStore:
+        return SnapStore(os.path.join(self.root, name))
+
+    def _read(self, name: str) -> DataFrame:
+        return self._store(name).read(self.spark)
+
+    def _write_partitions(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_cols: list[str],
+        drop_first: str | None = None,
+    ) -> None:
+        """Dynamic-partition overwrite into a fresh published snapshot —
+        concurrent readers keep their pinned pre-refresh view. `drop_first`
+        removes a partition subtree (e.g. ``batch=b1``) inside the staged
+        snapshot before the write, so a re-rolled batch leaves no stale
+        sub-partitions the new data no longer touches."""
+        store = self._store(name)
+        sid = store.begin("ingest")
+        try:
+            if drop_first is not None:
+                shutil.rmtree(
+                    os.path.join(store.snapshot_path(sid), drop_first),
+                    ignore_errors=True,
+                )
+            (
+                df.write.option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*partition_cols)
+                .mode("overwrite")
+                .parquet(store.snapshot_path(sid))
+            )
+        except Exception:
+            store.abort(sid)
+            raise
+        store.publish(sid)
+
+    def _has(self, name: str) -> bool:
+        return self._store(name).current_id() is not None
+
+    # -- centroids (frozen at build; retrain = config change) ----------------
+    def build_centroids(self, em: DataFrame, mode: str = "first_k") -> str:
+        """Train and persist the IVF coarse quantizer. `first_k` freezes the
+        k lowest vec_ids (deterministic, DuckDB-replayable); `kmeans` runs
+        the kmeans-lite trainer (engine/simsearch.kmeans_centroids).
+        Returns the centroid content token that enters every batch
+        fingerprint — retraining changes the token, which marks every
+        ingested batch pending for re-assignment."""
+        if mode == "first_k":
+            cents = (
+                em.select("vec_id", _vec_d("embedding").alias("ce"))
+                .orderBy("vec_id")
+                .limit(self.k)
+                .select(F.col("vec_id").alias("cid"), "ce")
+            )
+        elif mode == "kmeans":
+            from .simsearch import kmeans_centroids
+
+            cents = kmeans_centroids(em, k=self.k)
+        else:
+            raise ValueError(mode)
+        store = self._store("centroids")
+        sid = store.begin("train")
+        try:
+            # a "data" subdir keeps the snapshot's meta.json out of the
+            # overwrite's blast radius
+            cents.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(store.snapshot_path(sid), "data")
+            )
+        except Exception:
+            store.abort(sid)
+            raise
+        store.publish(sid)
+        return self.centroid_token()
+
+    def centroids(self) -> DataFrame:
+        return self._read("centroids")
+
+    def centroid_token(self) -> str:
+        """Order-insensitive content fingerprint of the centroid table —
+        k rows, metadata-scale."""
+        if not self._has("centroids"):
+            return "cent:none"
+        r = (
+            self.centroids()
+            .select(F.xxhash64("cid", F.col("ce").cast("string")).alias("h"))
+            .agg(F.bit_xor("h").alias("x"), F.count("*").alias("n"))
+            .first()
+        )
+        return f"cent:{r['n']}:{r['x']}"
+
+    def _config_token(self) -> str:
+        return (
+            f"lsh:{self.n_tables}x{self.planes_per_table}|{self.centroid_token()}"
+        )
+
+    # -- ingest --------------------------------------------------------------
+    def ingest(self, em: DataFrame, batch_id: str, run_id: str | None = None) -> dict:
+        """Index one batch: O(batch) hashing/assignment, `batch=<id>`
+        partition writes, and incremental near-dup pair maintenance.
+        Fingerprint-gated: an unchanged (batch, config) is a no-op; a
+        changed batch or config re-rolls exactly that batch's partitions.
+        `batch_id` must be a filesystem-safe token."""
+        if not self._has("centroids"):
+            self.build_centroids(em)
+        run_id = run_id or new_run_id()
+        work = work_manifest(
+            em.withColumn("_b", F.lit(batch_id)),
+            F.col("_b"),
+            ["vec_id", "embedding"],
+            "batch",
+            extra_token=self._config_token(),
+        )
+        pending = pending_partitions(work, self.manifest, "simindex").collect()
+        if not pending:
+            return {"batch": batch_id, "ingested": False}
+
+        bcol = F.lit(batch_id).alias("batch")
+        v = (
+            em.select("vec_id", _vec_d("embedding").alias("e"))
+            .withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+        )
+        new_buckets = lsh_table_buckets(
+            em, self.n_tables, self.planes_per_table
+        ).localCheckpoint()
+
+        # IVF assignment against the FROZEN centroids (broadcast k rows);
+        # the list rows carry the vector so probes re-rank without a join
+        c = self.centroids().withColumn(
+            "cnrm", F.sqrt(_dot(F.col("ce"), F.col("ce")))
+        )
+        sim_c = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+        w_v = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
+        asn = (
+            v.crossJoin(F.broadcast(c.select("cid", "ce", "cnrm")))
+            .select("vec_id", "e", "nrm", "cid", sim_c.alias("sim"))
+            .withColumn("crn", F.row_number().over(w_v))
+            .filter(F.col("crn") == 1)
+            .select("vec_id", "e", "nrm", "cid")
+        )
+
+        # near-dup pairs BEFORE appending the batch: new-vs-stored uses the
+        # partition-pruned stored index (excluding this batch's own prior
+        # rows on a re-roll); new-vs-new collides locally. Every cross-batch
+        # pair is emitted exactly once — at the later ingest.
+        pairs = self._pairs_for_batch(v, new_buckets, batch_id)
+
+        drop = f"batch={batch_id}"
+        self._write_partitions(
+            "lsh",
+            new_buckets.select(bcol, "vec_id", "tbl", "bucket"),
+            ["batch", "tbl", "bucket"],
+            drop_first=drop,
+        )
+        self._write_partitions(
+            "ivf",
+            asn.select(bcol, "vec_id", "e", "nrm", "cid"),
+            ["batch", "cid"],
+            drop_first=drop,
+        )
+        self._write_partitions(
+            "vectors",
+            v.select(bcol, "vec_id", "e", "nrm"),
+            ["batch"],
+            drop_first=drop,
+        )
+        self._write_partitions(
+            "pairs",
+            pairs.select(bcol, "vec_a", "vec_b", "sim"),
+            ["batch"],
+            drop_first=drop,
+        )
+        self.manifest.commit(
+            [
+                {
+                    "run_id": run_id,
+                    "stage": "simindex",
+                    "partition_key": r["partition_key"],
+                    "rows_in": r["rows_in"],
+                    "input_snapshot_id": r["input_snapshot_id"],
+                    "output_snapshot_id": self.root,
+                    "lineage": "ingest",
+                }
+                for r in pending
+            ]
+        )
+        return {"batch": batch_id, "ingested": True}
+
+    def _pairs_for_batch(
+        self, v_new: DataFrame, new_buckets: DataFrame, batch_id: str
+    ) -> DataFrame:
+        """Verified near-dup pairs touching the new batch: LSH candidates
+        (broadcast new buckets against stored bucket partitions, plus
+        new-vs-new), then exact cosine ≥ threshold on candidates only.
+        Every join is candidate-bounded."""
+        if self._has("lsh"):
+            stored = self._read("lsh").filter(F.col("batch") != batch_id)
+            nb = F.broadcast(
+                new_buckets.select(
+                    F.col("vec_id").alias("nid"), "tbl", "bucket"
+                )
+            )
+            cross = (
+                stored.join(nb, ["tbl", "bucket"])
+                .filter(F.col("vec_id") != F.col("nid"))
+                .select(
+                    F.least("vec_id", "nid").alias("vec_a"),
+                    F.greatest("vec_id", "nid").alias("vec_b"),
+                )
+            )
+        else:
+            cross = None
+        a, b = new_buckets.alias("a"), new_buckets.alias("b")
+        intra = a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        cand = intra if cross is None else intra.unionByName(cross)
+        cand = cand.distinct().localCheckpoint()
+
+        vs = (
+            self._read("vectors")
+            .filter(F.col("batch") != batch_id)
+            .select("vec_id", "e", "nrm")
+            .unionByName(v_new.select("vec_id", "e", "nrm"))
+            if self._has("vectors")
+            else v_new.select("vec_id", "e", "nrm")
+        )
+        # bound the vector pulls by the candidate id set (broadcast), so the
+        # stored vector scan is column-pruned and never shuffled at corpus
+        # scale; the final join is candidate×candidate sized
+        a_ids = cand.select(F.col("vec_a").alias("vec_id")).distinct()
+        b_ids = cand.select(F.col("vec_b").alias("vec_id")).distinct()
+        a_v = vs.join(F.broadcast(a_ids), "vec_id").select(
+            F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        b_v = vs.join(F.broadcast(b_ids), "vec_id").select(
+            F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        return (
+            cand.join(a_v, "vec_a")
+            .join(b_v, "vec_b")
+            .withColumn("sim", sim)
+            .filter(F.col("sim") >= _PAIR_THRESHOLD)
+            .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
+        )
+
+    def rebuild_pairs(self) -> None:
+        """Recompute the whole pair table from the stored index (one full
+        self-join over bucket partitions) — the escape hatch after
+        rewriting historical batches in place."""
+        lsh = self._read("lsh")
+        a, b = lsh.alias("a"), lsh.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                # attribute the pair to the LATER member's batch, matching
+                # the incremental emission rule
+                F.greatest(F.col("a.batch"), F.col("b.batch")).alias("batch"),
+            )
+            .groupBy("vec_a", "vec_b")
+            .agg(F.max("batch").alias("batch"))
+        )
+        vs = self._read("vectors").select("vec_id", "e", "nrm")
+        a_v = vs.select(
+            F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        b_v = vs.select(
+            F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        pairs = (
+            cand.join(a_v, "vec_a")
+            .join(b_v, "vec_b")
+            .withColumn("sim", sim)
+            .filter(F.col("sim") >= _PAIR_THRESHOLD)
+            .select("batch", "vec_a", "vec_b", F.round("sim", 6).alias("sim"))
+        )
+        self._write_partitions("pairs", pairs, ["batch"])
+
+    # -- reads ---------------------------------------------------------------
+    def lsh_buckets(self) -> DataFrame:
+        return self._read("lsh").select("vec_id", "tbl", "bucket")
+
+    def inverted_lists(self) -> DataFrame:
+        return self._read("ivf").select("vec_id", "cid")
+
+    def vectors(self) -> DataFrame:
+        return self._read("vectors").select("vec_id", "e", "nrm")
+
+    def verified_pairs(self) -> DataFrame:
+        """The maintained near-dup pair set — union of per-batch pair
+        partitions; equals a full rebuild's pair set bit-exactly. A corpus
+        with no near-dups leaves every batch's pair partition empty (the
+        write emits no files), so the store holds no readable schema —
+        return a typed empty frame instead of asking Spark to infer one."""
+        store = self._store("pairs")
+        sid = store.current_id()
+        has_dirs = sid is not None and any(
+            os.path.isdir(os.path.join(store.snapshot_path(sid), d))
+            for d in os.listdir(store.snapshot_path(sid))
+        )
+        if not has_dirs:
+            return self.spark.createDataFrame(
+                [], "vec_a bigint, vec_b bigint, sim double"
+            )
+        return self._read("pairs").select("vec_a", "vec_b", "sim")
+
+    def ivf_topk(
+        self, query_filter, nprobe: int = 4, topk: int = 5
+    ) -> DataFrame:
+        """IVF search against the STORED lists: queries (vector-store rows
+        matching `query_filter`) are assigned to their nprobe nearest
+        frozen centroids (broadcast k rows); only those inverted-list
+        partitions are scanned — and because list rows carry their vectors,
+        re-rank happens in the probe scan itself with no join back to a
+        vector store. Per query, nprobe/k of the corpus is read."""
+        q = self.vectors().filter(query_filter).select(
+            F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+        c = self.centroids().withColumn(
+            "cnrm", F.sqrt(_dot(F.col("ce"), F.col("ce")))
+        )
+        sim_qc = _dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm"))
+        w_q = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
+        probes = (
+            q.crossJoin(F.broadcast(c.select("cid", "ce", "cnrm")))
+            .select("qid", "qe", "qnrm", "cid", sim_qc.alias("sim"))
+            .withColumn("crn", F.row_number().over(w_q))
+            .filter(F.col("crn") <= nprobe)
+            .select("qid", "qe", "qnrm", F.col("cid").alias("qcid"))
+        )
+        lists = self._read("ivf")
+        sim_x = _dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))
+        w_r = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid2")
+        return (
+            lists.join(F.broadcast(probes), lists.cid == probes.qcid)
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid", F.col("vec_id").alias("cid2"), sim_x.alias("sim")
+            )
+            .withColumn("rn", F.row_number().over(w_r))
+            .filter(F.col("rn") <= topk)
+            .select(
+                "qid", F.col("cid2").alias("cid"),
+                F.round("sim", 6).alias("sim"), F.col("rn").cast("int"),
+            )
+        )
+
+    def expire(self, keep_last: int = 1) -> dict[str, list[str]]:
+        out = {}
+        for name in ("lsh", "ivf", "vectors", "centroids", "pairs"):
+            if self._has(name):
+                out[name] = self._store(name).expire(keep_last=keep_last)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# driver-registered queries: the PERSISTED index must answer identically to
+# the per-run-rebuild queries, so both reuse those queries' oracle SQL —
+# the hash gate thereby pins the incremental-ingest == full-rebuild property
+# at every driver round, not just in pytest.
+# ---------------------------------------------------------------------------
+
+from .queries import ORACLE_SQL, _t, register  # noqa: E402
+
+
+def _ingest_halves(spark, sf_dir: str) -> SimIndex:
+    """Fresh index root, corpus ingested as two incremental batches (the
+    lower half first, so auto-built first_k centroids match a full-corpus
+    build)."""
+    import tempfile
+
+    em = _t(spark, sf_dir, "embeddings")
+    idx = SimIndex(spark, tempfile.mkdtemp(prefix="simindex-q-"))
+    mid = (em.agg(F.max("vec_id")).first()[0] + 1) // 2
+    idx.ingest(em.filter(F.col("vec_id") < mid), "b0")
+    idx.ingest(em.filter(F.col("vec_id") >= mid), "b1")
+    return idx
+
+
+@register("simindex_neardup_pairs", ORACLE_SQL["embedding_neardup_pairs"])
+def simindex_neardup_pairs(spark, sf_dir):
+    """The MAINTAINED near-dup pair table after two incremental batch
+    ingests — verified against the same oracle as embedding_neardup_pairs
+    (which rebuilds from the full corpus): persistence changes where the
+    work happens, never the answers."""
+    return _ingest_halves(spark, sf_dir).verified_pairs()
+
+
+@register("simindex_ivf_topk", ORACLE_SQL["ivf_cosine_topk"])
+def simindex_ivf_topk(spark, sf_dir):
+    """IVF search over the PERSISTED inverted lists (built across two
+    incremental ingests, frozen first-K centroids) — same oracle as the
+    per-run-rebuild ivf_cosine_topk."""
+    return _ingest_halves(spark, sf_dir).ivf_topk(F.col("vec_id") < 10)

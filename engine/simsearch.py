@@ -465,13 +465,14 @@ def ivf_topk_with_centroids(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_table_buckets(
     em: DataFrame, n_tables: int = 6, planes_per_table: int = 5
 ) -> DataFrame:
-    """Engine-side multi-table LSH near-neighbour candidates: each table
-    hashes with its own `planes_per_table` hyperplanes; a pair is a candidate
-    if it collides in ANY table (recall 1-(1-p^k)^L vs single-table p^k).
-    Tested in pytest against the brute-force baseline."""
+    """Multi-table random-hyperplane LSH signatures: (vec_id, tbl, bucket)
+    with one row per (vector, table). Deterministic integer hyperplanes —
+    the same rows regardless of when or in which batch a vector is hashed,
+    which is what makes the persisted index (engine/simindex.py)
+    incrementally maintainable with bit-exact full-rebuild parity."""
     from pyspark.sql import SparkSession
 
     spark = SparkSession.getActiveSession()
@@ -493,7 +494,7 @@ def lsh_candidate_pairs(
             * ((1000003 * (d + 1) + 7919 * (F.col("p") + 1)) % 2001 - 1000),
         ).alias("dot"),
     )
-    buckets = dots.groupBy("vec_id", "tbl").agg(
+    return dots.groupBy("vec_id", "tbl").agg(
         F.sum(
             F.when(
                 F.col("dot") > 0,
@@ -501,6 +502,16 @@ def lsh_candidate_pairs(
             ).otherwise(0)
         ).alias("bucket")
     )
+
+
+def lsh_candidate_pairs(
+    em: DataFrame, n_tables: int = 6, planes_per_table: int = 5
+) -> DataFrame:
+    """Engine-side multi-table LSH near-neighbour candidates: each table
+    hashes with its own `planes_per_table` hyperplanes; a pair is a candidate
+    if it collides in ANY table (recall 1-(1-p^k)^L vs single-table p^k).
+    Tested in pytest against the brute-force baseline."""
+    buckets = lsh_table_buckets(em, n_tables, planes_per_table)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -448,6 +448,66 @@ _NEARDUP_CTE = f"""
       WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.5)"""
 
 
+def _doc_token_ids(docs: DataFrame) -> DataFrame:
+    """(doc_id, tid): distinct content-derived token hashes per doc."""
+    tok = docs.select("doc_id", F.explode(_tokens_col()).alias("w")).distinct()
+    return tok.select("doc_id", tok_hash(F.col("w")).alias("tid")).distinct()
+
+
+def _minhash_bands(spark, tw: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): banded minhash LSH signatures over the
+    token-id table — the bucket assignment shared by candidate generation
+    and the scale-stress diagnostics."""
+    perms = spark.range(_N_PERMS).select(F.col("id").alias("p"))
+    mh = (
+        tw.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", F.col("p").cast("int").alias("perm"))
+        .agg(
+            F.min(
+                (1000003 * F.col("tid") + 17 * (F.col("p") + 1)) % _MH_PRIME
+            ).alias("minhash")
+        )
+    )
+    return mh.groupBy(
+        "doc_id", (F.col("perm") / _LSH_ROWS).cast("int").alias("band")
+    ).agg(
+        F.sum(
+            (F.col("minhash") % 1000000007)
+            * F.when(F.col("perm") % _LSH_ROWS == 0, 131).otherwise(1)
+        ).alias("band_key")
+    )
+
+
+def neardup_candidate_stats(spark, docs: DataFrame) -> dict:
+    """Scale-stress diagnostics for the candidate generator: the linear
+    star+chain edge count vs the quadratic within-bucket all-pairs
+    counterfactual (Σ per-bucket n·(n−1)/2 over bands), plus the largest
+    bucket. A candidate-explosion regression — any change that silently
+    reverts to quadratic behaviour on a mega-cluster — shows up as these
+    two numbers converging."""
+    sizes = (
+        _minhash_bands(spark, _doc_token_ids(docs))
+        .groupBy("band", "band_key")
+        .count()
+        .agg(
+            F.sum((F.col("count") * (F.col("count") - 1) / 2).cast("long")).alias(
+                "allpairs"
+            ),
+            # star (n-1) + chain (n-1) per bucket, before cross-band dedup
+            F.sum(
+                F.greatest(2 * (F.col("count") - 1), F.lit(0)).cast("long")
+            ).alias("starchain"),
+            F.max("count").alias("max_bucket"),
+        )
+        .first()
+    )
+    return {
+        "allpairs_counterfactual": int(sizes["allpairs"] or 0),
+        "starchain_edges": int(sizes["starchain"] or 0),
+        "max_bucket": int(sizes["max_bucket"] or 0),
+    }
+
+
 def neardup_verified_pairs(
     spark, docs: DataFrame, candidates: str = "star_chain"
 ) -> DataFrame:
@@ -479,26 +539,8 @@ def neardup_verified_pairs(
     - "pairs": the full within-bucket self-join — exact pair LISTING for
       small/verification workloads; intrinsically quadratic in cluster
       size, so never the scale path."""
-    tok = docs.select("doc_id", F.explode(_tokens_col()).alias("w")).distinct()
-    tw = tok.select("doc_id", tok_hash(F.col("w")).alias("tid")).distinct()
-    perms = spark.range(_N_PERMS).select(F.col("id").alias("p"))
-    mh = (
-        tw.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", F.col("p").cast("int").alias("perm"))
-        .agg(
-            F.min(
-                (1000003 * F.col("tid") + 17 * (F.col("p") + 1)) % _MH_PRIME
-            ).alias("minhash")
-        )
-    )
-    bands = mh.groupBy(
-        "doc_id", (F.col("perm") / _LSH_ROWS).cast("int").alias("band")
-    ).agg(
-        F.sum(
-            (F.col("minhash") % 1000000007)
-            * F.when(F.col("perm") % _LSH_ROWS == 0, 131).otherwise(1)
-        ).alias("band_key")
-    )
+    tw = _doc_token_ids(docs)
+    bands = _minhash_bands(spark, tw)
     if candidates in ("star", "star_chain"):
         bucket_min = bands.groupBy("band", "band_key").agg(
             F.min("doc_id").alias("min_doc")

@@ -212,3 +212,45 @@ def test_dod_monotone_microsecond_property():
         cur += 3_600_000_000 * (1 + (i * 2654435761) % 7)
         ts.append(cur)
     roundtrip_ts(ts)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62 - 1), max_size=90
+        ),
+        max_size=25,
+    )
+)
+def test_dod_encode_many_bit_identical(chunks):
+    # the Arrow-batch encoder must emit byte-for-byte what per-chunk
+    # encode() emits — including the per-chunk >2^36 zigzag fallback and
+    # empty/1/2-point headers
+    from engine.codec import dod
+
+    batched = dod.encode_many(chunks)
+    assert batched == [dod.encode(c) for c in chunks]
+    for c, b in zip(chunks, batched):
+        assert dod.decode(b, len(c)) == [int(x) for x in c]
+
+
+def test_dod_encode_many_group_boundaries():
+    # force multiple groups across _ENC_GROUP_MAX_PTS, plus wild clock
+    # jumps that route individual chunks to the scalar fallback
+    import random
+
+    from engine.codec import dod
+
+    rng = random.Random(5)
+    chunks = []
+    cur = 1_700_000_000_000_000
+    for _ in range(2000):
+        n = rng.randrange(0, 64)
+        ts = []
+        for _ in range(n):
+            cur += 3_600_000_000 + rng.choice(
+                [0, 0, 0, 1, -1, rng.randrange(-(2**45), 2**45)]
+            )
+            ts.append(cur)
+        chunks.append(ts)
+    assert dod.encode_many(chunks) == [dod.encode(c) for c in chunks]

@@ -17,6 +17,7 @@ from engine.queries import ORACLE_SQL, QUERIES
 # importing these modules registers their queries into QUERIES/ORACLE_SQL
 import engine.more_queries  # noqa: F401,E402
 import engine.multimodal  # noqa: F401,E402
+import engine.dedupindex  # noqa: F401,E402
 import engine.simindex  # noqa: F401,E402
 import engine.simsearch  # noqa: F401,E402
 import engine.textops  # noqa: F401,E402

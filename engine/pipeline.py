@@ -79,6 +79,7 @@ class TierPipeline:
         sketch_cols: list[str] | None = None,
         wap: bool = False,
         wap_audit=None,
+        hourly_layout: int = 1,
     ):
         self.spark = spark
         self.root = root
@@ -114,6 +115,19 @@ class TierPipeline:
             raise ValueError("wap=True requires snapshots=True")
         self.wap = wap
         self.wap_audit = wap_audit
+        #: hourly tier partition SPEC version (VERDICT r3 #7 — Iceberg
+        #: partition-spec evolution): 1 = day dirs only, 2 = day/conv_bucket
+        #: sub-partitioning (conv-scoped reads prune within a day; retention
+        #: and compaction keep day granularity). The layout version folds
+        #: into the day-stage fingerprint, so switching it on an existing
+        #: root is a one-time manifest-gated re-roll of every day — and
+        #: because tier-state fingerprints hash rows, not layout, the
+        #: daily/monthly/gapfill/compress stages do NOT cascade. In snapshot
+        #: mode the pre-migration snapshots keep their old layout and stay
+        #: readable via time travel.
+        if hourly_layout not in (1, 2):
+            raise ValueError("hourly_layout must be 1 or 2")
+        self.hourly_layout = hourly_layout
         self._wap_active = False
         self._staged: dict[str, str] = {}
         self._staged_mirror: str | None = None
@@ -126,6 +140,23 @@ class TierPipeline:
             "sketch:" + ",".join(sorted(self.sketch_cols))
             if self.sketch_cols
             else ""
+        )
+
+    @property
+    def _day_token(self) -> str:
+        """Day-stage fingerprint configuration token: sketch spec + hourly
+        partition-spec version. Empty at the defaults, keeping historical
+        fingerprints byte-identical."""
+        parts = [self._sketch_token]
+        if self.hourly_layout != 1:
+            parts.append(f"layout:{self.hourly_layout}")
+        return "|".join(p for p in parts if p)
+
+    def hourly_partition_cols(self) -> list[str]:
+        return (
+            ["bucket_date"]
+            if self.hourly_layout == 1
+            else ["bucket_date", "conv_bucket"]
         )
 
     def _tier_hash_cols(self) -> list:
@@ -189,10 +220,48 @@ class TierPipeline:
         recover_compaction(self.tier_path(tier))
         return eio.read_tier(self.spark, self.tier_path(tier))
 
+    @staticmethod
+    def _tree_partition_depth(root: str) -> int | None:
+        """Nesting depth of k=v partition dirs in an existing parquet tree
+        (None when absent/empty). Detects a partition-SPEC mismatch between
+        what is on disk and what this pipeline is configured to write."""
+        try:
+            entries = [
+                d
+                for d in os.listdir(root)
+                if "=" in d and os.path.isdir(os.path.join(root, d))
+            ]
+        except FileNotFoundError:
+            return None
+        if not entries:
+            return None
+        sub = os.path.join(root, entries[0])
+        has_sub = any(
+            "=" in d and os.path.isdir(os.path.join(sub, d))
+            for d in os.listdir(sub)
+        )
+        return 2 if has_sub else 1
+
+    @staticmethod
+    def _clear_partition_dirs(root: str) -> None:
+        import shutil
+
+        for d in os.listdir(root):
+            if "=" in d and os.path.isdir(os.path.join(root, d)):
+                shutil.rmtree(os.path.join(root, d))
+
     def _write_table(
         self, df: DataFrame, path: str, partition_cols: list[str]
     ) -> None:
         if not self.snapshots:
+            # partition-spec evolution (plain mode): dynamic overwrite only
+            # replaces the LEAF partitions the new data touches, so a
+            # depth change would leave old-layout files mixed into the same
+            # day dirs — clear the tree first (every partition re-rolls on
+            # a spec change anyway: the layout token is in the fingerprint)
+            depth = self._tree_partition_depth(path)
+            if depth is not None and depth != len(partition_cols):
+                self._clear_partition_dirs(path)
             _write(df, path, partition_cols)
             return
         out = df
@@ -204,13 +273,24 @@ class TierPipeline:
         sid = self._staged.get(path) if self._wap_active else None
         fresh = sid is None
         if fresh:
-            sid = store.begin("wap-staged" if self._wap_active else "write")
+            sid = store.begin(
+                ("wap-staged" if self._wap_active else "write")
+                + ":" + ",".join(partition_cols)  # records the spec per snapshot
+            )
         try:
+            # spec evolution (snapshot mode): the staged CoW tree inherits
+            # the OLD layout's files — clear them so the new snapshot is
+            # homogeneous at the new depth; prior snapshots keep the old
+            # layout and stay readable via time travel
+            snap = store.snapshot_path(sid)
+            depth = self._tree_partition_depth(snap)
+            if depth is not None and depth != len(partition_cols):
+                self._clear_partition_dirs(snap)
             (
                 out.write.option("partitionOverwriteMode", "dynamic")
                 .partitionBy(*partition_cols)
                 .mode("overwrite")
-                .parquet(store.snapshot_path(sid))
+                .parquet(snap)
             )
         except Exception:
             if fresh:
@@ -831,7 +911,7 @@ class TierPipeline:
             F.col("bucket_date").cast("string"),
             ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
             "day",
-            extra_token=self._sketch_token,
+            extra_token=self._day_token,
         )
 
         def build_hourly(keys):
@@ -853,7 +933,7 @@ class TierPipeline:
 
         done["hourly"] = self._run_stage(
             "hourly", run_id, day_work, build_hourly,
-            self.tier_path("hourly"), ["bucket_date"], "raw",
+            self.tier_path("hourly"), self.hourly_partition_cols(), "raw",
         )
         if "daily" not in stages:
             return self._finish_run(run_id, done)

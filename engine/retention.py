@@ -358,24 +358,30 @@ def compact_partition(
     with a real Iceberg catalog the snapshot commit makes this atomic.
     """
     if tier == "gapfill":
-        path, part_col = pipe.gapfill_path, "conv_bucket"
+        path, part_cols = pipe.gapfill_path, ["conv_bucket"]
     elif tier == "compress":
-        path, part_col = pipe.chunks_path, "conv_bucket"
+        path, part_cols = pipe.chunks_path, ["conv_bucket"]
+    elif tier == "monthly":
+        path, part_cols = pipe.tier_path(tier), ["bucket_month"]
+    elif tier == "hourly":
+        # respect the pipeline's partition-spec version: compacting an
+        # evolved (day, conv_bucket) tier must not silently rewrite it
+        # back to day-only dirs
+        path, part_cols = pipe.tier_path(tier), pipe.hourly_partition_cols()
     else:
-        path = pipe.tier_path(tier)
-        part_col = "bucket_month" if tier == "monthly" else "bucket_date"
+        path, part_cols = pipe.tier_path(tier), ["bucket_date"]
     salt = F.pmod(F.xxhash64("conv_id"), F.lit(n_files))
 
     def _rewrite(df, dest, dynamic: bool):
-        out = df.repartition(F.col(part_col), salt)
+        out = df.repartition(*[F.col(c) for c in part_cols], salt)
         if sort_by:
-            out = out.sortWithinPartitions(part_col, *sort_by)
+            out = out.sortWithinPartitions(*part_cols, *sort_by)
         w = out.write
         if dynamic:
             w = w.option("partitionOverwriteMode", "dynamic")
         if rowgroup_bytes:
             w = w.option("parquet.block.size", rowgroup_bytes)
-        w.partitionBy(part_col).mode("overwrite").parquet(dest)
+        w.partitionBy(*part_cols).mode("overwrite").parquet(dest)
 
     if pipe.snapshots:
         # snapshot mode: rewrite into a fresh snapshot reading the published

@@ -107,6 +107,30 @@ for _tier in ("hourly", "daily", "monthly"):
     )
 
 
+@register("tier_hourly_evolved", _TIER_CTE + _TIER_VIEW.format(tier="hourly"))
+def tier_hourly_evolved(spark, sf_dir):
+    """Partition-spec evolution under the oracle gate (VERDICT r3 #7): the
+    full storage pipeline writing the EVOLVED hourly spec — hourly_layout=2,
+    (bucket_date, conv_bucket) sub-partition dirs, snapshot-versioned —
+    must produce the same hourly tier rows as the layout-1 reference the
+    oracle models. The spec changes the file layout (conv-scoped reads
+    prune within a day), never the results."""
+    import tempfile
+
+    from .pipeline import TierPipeline
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    pipe = TierPipeline(
+        spark,
+        tempfile.mkdtemp(prefix="tier-evolved-"),
+        snapshots=True,
+        hourly_layout=2,
+        fill_tiers=False,
+    )
+    pipe.run(t0, stages=("hourly",))
+    return erollup.tier_view(pipe.read_tier("hourly"), "hourly")
+
+
 @register(
     "tier_rewrite_range",
     """

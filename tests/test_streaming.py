@@ -310,3 +310,79 @@ def test_stream_into_wap_pipeline_composes(spark, tmp_path):
         .toPandas().sort_values(key, ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_stream_wap_trigger_veto_then_resume(spark, tmp_path):
+    """WAP × streaming, the veto half (VERDICT r3 #5): a per-trigger audit
+    veto must abort THAT trigger's staged snapshots and buffered manifest
+    rows — published tables and manifest stay exactly at the last sealed
+    trigger — and a later stream restart (same checkpoint) re-delivers the
+    batch and converges to the one-shot batch reference."""
+    import pandas as pd
+
+    from engine.pipeline import TierPipeline
+    from engine.rollup import tier_view
+    from engine.snapstore import SnapStore
+    from engine.streaming import run_stream_into_pipeline
+    from engine.synth import synth_transcripts
+    from pyspark.sql import functions as F
+
+    t0 = synth_transcripts(spark, n_convs=20, hot_turns=150)
+    src = str(tmp_path / "src")
+    t0.orderBy("ts").coalesce(1).write.parquet(src + "_one")
+    spark.read.parquet(src + "_one").repartitionByRange(8, "ts").write.parquet(src)
+    root = str(tmp_path / "wp")
+    raw = str(tmp_path / "raw")
+
+    calls = {"n": 0}
+
+    def audit(p):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("quality veto")
+
+    vetoed = TierPipeline(spark, root, snapshots=True, wap=True, wap_audit=audit)
+    try:
+        # generous timeout: host CPU-steal bursts can stretch trigger 1
+        # past the default 120s, which would end the stream before the
+        # veto fires and fail the test for the wrong reason
+        run_stream_into_pipeline(spark, src, vetoed, raw_path=raw, timeout_s=400)
+        raised = False
+    except Exception:
+        raised = True
+    assert raised and calls["n"] >= 2
+    # published state is exactly the first sealed trigger: one snapshot per
+    # table, all published, and no manifest row from the vetoed run
+    probe = TierPipeline(spark, root, snapshots=True, wap=True)
+    m = probe.manifest.read()
+    assert m.filter(F.col("run_id") == "stream-1").count() == 0
+    assert m.filter(F.col("run_id") == "stream-0").count() > 0
+    for n in probe.TABLE_NAMES:
+        store = SnapStore(probe.table_path(n))
+        if store.current_id() is None:
+            continue
+        assert all(store.meta(s).get("published") for s in store.snapshot_ids()), n
+    before = (
+        tier_view(probe.read_tier("monthly"), "monthly")
+        .toPandas().sort_values(["conv_id", "bucket_start"], ignore_index=True)
+    )
+
+    # resume: fresh pipe, no veto, same checkpoint — the failed batch is
+    # re-delivered (its raw append re-applies; dedup_turns makes it
+    # idempotent) and the stream drains to the batch-equivalent end state
+    ok = TierPipeline(spark, root, snapshots=True, wap=True)
+    out = run_stream_into_pipeline(spark, src, ok, raw_path=raw)
+    assert out["batches"] >= 1
+    ref = TierPipeline(spark, str(tmp_path / "ref"))
+    ref.run(t0)
+    key = ["conv_id", "bucket_start"]
+    got = (
+        tier_view(ok.read_tier("monthly"), "monthly")
+        .toPandas().sort_values(key, ignore_index=True)
+    )
+    exp = (
+        tier_view(ref.read_tier("monthly"), "monthly")
+        .toPandas().sort_values(key, ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert not got.equals(before)  # the veto really had blocked progress

@@ -77,6 +77,7 @@ class TierPipeline:
         n_buckets: int = 64,
         snapshots: bool = False,
         sketch_cols: list[str] | None = None,
+        hist_cols: dict | None = None,
         wap: bool = False,
         wap_audit=None,
         hourly_layout: int = 1,
@@ -105,6 +106,14 @@ class TierPipeline:
         #: one-time manifest-gated incremental backfill of every tier —
         #: schema evolution as just another fingerprint change.
         self.sketch_cols = list(sketch_cols or [])
+        #: exact mergeable histogram tier state: {raw_col: (origin, width,
+        #: n_bins)} adds a `<col>_hist` array<long> of bin counts per tier
+        #: row (engine/rollup.py hist_partial_aggs). Unlike the HLL columns
+        #: this state is exact, so it joins the tier-state fingerprint as
+        #: its raw array; the spec folds into the day token the same way —
+        #: enabling histograms on an existing root is a one-time
+        #: manifest-gated backfill.
+        self.hist_cols = dict(hist_cols or {})
         #: write-audit-publish (requires snapshots): a run writes every
         #: stage into STAGED (unpublished) snapshots with manifest commits
         #: deferred; at the seal, `wap_audit(pipe)` (if given) inspects the
@@ -148,6 +157,14 @@ class TierPipeline:
         partition-spec version. Empty at the defaults, keeping historical
         fingerprints byte-identical."""
         parts = [self._sketch_token]
+        if self.hist_cols:
+            parts.append(
+                "hist:"
+                + ";".join(
+                    f"{c}={o},{w},{k}"
+                    for c, (o, w, k) in sorted(self.hist_cols.items())
+                )
+            )
         if self.hourly_layout != 1:
             parts.append(f"layout:{self.hourly_layout}")
         return "|".join(p for p in parts if p)
@@ -167,9 +184,15 @@ class TierPipeline:
         fingerprints deliberately stay sketch-free (_STATE_HASH_COLS): those
         outputs don't read sketches, so sketch-only changes must not re-roll
         them."""
-        return _STATE_HASH_COLS + [
-            F.hll_sketch_estimate(f"{c}_hll") for c in sorted(self.sketch_cols)
-        ]
+        return (
+            _STATE_HASH_COLS
+            + [
+                F.hll_sketch_estimate(f"{c}_hll")
+                for c in sorted(self.sketch_cols)
+            ]
+            # hist arrays are exact + deterministic — hash them raw
+            + [F.col(f"{c}_hist") for c in sorted(self.hist_cols)]
+        )
 
     # -- paths -------------------------------------------------------------
     def tier_path(self, tier: str) -> str:
@@ -918,9 +941,18 @@ class TierPipeline:
             days = [k.split("=", 1)[1] for k in keys]
             inp = t0.filter(F.col("bucket_date").cast("string").isin(days))
             roll = (
-                rollup_hourly_salted(inp, self.n_salts, sketch_cols=self.sketch_cols)
+                rollup_hourly_salted(
+                    inp,
+                    self.n_salts,
+                    sketch_cols=self.sketch_cols,
+                    hist_cols=self.hist_cols,
+                )
                 if self.salted
-                else rollup_hourly(inp, sketch_cols=self.sketch_cols)
+                else rollup_hourly(
+                    inp,
+                    sketch_cols=self.sketch_cols,
+                    hist_cols=self.hist_cols,
+                )
             )
             if self.fill_tiers:
                 roll = densify_hourly_locf(roll)

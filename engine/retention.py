@@ -332,6 +332,7 @@ def compact_partition(
     n_files: int = 1,
     sort_by: tuple[str, ...] = (),
     rowgroup_bytes: int | None = None,
+    zorder: tuple[str, str] | None = None,
 ) -> None:
     """L2: rewrite a tier table — or the 'gapfill' / 'compress' (chunks)
     series tables, keyed by conv_bucket — into ~n_files per partition
@@ -345,6 +346,13 @@ def compact_partition(
     compaction worth its write cost on a 100-TB series store.
     `rowgroup_bytes` tunes parquet.block.size for the rewrite (smaller row
     groups = finer skipping granularity at slightly more footer overhead).
+
+    `zorder` (mutually exclusive with `sort_by`) is the multi-dimensional
+    variant — Iceberg's rewrite ZORDER strategy: rows cluster on a Morton
+    interleave of the two columns' rank positions (engine/zorder.py), so
+    row-group min/max stats prune on EITHER dimension (conv point lookups
+    AND cross-conversation time-range scans), where a linear sort prunes
+    only its leading column.
 
     Shuffle key is (partition value, salt∈[0,n_files)) so every partition
     spreads over ~n_files independent tasks/files — plain
@@ -371,10 +379,19 @@ def compact_partition(
     else:
         path, part_cols = pipe.tier_path(tier), ["bucket_date"]
     salt = F.pmod(F.xxhash64("conv_id"), F.lit(n_files))
+    if zorder and sort_by:
+        raise ValueError("zorder and sort_by are mutually exclusive")
 
     def _rewrite(df, dest, dynamic: bool):
+        cols = df.columns
+        if zorder:
+            from .zorder import with_zorder_key
+
+            df = with_zorder_key(df, zorder)
         out = df.repartition(*[F.col(c) for c in part_cols], salt)
-        if sort_by:
+        if zorder:
+            out = out.sortWithinPartitions(*part_cols, "__z").select(*cols)
+        elif sort_by:
             out = out.sortWithinPartitions(*part_cols, *sort_by)
         w = out.write
         if dynamic:

@@ -51,9 +51,61 @@ HOUR_S = 3600.0
 #: default log2(K) for tier HLL sketches — rsd ≈ 1.04/√2¹² ≈ 1.6%
 HLL_LGK = 12
 
+#: histogram spec per raw column: (origin, bin_width, n_bins). Values below
+#: origin clamp into bin 0, above the top edge into bin n_bins-1; NULLs are
+#: skipped (same convention as the HLL sketch columns).
+HistSpec = "tuple[float, float, int]"
+
+
+def hist_partial_aggs(hist_cols: dict | None) -> list:
+    """Leaf aggregates producing one `<col>_hist` array<long> of bin counts
+    per spec'd column. Exact integer state: unlike the HLL columns this
+    member of the tier algebra is EXACT and mergeable (element-wise long
+    addition is associative + commutative), so it survives salting and tier
+    composition bit-identically."""
+    out = []
+    for c, (origin, width, k) in sorted((hist_cols or {}).items()):
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(c) - F.lit(origin)) / F.lit(width)), F.lit(0)
+            ),
+            F.lit(k - 1),
+        )
+        out.append(
+            F.array(
+                *[
+                    F.sum(F.when(b == i, 1).otherwise(0)).cast("long")
+                    for i in range(k)
+                ]
+            ).alias(f"{c}_hist")
+        )
+    return out
+
+
+def hist_merge_aggs(cols: list[str]) -> list:
+    """Merge aggregates for existing `<col>_hist` columns: element-wise sum
+    via collect_list + fold (groups are tier-bounded — ≤24 hourly rows per
+    day, ≤31 daily per month — so the collected list is tiny). The zero
+    array takes its length from the first element, keeping the merge
+    spec-agnostic."""
+    out = []
+    for c in cols:
+        lst = F.collect_list(c)
+        zero = F.array_repeat(
+            F.lit(0).cast("long"), F.size(F.element_at(lst, F.lit(1)))
+        )
+        out.append(
+            F.aggregate(
+                lst, zero, lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)
+            ).alias(c)
+        )
+    return out
+
 
 def rollup_hourly(
-    t0: DataFrame, sketch_cols: list[str] | None = None
+    t0: DataFrame,
+    sketch_cols: list[str] | None = None,
+    hist_cols: dict | None = None,
 ) -> DataFrame:
     """Leaf rollup D1: raw turns → hourly tier state.
 
@@ -67,11 +119,16 @@ def rollup_hourly(
     cannot compose hourly→daily→monthly, but HLL register-max union can,
     so `rollup_up` merges these columns with `hll_union_agg` exactly like
     sum/min/max. Nulls are skipped by the sketch (e.g. non-tool turns).
+
+    `hist_cols` ({col: (origin, width, n_bins)}) adds an EXACT mergeable
+    `<col>_hist` array<long> of bin counts per spec'd column — distribution
+    state that composes hourly→daily→monthly (and across salts) by
+    element-wise addition, bit-identically to recomputing from raw.
     """
     sketch_aggs = [
         F.hll_sketch_agg(c, F.lit(HLL_LGK)).alias(f"{c}_hll")
         for c in (sketch_cols or [])
-    ]
+    ] + hist_partial_aggs(hist_cols)
     df = with_metrics(t0)
     hourly = (
         # date_trunc returns session-TZ TIMESTAMP; the engine's canonical
@@ -142,7 +199,9 @@ def densify_hourly_locf(hourly: DataFrame) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     gap = F.col("n_turns").isNull()
-    carry_cols = STATE_COLS + [c for c in hourly.columns if c.endswith("_hll")]
+    carry_cols = STATE_COLS + [
+        c for c in hourly.columns if c.endswith("_hll") or c.endswith("_hist")
+    ]
     return dense.select(
         "conv_id",
         "bucket_start",
@@ -173,7 +232,7 @@ def rollup_up(lower: DataFrame, to_tier: str) -> DataFrame:
         F.hll_union_agg(c).alias(c)
         for c in lower.columns
         if c.endswith("_hll")
-    ]
+    ] + hist_merge_aggs([c for c in lower.columns if c.endswith("_hist")])
     return (
         observed_state(lower).groupBy(
             "conv_id",
@@ -199,10 +258,12 @@ def rollup_up(lower: DataFrame, to_tier: str) -> DataFrame:
 
 
 def build_tiers(
-    t0: DataFrame, sketch_cols: list[str] | None = None
+    t0: DataFrame,
+    sketch_cols: list[str] | None = None,
+    hist_cols: dict | None = None,
 ) -> dict[str, DataFrame]:
     """raw → {hourly, daily, monthly} tier-state DataFrames."""
-    hourly = rollup_hourly(t0, sketch_cols=sketch_cols)
+    hourly = rollup_hourly(t0, sketch_cols=sketch_cols, hist_cols=hist_cols)
     daily = rollup_up(hourly, "daily")
     monthly = rollup_up(daily, "monthly")
     return {"hourly": hourly, "daily": daily, "monthly": monthly}

@@ -59,7 +59,10 @@ def hot_conversations(t0: DataFrame, top_k: int = 20) -> DataFrame:
 
 
 def rollup_hourly_salted(
-    t0: DataFrame, n_salts: int = 16, sketch_cols: list[str] | None = None
+    t0: DataFrame,
+    n_salts: int = 16,
+    sketch_cols: list[str] | None = None,
+    hist_cols: dict | None = None,
 ) -> DataFrame:
     """F6: two-phase salted leaf rollup.
 
@@ -70,18 +73,20 @@ def rollup_hourly_salted(
     must bypass it (SURVEY.md §7.3). HLL sketch columns DO pass through:
     register-max union is associative, so per-salt sketches union to the
     estimate-exact equivalent of the unsalted sketch (asserted in
-    tests/test_pipeline_sketches.py).
+    tests/test_pipeline_sketches.py). Histogram columns (`hist_cols`) pass
+    through EXACTLY: per-salt bin-count arrays sum element-wise to the
+    bit-identical unsalted histogram.
     """
-    from .rollup import HLL_LGK
+    from .rollup import HLL_LGK, hist_merge_aggs, hist_partial_aggs
 
     sketch_partial = [
         F.hll_sketch_agg(c, F.lit(HLL_LGK)).alias(f"{c}_hll")
         for c in (sketch_cols or [])
-    ]
+    ] + hist_partial_aggs(hist_cols)
     sketch_merge = [
         F.hll_union_agg(f"{c}_hll").alias(f"{c}_hll")
         for c in (sketch_cols or [])
-    ]
+    ] + hist_merge_aggs([f"{c}_hist" for c in sorted(hist_cols or {})])
     df = with_metrics(t0).withColumn(
         "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_salts))
     )

@@ -132,6 +132,60 @@ def tier_hourly_evolved(spark, sf_dir):
 
 
 @register(
+    "tier_hist_pipeline_monthly",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts,
+             CAST(length(props) AS BIGINT) AS token_count
+      FROM events
+    ),
+    grp AS (
+      SELECT DISTINCT conv_id,
+             CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket_start
+      FROM t0),
+    bins AS (SELECT range AS bin FROM range(16)),
+    counts AS (
+      SELECT conv_id,
+             CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket_start,
+             CAST(LEAST(GREATEST(FLOOR(token_count / 1.0), 0), 15) AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM t0 GROUP BY 1, 2, 3)
+    SELECT g.conv_id, g.bucket_start, b.bin,
+           CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+    FROM grp g CROSS JOIN bins b
+    LEFT JOIN counts c
+      ON c.conv_id = g.conv_id AND c.bucket_start = g.bucket_start
+         AND c.bin = b.bin
+    """,
+)
+def tier_hist_pipeline_monthly(spark, sf_dir):
+    """Exact mergeable histogram tier state through the REAL pipeline, on
+    the SALTED path: TierPipeline(salted=True, hist_cols=...) rolls
+    per-(conv, hour) bin-count arrays raw→hourly→daily→monthly (element-wise
+    long sums at every hop and across salts), then the monthly arrays
+    explode to (conv, month, bin, cnt) rows the oracle recomputes directly
+    from raw — composition and salting proven bit-exact in one hash gate."""
+    import tempfile
+
+    from .pipeline import TierPipeline
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    pipe = TierPipeline(
+        spark,
+        tempfile.mkdtemp(prefix="tier-hist-"),
+        salted=True,
+        hist_cols={"token_count": (0.0, 1.0, 16)},
+        fill_tiers=False,
+    )
+    pipe.run(t0, stages=("hourly", "daily", "monthly"))
+    monthly = pipe.read_tier("monthly")
+    return monthly.select(
+        "conv_id", "bucket_start", F.posexplode("token_count_hist")
+    ).withColumnsRenamed({"pos": "bin", "col": "cnt"})
+
+
+@register(
     "tier_rewrite_range",
     """
     WITH t0 AS (

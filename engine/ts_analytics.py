@@ -1,0 +1,356 @@
+"""Timeseries analytics pack — the continuous-aggregate function family a
+timeseries engine serves on top of its tiers (TWA, counter deltas, OHLC,
+mergeable histograms, LTTB visualization downsampling).
+
+These are the per-series analytics the reference domain's tooling
+(hypertable/continuous-aggregate engines) exposes as first-class aggregates;
+each is expressed Spark-first (window functions + array HOFs, JVM-side) and
+registered under the DuckDB hash gate. Exactness discipline follows
+engine/queries.py's portability rules: integer-cents sums, single final IEEE
+division, explicit unique ORDER BY keys.
+
+Scale notes (100 TB):
+- every query below is one shuffle (window partition or groupBy key =
+  (user_id, bucket)) with partial aggregation where applicable;
+- the histogram state is MERGEABLE (array-of-longs, element-wise sum), so it
+  composes hourly -> monthly exactly like the tier sum/count/min/max algebra
+  and could ride TierPipeline's state tables unchanged;
+- OHLC composes across tiers by carrying (bucket, open/close) and selecting
+  min_by/max_by at the coarser tier — proven against a direct-from-raw
+  oracle (ohlc_weekly_composed);
+- LTTB is per-series sequential by definition; it runs as one Arrow batch
+  per series (applyInPandas), never per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .queries import _t, cents, register
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (LOCF weighting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "twa_locf_daily",
+    """
+    WITH o AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+             epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts, event_id) AS nxt
+      FROM events)
+    SELECT user_id, day,
+           CAST(SUM(v_c * (nxt - us)) AS DOUBLE)
+             / CAST(SUM(nxt - us) AS DOUBLE) / 100.0 AS twa,
+           COUNT(*) AS n_obs
+    FROM o GROUP BY 1, 2
+    HAVING SUM(nxt - us) > 0
+    """,
+)
+def twa_locf_daily(spark, sf_dir):
+    """Time-weighted average with LOCF weighting per (user, day): each
+    observation's value holds until the next observation in the bucket;
+    weight = microseconds held. Irregular sampling makes the plain mean
+    wrong (a value sampled 100x in one minute would dominate the day); TWA
+    is the standard continuous-aggregate answer. Exactness: integer cents x
+    integer microsecond weights sum exactly; one final IEEE division."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    base = e.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        cents(F.col("value")).alias("v_c"),
+        us.alias("us"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    obs = base.withColumn("dur", F.lead("us").over(w) - F.col("us"))
+    agg = obs.groupBy("user_id", "day").agg(
+        F.sum(F.col("v_c") * F.col("dur")).alias("vw"),
+        F.sum("dur").alias("wsum"),
+        F.count("*").alias("n_obs"),
+    )
+    # wsum > 0 (not twa IS NOT NULL): an all-simultaneous bucket has
+    # wsum = 0 and Spark's 0/0.0 is NaN, not NULL — the filter must match
+    # the oracle's HAVING SUM(...) > 0 exactly
+    return agg.filter(F.col("wsum") > 0).select(
+        "user_id",
+        "day",
+        (
+            F.col("vw").cast("double") / F.col("wsum").cast("double") / F.lit(100.0)
+        ).alias("twa"),
+        "n_obs",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Counter aggregation (reset-aware delta)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "counter_delta_hourly",
+    """
+    WITH o AS (
+      SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+             lag(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS prev
+      FROM events)
+    SELECT user_id, hour_start,
+           CAST(SUM(CASE WHEN prev IS NULL THEN 0
+                         WHEN v_c >= prev THEN v_c - prev
+                         ELSE v_c END) AS BIGINT) AS delta_c,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND v_c < prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+           COUNT(*) AS n_obs
+    FROM o GROUP BY 1, 2
+    """,
+)
+def counter_delta_hourly(spark, sf_dir):
+    """Monotonic-counter delta per (user, hour) with reset detection: a drop
+    means the counter restarted, so the post-reset reading contributes
+    whole (the Prometheus increase()/TimescaleDB counter_agg rule). All
+    arithmetic on integer cents — exact under any partitioning."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        cents(F.col("value")).alias("v_c"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "hour_start").orderBy("ts", "event_id")
+    obs = base.withColumn("prev", F.lag("v_c").over(w))
+    step = (
+        F.when(F.col("prev").isNull(), F.lit(0))
+        .when(F.col("v_c") >= F.col("prev"), F.col("v_c") - F.col("prev"))
+        .otherwise(F.col("v_c"))
+    )
+    reset = F.when(
+        F.col("prev").isNotNull() & (F.col("v_c") < F.col("prev")), 1
+    ).otherwise(0)
+    return obs.groupBy("user_id", "hour_start").agg(
+        F.sum(step).cast("long").alias("delta_c"),
+        F.sum(reset).cast("long").alias("n_resets"),
+        F.count("*").alias("n_obs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC (open/high/low/close) + cross-tier composition
+# ---------------------------------------------------------------------------
+
+
+def _ohlc(df, bucket_col):
+    """OHLC per (user_id, <bucket>) from raw events: open/close by unique
+    (ts, event_id) order, high/low plain min/max — no float accumulation."""
+    base = df.select(
+        "user_id", bucket_col.alias("bucket"), "value", "ts", "event_id"
+    )
+    wa = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        base.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_v"),
+            F.count("*").alias("n_obs"),
+        )
+    )
+
+
+_OHLC_SQL = """
+    WITH o AS (
+      SELECT user_id, CAST(date_trunc('{g}', ts) AS TIMESTAMP) AS {out}, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('{g}', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, date_trunc('{g}', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT user_id, {out},
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+           MAX(value) AS high_v, MIN(value) AS low_v,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+           COUNT(*) AS n_obs
+    FROM o GROUP BY 1, 2
+"""
+
+
+@register("ohlc_daily", _OHLC_SQL.format(g="day", out="day"))
+def ohlc_daily(spark, sf_dir):
+    """Daily OHLC bars per user — first/last by unique (ts, event_id) order
+    plus min/max; the leaf tier of the OHLC algebra."""
+    e = _t(spark, sf_dir, "events")
+    return _ohlc(e, F.date_trunc("day", "ts")).withColumnRenamed("bucket", "day")
+
+
+@register("ohlc_weekly_composed", _OHLC_SQL.format(g="week", out="week"))
+def ohlc_weekly_composed(spark, sf_dir):
+    """OHLC tier composition: weekly bars computed FROM THE DAILY BARS —
+    open = open of earliest day (min_by), close = close of latest (max_by),
+    high/low = max/min of day highs/lows, n = sum — while the oracle
+    computes the week directly from raw events. Hash equality proves the
+    OHLC algebra composes across tiers exactly (same re-rollup property the
+    sum/count/min/max tier state has, with (bucket, open/close) carriers)."""
+    e = _t(spark, sf_dir, "events")
+    daily = _ohlc(e, F.date_trunc("day", "ts")).withColumnRenamed("bucket", "day")
+    return (
+        daily.groupBy("user_id", F.date_trunc("week", "day").alias("week"))
+        .agg(
+            F.min_by("open_v", "day").alias("open_v"),
+            F.max("high_v").alias("high_v"),
+            F.min("low_v").alias("low_v"),
+            F.max_by("close_v", "day").alias("close_v"),
+            F.sum("n_obs").alias("n_obs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram state (array-of-longs tier algebra)
+# ---------------------------------------------------------------------------
+
+_HIST_K = 8
+_HIST_W = 64.0  # events.value spans [0, ~490]; 8 x 64 covers it
+
+
+@register(
+    "hist_tier_monthly",
+    f"""
+    WITH bins AS (SELECT range AS bin FROM range({_HIST_K})),
+    grp AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS month
+      FROM events),
+    counts AS (
+      SELECT user_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+             CAST(LEAST(FLOOR(value / {_HIST_W}), {_HIST_K - 1}) AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2, 3)
+    SELECT g.user_id, g.month, b.bin,
+           CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+    FROM grp g CROSS JOIN bins b
+    LEFT JOIN counts c
+      ON c.user_id = g.user_id AND c.month = g.month AND c.bin = b.bin
+    """,
+)
+def hist_tier_monthly(spark, sf_dir):
+    """Mergeable fixed-bin histogram as tier state: hourly rows hold an
+    array<long> of bin counts; the monthly tier merges them with
+    zip_with(+) inside F.aggregate — element-wise long addition is
+    commutative, so collect_list's nondeterministic order cannot change the
+    result. This is the same merge shape as the HLL sketch columns
+    (engine/rollup.py sketch_cols) with an exact, explodable state. Oracle
+    computes the monthly bins directly from raw."""
+    e = _t(spark, sf_dir, "events")
+    bin_expr = F.least(
+        F.floor(F.col("value") / F.lit(_HIST_W)), F.lit(_HIST_K - 1)
+    )
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.array(
+            *[
+                F.sum(F.when(bin_expr == i, 1).otherwise(0)).cast("long")
+                for i in range(_HIST_K)
+            ]
+        ).alias("hist")
+    )
+    zero = F.array(*[F.lit(0).cast("long")] * _HIST_K)
+    monthly = hourly.groupBy(
+        "user_id", F.date_trunc("month", "hour").alias("month")
+    ).agg(
+        F.aggregate(
+            F.collect_list("hist"),
+            zero,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("hist")
+    )
+    return monthly.select(
+        "user_id", "month", F.posexplode("hist")
+    ).withColumnsRenamed({"pos": "bin", "col": "cnt"})
+
+
+# ---------------------------------------------------------------------------
+# LTTB visualization downsampling
+# ---------------------------------------------------------------------------
+
+LTTB_N_OUT = 24
+
+
+def lttb(ts_us: np.ndarray, vals: np.ndarray, n_out: int):
+    """Largest-Triangle-Three-Buckets downsample of one series (Steinarsson
+    2013, public thesis algorithm): keep the endpoints; split the interior
+    into n_out-2 buckets; in each bucket keep the point forming the largest
+    triangle with the previously kept point and the NEXT bucket's centroid.
+    Ties break to the earliest point (np.argmax first-hit) — deterministic
+    under the unique (ts, event_id) input order. Returns selected indices."""
+    n = len(ts_us)
+    if n_out >= n or n_out < 3:
+        return np.arange(n)
+    edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)  # bucket bounds
+    sel = [0]
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = edges[i], edges[i + 1]
+        nlo, nhi = (hi, n) if i == n_out - 3 else (hi, edges[i + 2])
+        cx = ts_us[nlo:nhi].mean()
+        cy = vals[nlo:nhi].mean()
+        ax, ay = ts_us[a], vals[a]
+        # vectorized triangle areas for every candidate in the bucket
+        area = np.abs(
+            (ax - cx) * (vals[lo:hi] - ay) - (ax - ts_us[lo:hi]) * (cy - ay)
+        )
+        a = lo + int(np.argmax(area))
+        sel.append(a)
+    sel.append(n - 1)
+    return np.asarray(sel, dtype=np.int64)
+
+
+@register("lttb_downsample")  # rows-only: sequential-per-series, no SQL oracle
+def lttb_downsample(spark, sf_dir):
+    """Per-user LTTB downsample to LTTB_N_OUT points — the standard
+    visualization-grade downsampling operator. Non-SQL-expressible (each
+    bucket's pick depends on the previous pick), so the driver records a
+    rows-only check; tests/test_ts_analytics.py pins parity against a
+    brute-force reference plus endpoint/bucket invariants. Runs as one
+    Arrow batch per series (applyInPandas); the per-bucket argmax is
+    numpy-vectorized."""
+    e = _t(spark, sf_dir, "events")
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], ignore_index=True)
+        idx = lttb(
+            pdf["ts"].astype("int64").to_numpy().astype(np.float64),
+            pdf["value"].to_numpy(),
+            LTTB_N_OUT,
+        )
+        out = pdf.iloc[idx][["user_id", "ts", "event_id", "value"]].copy()
+        out["pt_rank"] = np.arange(len(idx), dtype=np.int64)
+        return out
+
+    return (
+        e.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            fill,
+            "user_id bigint, ts timestamp_ntz, event_id bigint, "
+            "value double, pt_rank bigint",
+        )
+    )

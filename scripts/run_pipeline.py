@@ -44,6 +44,15 @@ def main():
     ap.add_argument("--sketch-cols", default=None,
                     help="comma-separated raw columns to sketch into "
                          "mergeable HLL tier state (e.g. 'tool')")
+    ap.add_argument("--hist-cols", default=None,
+                    help="exact mergeable histogram tier state, "
+                         "'col:origin:width:nbins[,col:...]' "
+                         "(e.g. 'token_count:0:32:8')")
+    ap.add_argument("--compact-zorder", default=None,
+                    help="after the run, z-order-compact a tier: "
+                         "'tier:col1:col2' (e.g. "
+                         "'gapfill:conv_id:bucket_start') — multi-dim "
+                         "row-group skipping via Morton clustering")
     ap.add_argument("--expire-keep-last", type=int, default=None,
                     help="snapshot GC after the run: keep newest N "
                          "snapshots per table (requires --snapshots)")
@@ -80,8 +89,28 @@ def main():
             if args.sketch_cols
             else None
         ),
+        hist_cols=(
+            {
+                s.split(":")[0]: (
+                    float(s.split(":")[1]),
+                    float(s.split(":")[2]),
+                    int(s.split(":")[3]),
+                )
+                for s in args.hist_cols.split(",")
+                if s
+            }
+            if args.hist_cols
+            else None
+        ),
     )
     result = pipe.run(t0)
+
+    if args.compact_zorder:
+        from engine.retention import compact_partition
+
+        tier, c1, c2 = args.compact_zorder.split(":")
+        compact_partition(pipe, tier, zorder=(c1, c2))
+        result["zorder_compacted"] = args.compact_zorder
 
     if args.expire_keep_last:
         from engine.retention import expire_snapshots

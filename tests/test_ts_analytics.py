@@ -1,0 +1,150 @@
+"""Timeseries analytics pack (engine/ts_analytics.py): oracle parity for
+the SQL-expressible aggregates, invariants + brute-force parity for LTTB."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from engine.queries import ORACLE_SQL, QUERIES  # noqa: E402
+from engine.ts_analytics import LTTB_N_OUT, lttb  # noqa: E402
+from tests.oracle_utils import assert_frames_match, duck_run  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ORACLE_QUERIES = [
+    "twa_locf_daily",
+    "counter_delta_hourly",
+    "ohlc_daily",
+    "ohlc_weekly_composed",
+    "hist_tier_monthly",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, name):
+    spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
+    assert len(spark_pdf) > 0
+    duck_pdf = duck_run(SF_DIR, ORACLE_SQL[name])
+    assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+def test_twa_differs_from_plain_mean_under_irregular_sampling(spark):
+    """The reason TWA exists: clustering samples must not move it. A series
+    holding value 10 for an hour then 20 for an hour has TWA 15 no matter
+    how many times each level was sampled."""
+    import pandas as pd
+
+    rows = []
+    # value 10 sampled 100x in the first hour, 20 sampled once at hour 2,
+    # observation window closed by a final sample at hour 3
+    for i in range(100):
+        rows.append((1, pd.Timestamp("2024-01-01 00:00:00") + pd.Timedelta(seconds=i), 10.0, i))
+    rows.append((1, pd.Timestamp("2024-01-01 01:00:00"), 20.0, 1000))
+    rows.append((1, pd.Timestamp("2024-01-01 02:00:00"), 20.0, 1001))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="twa-")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = QUERIES["twa_locf_daily"](spark, d).toPandas()
+    assert len(got) == 1
+    # 10 held ~59:59 + a bit, 20 held 1h: TWA ~= (10*3600 + 20*3600) / 7200
+    assert abs(got["twa"].iloc[0] - 15.0) < 0.01
+    # the plain mean would be dragged to ~10 by the 100 clustered samples
+    assert abs((100 * 10 + 2 * 20) / 102 - 10.2) < 0.01
+
+
+def test_counter_reset_rule(spark):
+    """A reset (drop) contributes the post-reset reading, not a negative."""
+    import pandas as pd
+    import tempfile
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        (1, t0, 100.0, 1),
+        (1, t0 + pd.Timedelta(minutes=1), 150.0, 2),  # +50
+        (1, t0 + pd.Timedelta(minutes=2), 30.0, 3),  # reset -> +30
+        (1, t0 + pd.Timedelta(minutes=3), 90.0, 4),  # +60
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
+    )
+    d = tempfile.mkdtemp(prefix="ctr-")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = QUERIES["counter_delta_hourly"](spark, d).toPandas()
+    assert len(got) == 1
+    assert int(got["delta_c"].iloc[0]) == (50 + 30 + 60) * 100
+    assert int(got["n_resets"].iloc[0]) == 1
+
+
+# ---------------------------------------------------------------------------
+# LTTB
+# ---------------------------------------------------------------------------
+
+
+def _lttb_reference(ts, vals, n_out):
+    """Straight-from-the-thesis scalar implementation (no vectorization)."""
+    n = len(ts)
+    if n_out >= n or n_out < 3:
+        return list(range(n))
+    edges = np.linspace(1, n - 1, n_out - 1).astype(int)
+    sel = [0]
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = edges[i], edges[i + 1]
+        nlo, nhi = (hi, n) if i == n_out - 3 else (hi, edges[i + 2])
+        cx = float(np.mean(ts[nlo:nhi]))
+        cy = float(np.mean(vals[nlo:nhi]))
+        best, best_area = lo, -1.0
+        for j in range(lo, hi):
+            area = abs(
+                (ts[a] - cx) * (vals[j] - vals[a])
+                - (ts[a] - ts[j]) * (cy - vals[a])
+            )
+            if area > best_area:
+                best, best_area = j, area
+        sel.append(best)
+        a = best
+    sel.append(n - 1)
+    return sel
+
+
+def test_lttb_matches_reference_and_invariants():
+    rng = np.random.RandomState(42)
+    for n, n_out in [(500, 24), (100, 10), (23, 24), (3, 3), (1000, 3)]:
+        ts = np.sort(rng.uniform(0, 1e6, n)).astype(np.float64)
+        vals = rng.normal(0, 1, n)
+        got = lttb(ts, vals, n_out)
+        ref = _lttb_reference(ts, vals, n_out)
+        assert list(got) == list(ref), (n, n_out)
+        if n_out < n and n_out >= 3:
+            assert len(got) == n_out
+            assert got[0] == 0 and got[-1] == n - 1
+            assert np.all(np.diff(got) > 0)  # strictly increasing indices
+
+
+def test_lttb_spark_query(spark):
+    got = QUERIES["lttb_downsample"](spark, SF_DIR).toPandas()
+    assert len(got) > 0
+    per_user = got.groupby("user_id")
+    import pandas as pd
+
+    events = pd.read_parquet(os.path.join(SF_DIR, "events.parquet"))
+    n_per_user = events.groupby("user_id").size()
+    for uid, grp in per_user:
+        n = int(n_per_user[uid])
+        assert len(grp) == min(n, LTTB_N_OUT)
+        grp = grp.sort_values("pt_rank")
+        assert grp["ts"].is_monotonic_increasing
+        # endpoints preserved
+        src = events[events.user_id == uid].sort_values(["ts", "event_id"])
+        assert grp["event_id"].iloc[0] == src["event_id"].iloc[0]
+        assert grp["event_id"].iloc[-1] == src["event_id"].iloc[-1]

@@ -78,6 +78,7 @@ class TierPipeline:
         snapshots: bool = False,
         sketch_cols: list[str] | None = None,
         hist_cols: dict | None = None,
+        firstlast_cols: list[str] | None = None,
         wap: bool = False,
         wap_audit=None,
         hourly_layout: int = 1,
@@ -114,6 +115,12 @@ class TierPipeline:
         #: enabling histograms on an existing root is a one-time
         #: manifest-gated backfill.
         self.hist_cols = dict(hist_cols or {})
+        #: exact first/last (open/close) tier state per raw column, carried
+        #: with its unique (ts, turn_idx) order keys so it composes across
+        #: tiers and salts bit-identically (engine/rollup.py
+        #: firstlast_partial_aggs). Fingerprint + migration story identical
+        #: to hist_cols.
+        self.firstlast_cols = sorted(firstlast_cols or [])
         #: write-audit-publish (requires snapshots): a run writes every
         #: stage into STAGED (unpublished) snapshots with manifest commits
         #: deferred; at the seal, `wap_audit(pipe)` (if given) inspects the
@@ -165,6 +172,8 @@ class TierPipeline:
                     for c, (o, w, k) in sorted(self.hist_cols.items())
                 )
             )
+        if self.firstlast_cols:
+            parts.append("fl:" + ";".join(self.firstlast_cols))
         if self.hourly_layout != 1:
             parts.append(f"layout:{self.hourly_layout}")
         return "|".join(p for p in parts if p)
@@ -192,6 +201,13 @@ class TierPipeline:
             ]
             # hist arrays are exact + deterministic — hash them raw
             + [F.col(f"{c}_hist") for c in sorted(self.hist_cols)]
+            # first/last values are exact + deterministic (unique order
+            # keys) — hash them raw too
+            + [
+                F.col(f"{c}_{side}")
+                for c in self.firstlast_cols
+                for side in ("first", "last")
+            ]
         )
 
     # -- paths -------------------------------------------------------------
@@ -946,12 +962,14 @@ class TierPipeline:
                     self.n_salts,
                     sketch_cols=self.sketch_cols,
                     hist_cols=self.hist_cols,
+                    firstlast_cols=self.firstlast_cols,
                 )
                 if self.salted
                 else rollup_hourly(
                     inp,
                     sketch_cols=self.sketch_cols,
                     hist_cols=self.hist_cols,
+                    firstlast_cols=self.firstlast_cols,
                 )
             )
             if self.fill_tiers:

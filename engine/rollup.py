@@ -102,10 +102,56 @@ def hist_merge_aggs(cols: list[str]) -> list:
     return out
 
 
+def firstlast_partial_aggs(firstlast_cols: list[str] | None) -> list:
+    """Leaf aggregates for first/last (open/close) tier state: per spec'd
+    column `{c}_first`/`{c}_last` = the column's value at the bucket's
+    earliest/latest turn, plus TWO SHARED order-key carriers `fl_k_first` /
+    `fl_k_last` (min/max of the unique (ts, turn_idx) struct). Carrying the
+    keys is what makes the state mergeable: an upper tier picks the lower
+    row whose carried key wins (min_by/max_by), the same carrier trick OHLC
+    composition uses (engine/ts_analytics.py ohlc_weekly_composed), so the
+    algebra is EXACT under both salting and tier composition — the order
+    key is globally unique, so there are no ties for min_by to break
+    nondeterministically."""
+    cols = list(firstlast_cols or [])
+    if not cols:
+        return []
+    # NTZ like every persisted timestamp in the engine (B5 canonicalization)
+    key = F.struct(
+        F.col("ts").cast("timestamp_ntz").alias("k_ts"),
+        F.col("turn_idx").alias("k_idx"),
+    )
+    out = [F.min(key).alias("fl_k_first"), F.max(key).alias("fl_k_last")]
+    for c in sorted(cols):
+        out.append(F.min_by(c, key).alias(f"{c}_first"))
+        out.append(F.max_by(c, key).alias(f"{c}_last"))
+    return out
+
+
+def firstlast_merge_aggs(columns: list[str]) -> list:
+    """Merge aggregates for existing first/last state: `{c}_first` follows
+    the minimal carried first-key, `{c}_last` the maximal last-key, and the
+    keys themselves merge by min/max — associative + commutative, so
+    per-salt partials and tier re-rollups compose bit-identically."""
+    if "fl_k_first" not in columns:
+        return []
+    out = [
+        F.min("fl_k_first").alias("fl_k_first"),
+        F.max("fl_k_last").alias("fl_k_last"),
+    ]
+    for c in columns:
+        if c.endswith("_first") and c != "fl_k_first":
+            out.append(F.min_by(c, "fl_k_first").alias(c))
+        elif c.endswith("_last") and c != "fl_k_last":
+            out.append(F.max_by(c, "fl_k_last").alias(c))
+    return out
+
+
 def rollup_hourly(
     t0: DataFrame,
     sketch_cols: list[str] | None = None,
     hist_cols: dict | None = None,
+    firstlast_cols: list[str] | None = None,
 ) -> DataFrame:
     """Leaf rollup D1: raw turns → hourly tier state.
 
@@ -124,11 +170,19 @@ def rollup_hourly(
     `<col>_hist` array<long> of bin counts per spec'd column — distribution
     state that composes hourly→daily→monthly (and across salts) by
     element-wise addition, bit-identically to recomputing from raw.
+
+    `firstlast_cols` adds exact open/close state: `{c}_first`/`{c}_last`
+    plus the shared order-key carriers that make first/last composable
+    across tiers (see firstlast_partial_aggs).
     """
-    sketch_aggs = [
-        F.hll_sketch_agg(c, F.lit(HLL_LGK)).alias(f"{c}_hll")
-        for c in (sketch_cols or [])
-    ] + hist_partial_aggs(hist_cols)
+    sketch_aggs = (
+        [
+            F.hll_sketch_agg(c, F.lit(HLL_LGK)).alias(f"{c}_hll")
+            for c in (sketch_cols or [])
+        ]
+        + hist_partial_aggs(hist_cols)
+        + firstlast_partial_aggs(firstlast_cols)
+    )
     df = with_metrics(t0)
     hourly = (
         # date_trunc returns session-TZ TIMESTAMP; the engine's canonical
@@ -200,7 +254,12 @@ def densify_hourly_locf(hourly: DataFrame) -> DataFrame:
     )
     gap = F.col("n_turns").isNull()
     carry_cols = STATE_COLS + [
-        c for c in hourly.columns if c.endswith("_hll") or c.endswith("_hist")
+        c
+        for c in hourly.columns
+        if c.endswith("_hll")
+        or c.endswith("_hist")
+        or c.endswith("_first")
+        or c.endswith("_last")
     ]
     return dense.select(
         "conv_id",
@@ -228,11 +287,15 @@ def rollup_up(lower: DataFrame, to_tier: str) -> DataFrame:
     unit = TIER_UNIT[to_tier]
     # any HLL sketch columns in the lower tier merge upward by register-max
     # union — same one-shuffle partial+final shape as the algebraic aggs
-    sketch_merges = [
-        F.hll_union_agg(c).alias(c)
-        for c in lower.columns
-        if c.endswith("_hll")
-    ] + hist_merge_aggs([c for c in lower.columns if c.endswith("_hist")])
+    sketch_merges = (
+        [
+            F.hll_union_agg(c).alias(c)
+            for c in lower.columns
+            if c.endswith("_hll")
+        ]
+        + hist_merge_aggs([c for c in lower.columns if c.endswith("_hist")])
+        + firstlast_merge_aggs(lower.columns)
+    )
     return (
         observed_state(lower).groupBy(
             "conv_id",
@@ -261,9 +324,15 @@ def build_tiers(
     t0: DataFrame,
     sketch_cols: list[str] | None = None,
     hist_cols: dict | None = None,
+    firstlast_cols: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """raw → {hourly, daily, monthly} tier-state DataFrames."""
-    hourly = rollup_hourly(t0, sketch_cols=sketch_cols, hist_cols=hist_cols)
+    hourly = rollup_hourly(
+        t0,
+        sketch_cols=sketch_cols,
+        hist_cols=hist_cols,
+        firstlast_cols=firstlast_cols,
+    )
     daily = rollup_up(hourly, "daily")
     monthly = rollup_up(daily, "monthly")
     return {"hourly": hourly, "daily": daily, "monthly": monthly}

@@ -63,6 +63,7 @@ def rollup_hourly_salted(
     n_salts: int = 16,
     sketch_cols: list[str] | None = None,
     hist_cols: dict | None = None,
+    firstlast_cols: list[str] | None = None,
 ) -> DataFrame:
     """F6: two-phase salted leaf rollup.
 
@@ -75,18 +76,44 @@ def rollup_hourly_salted(
     estimate-exact equivalent of the unsalted sketch (asserted in
     tests/test_pipeline_sketches.py). Histogram columns (`hist_cols`) pass
     through EXACTLY: per-salt bin-count arrays sum element-wise to the
-    bit-identical unsalted histogram.
+    bit-identical unsalted histogram. First/last columns (`firstlast_cols`)
+    also pass through exactly: the carried unique order keys pick the same
+    winning row whichever salt it landed on.
     """
-    from .rollup import HLL_LGK, hist_merge_aggs, hist_partial_aggs
+    from .rollup import (
+        HLL_LGK,
+        firstlast_merge_aggs,
+        firstlast_partial_aggs,
+        hist_merge_aggs,
+        hist_partial_aggs,
+    )
 
-    sketch_partial = [
-        F.hll_sketch_agg(c, F.lit(HLL_LGK)).alias(f"{c}_hll")
-        for c in (sketch_cols or [])
-    ] + hist_partial_aggs(hist_cols)
-    sketch_merge = [
-        F.hll_union_agg(f"{c}_hll").alias(f"{c}_hll")
-        for c in (sketch_cols or [])
-    ] + hist_merge_aggs([f"{c}_hist" for c in sorted(hist_cols or {})])
+    fl_partial = firstlast_partial_aggs(firstlast_cols)
+    sketch_partial = (
+        [
+            F.hll_sketch_agg(c, F.lit(HLL_LGK)).alias(f"{c}_hll")
+            for c in (sketch_cols or [])
+        ]
+        + hist_partial_aggs(hist_cols)
+        + fl_partial
+    )
+    sketch_merge = (
+        [
+            F.hll_union_agg(f"{c}_hll").alias(f"{c}_hll")
+            for c in (sketch_cols or [])
+        ]
+        + hist_merge_aggs([f"{c}_hist" for c in sorted(hist_cols or {})])
+        + firstlast_merge_aggs(
+            ["fl_k_first", "fl_k_last"]
+            + [
+                f"{c}_{side}"
+                for c in sorted(firstlast_cols or [])
+                for side in ("first", "last")
+            ]
+            if firstlast_cols
+            else []
+        )
+    )
     df = with_metrics(t0).withColumn(
         "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_salts))
     )

@@ -186,6 +186,64 @@ def tier_hist_pipeline_monthly(spark, sf_dir):
 
 
 @register(
+    "tier_firstlast_pipeline_monthly",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts,
+             CAST(length(props) AS BIGINT) AS token_count,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS turn_idx
+      FROM events),
+    o AS (
+      SELECT conv_id,
+             CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket_start,
+             token_count,
+             row_number() OVER (PARTITION BY conv_id, date_trunc('month', ts)
+                                ORDER BY ts, turn_idx) AS rn_a,
+             row_number() OVER (PARTITION BY conv_id, date_trunc('month', ts)
+                                ORDER BY ts DESC, turn_idx DESC) AS rn_d
+      FROM t0)
+    SELECT conv_id, bucket_start,
+           MAX(CASE WHEN rn_a = 1 THEN token_count END) AS first_tokens,
+           MAX(CASE WHEN rn_d = 1 THEN token_count END) AS last_tokens,
+           COUNT(*) AS n_turns
+    FROM o GROUP BY 1, 2
+    """,
+)
+def tier_firstlast_pipeline_monthly(spark, sf_dir):
+    """Exact first/last (open/close) tier state through the REAL pipeline on
+    the SALTED path: TierPipeline(salted=True, firstlast_cols=...) carries
+    each bucket's earliest/latest token_count with its unique (ts, turn_idx)
+    order key, composing raw→hourly→daily→monthly and across salts via
+    min_by/max_by on the carried keys (engine/rollup.py
+    firstlast_partial_aggs). The oracle recomputes the month's first/last
+    directly from raw events — hash equality proves the carrier algebra is
+    exact, the same composition OHLC bars use (ts_analytics.py)."""
+    import tempfile
+
+    from .pipeline import TierPipeline
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    pipe = TierPipeline(
+        spark,
+        tempfile.mkdtemp(prefix="tier-fl-"),
+        salted=True,
+        firstlast_cols=["token_count"],
+        fill_tiers=False,
+    )
+    pipe.run(t0, stages=("hourly", "daily", "monthly"))
+    monthly = pipe.read_tier("monthly")
+    return monthly.select(
+        "conv_id",
+        "bucket_start",
+        F.col("token_count_first").alias("first_tokens"),
+        F.col("token_count_last").alias("last_tokens"),
+        "n_turns",
+    )
+
+
+@register(
     "tier_rewrite_range",
     """
     WITH t0 AS (

@@ -253,7 +253,40 @@ def test_connected_components_logn_rounds_on_path_graph(spark):
         F.col("id").alias("u"), (F.col("id") + 1).alias("v")
     )
     stats = {}
-    lbl = connected_components(edges, stats=stats)
+    # driver_threshold=0 forces the DISTRIBUTED loop — this test pins its
+    # O(log n) round bound (the numpy fast path would otherwise absorb a
+    # 10k-edge graph)
+    lbl = connected_components(edges, stats=stats, driver_threshold=0)
     assert stats["rounds"] <= math.ceil(math.log2(n)) + 1, stats
+    assert "driver" not in stats
     assert lbl.filter(F.col("component_id") != 0).count() == 0
     assert lbl.count() == n
+
+
+def test_connected_components_driver_path_parity(spark):
+    """The bounded-collect numpy fast path returns exactly the distributed
+    result — same (node, component_id = min id) rows — on a mixed topology
+    (two chains, a star, a triangle bridge, singleton-free)."""
+    from engine.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21), (20, 22),
+         (20, 23), (4, 10), (30, 31), (31, 32), (32, 30)],
+        "u long, v long",
+    )
+    stats_d, stats_s = {}, {}
+    fast = {
+        (r["node"], r["component_id"])
+        for r in connected_components(edges, stats=stats_d).collect()
+    }
+    slow = {
+        (r["node"], r["component_id"])
+        for r in connected_components(
+            edges, stats=stats_s, driver_threshold=0
+        ).collect()
+    }
+    assert stats_d.get("driver") is True
+    assert "driver" not in stats_s
+    assert fast == slow
+    # chains 1-2-3-4-10-11-12 merged via the 4-10 bridge
+    assert (12, 1) in fast and (21, 20) in fast and (32, 30) in fast

@@ -152,3 +152,51 @@ def rewrite_range_distinct(
     return u.groupBy("conv_id").agg(
         F.hll_sketch_estimate(F.hll_union_agg(sk)).alias(f"{col}_distinct_est")
     )
+
+
+#: hourly-tier state an on-the-fly tail rollup reproduces exactly
+_SERVE_COLS = [
+    "conv_id",
+    "bucket_start",
+    "n_turns",
+    "token_sum",
+    "token_min",
+    "token_max",
+    "tool_sum",
+]
+
+
+def serve_hourly_realtime(
+    hourly: DataFrame, t0: DataFrame, watermark
+) -> DataFrame:
+    """Real-time continuous aggregate (TimescaleDB real-time caggs shape):
+    hourly buckets BELOW the materialization watermark come from the
+    persisted tier table; buckets at/after it are aggregated on the fly
+    from the raw tail — one UNION ALL with no overlap and no gap at the
+    seam.
+
+    The filters enforce the seam invariant from both sides: tier rows at or
+    past the watermark are dropped (a materializer that ran ahead must not
+    double-count against the raw tail), and only raw turns at/after the
+    watermark are aggregated (the materialized region is never recomputed).
+    `watermark` must be hour-aligned — a mid-bucket watermark would split a
+    bucket across both sources and double-count it; refuse loudly instead.
+
+    At scale the tail is one partition-pruned scan of the current day (the
+    tier table serves everything older from ~5 orders of magnitude fewer
+    rows), which is what makes the view cheap enough to serve per-query.
+    """
+    from .rollup import rollup_hourly
+
+    if (watermark.minute, watermark.second, watermark.microsecond) != (0, 0, 0):
+        raise ValueError(f"watermark must be hour-aligned: {watermark!r}")
+    wm = F.lit(watermark).cast("timestamp_ntz")
+    mat = (
+        observed_state(hourly)
+        .filter(F.col("bucket_start") < wm)
+        .select(_SERVE_COLS)
+    )
+    tail = rollup_hourly(
+        t0.filter(F.col("ts").cast("timestamp_ntz") >= wm)
+    ).select(_SERVE_COLS)
+    return mat.unionByName(tail)

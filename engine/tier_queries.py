@@ -244,6 +244,52 @@ def tier_firstlast_pipeline_monthly(spark, sf_dir):
 
 
 @register(
+    "realtime_hourly_serve",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts,
+             CAST(length(props) AS BIGINT) AS token_count,
+             CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS BIGINT)
+               AS is_tool
+      FROM events)
+    SELECT conv_id,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+           COUNT(*) AS n_turns,
+           SUM(token_count) AS token_sum,
+           MIN(token_count) AS token_min,
+           MAX(token_count) AS token_max,
+           SUM(is_tool) AS tool_sum
+    FROM t0 GROUP BY 1, 2
+    """,
+)
+def realtime_hourly_serve(spark, sf_dir):
+    """Real-time continuous aggregate (engine/rewrite.py
+    serve_hourly_realtime): the pipeline materializes hourly tiers ONLY for
+    data before the last-day watermark (simulating materializer lag); the
+    serve view unions those persisted tier rows with an on-the-fly rollup
+    of the raw tail. The oracle recomputes ALL hours straight from raw —
+    hash equality proves the seam has no overlap, gap, or double count."""
+    import tempfile
+
+    from .pipeline import TierPipeline
+    from .rewrite import serve_hourly_realtime
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    wm = t0.agg(
+        F.date_trunc("day", F.max("ts")).cast("timestamp_ntz").alias("wm")
+    ).first()["wm"]
+    pipe = TierPipeline(
+        spark, tempfile.mkdtemp(prefix="tier-rt-"), fill_tiers=False
+    )
+    pipe.run(
+        t0.filter(F.col("ts").cast("timestamp_ntz") < F.lit(wm)),
+        stages=("hourly",),
+    )
+    return serve_hourly_realtime(pipe.read_tier("hourly"), t0, wm)
+
+
+@register(
     "tier_rewrite_range",
     """
     WITH t0 AS (

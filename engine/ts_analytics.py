@@ -354,3 +354,194 @@ def lttb_downsample(spark, sf_dir):
             "value double, pt_rank bigint",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-N + "others" rollup (dashboard series-limit operator)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topn_plus_others_daily",
+    """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_c
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT *, row_number() OVER (
+               ORDER BY n_events DESC, user_id) AS rk
+      FROM (SELECT user_id, SUM(n_events) AS n_events FROM d GROUP BY 1))
+    SELECT d.day,
+           CASE WHEN r.rk <= 3 THEN CAST(d.user_id AS VARCHAR)
+                ELSE 'others' END AS series,
+           CAST(SUM(d.n_events) AS BIGINT) AS n_events,
+           CAST(SUM(d.val_c) AS BIGINT) AS val_c
+    FROM d JOIN r ON d.user_id = r.user_id
+    GROUP BY 1, 2
+    """,
+)
+def topn_plus_others_daily(spark, sf_dir):
+    """Dashboard series-limit operator: daily series for the global top-3
+    users by event count, everything else folded into one 'others' series
+    per day. The top-set is a GLOBAL rank (ties broken by user_id) computed
+    on an already-aggregated per-user table — a broadcast-sized dimension
+    the daily fact rows join against, so the plan is one partial+final agg,
+    a k-row broadcast, and one re-agg: no window over the fact table, no
+    skew (the 'others' fold is pre-aggregated per (day, user) first)."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(cents(F.col("value"))).alias("val_c"),
+    )
+    top = (
+        d.groupBy("user_id")
+        .agg(F.sum("n_events").alias("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), F.asc("user_id"))
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("user_id")
+    )
+    lab = F.when(
+        F.col("t_uid").isNotNull(), F.col("user_id").cast("string")
+    ).otherwise(F.lit("others"))
+    return (
+        d.join(
+            F.broadcast(top.withColumnRenamed("user_id", "t_uid")),
+            d.user_id == F.col("t_uid"),
+            "left",
+        )
+        .groupBy("day", lab.alias("series"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("val_c").alias("val_c"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heartbeat / uptime aggregation
+# ---------------------------------------------------------------------------
+
+_HB_S = 300  # heartbeat liveness window: 5 minutes
+_HB_US = _HB_S * 1_000_000
+
+
+@register(
+    "heartbeat_uptime_daily",
+    f"""
+    WITH o AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts, event_id) AS nxt
+      FROM events)
+    SELECT user_id, day,
+           CAST(SUM(CASE WHEN nxt IS NULL THEN {_HB_US}
+                         ELSE LEAST(nxt - us, {_HB_US}) END) AS BIGINT)
+             AS uptime_us,
+           COUNT(*) AS n_beats
+    FROM o GROUP BY 1, 2
+    """,
+)
+def heartbeat_uptime_daily(spark, sf_dir):
+    """Heartbeat/liveness aggregation (TimescaleDB heartbeat_agg shape):
+    each event keeps the entity 'live' for _HB_S seconds or until the next
+    event, whichever is sooner; per-(user, day) uptime is the exact union
+    length of those capped intervals (consecutive-event gaps never
+    double-count). Integer epoch MICROseconds throughout (DuckDB's epoch()
+    is fractional; epoch_us and unix_micros agree exactly)."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    live = F.when(
+        F.lead("us").over(w).isNull(), F.lit(_HB_US)
+    ).otherwise(F.least(F.lead("us").over(w) - F.col("us"), F.lit(_HB_US)))
+    return (
+        base.withColumn("live_us", live)
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum("live_us").cast("long").alias("uptime_us"),
+            F.count("*").alias("n_beats"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extrapolated rate (PromQL increase()/rate() boundary correction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rate_extrapolated_hourly",
+    """
+    WITH o AS (
+      SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+             epoch_us(ts) AS us,
+             lag(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS prev
+      FROM events),
+    a AS (
+      SELECT user_id, hour_start,
+             CAST(SUM(CASE WHEN prev IS NULL THEN 0
+                           WHEN v_c >= prev THEN v_c - prev
+                           ELSE v_c END) AS BIGINT) AS delta_c,
+             CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
+             COUNT(*) AS n_obs
+      FROM o GROUP BY 1, 2)
+    SELECT user_id, hour_start, delta_c, span_us, n_obs,
+           CAST(delta_c AS DOUBLE) * 3600000000.0 / CAST(span_us AS DOUBLE)
+             AS rate_extrap_c
+    FROM a WHERE span_us > 0
+    """,
+)
+def rate_extrapolated_hourly(spark, sf_dir):
+    """PromQL-style extrapolated increase: the reset-aware counter delta
+    observed over [first, last] sample is scaled to the full bucket width
+    (delta * 3600 / observed_span) — the boundary correction rate() applies
+    so sparse scrapes don't under-report. Exact integer delta and span; ONE
+    multiply + ONE divide on doubles, identical expression shape in the
+    oracle, so the IEEE results match bit-for-bit."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        cents(F.col("value")).alias("v_c"),
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "hour_start").orderBy("ts", "event_id")
+    obs = base.withColumn("prev", F.lag("v_c").over(w))
+    step = (
+        F.when(F.col("prev").isNull(), F.lit(0))
+        .when(F.col("v_c") >= F.col("prev"), F.col("v_c") - F.col("prev"))
+        .otherwise(F.col("v_c"))
+    )
+    agg = obs.groupBy("user_id", "hour_start").agg(
+        F.sum(step).cast("long").alias("delta_c"),
+        (F.max("us") - F.min("us")).cast("long").alias("span_us"),
+        F.count("*").alias("n_obs"),
+    )
+    return agg.filter(F.col("span_us") > 0).withColumn(
+        "rate_extrap_c",
+        F.col("delta_c").cast("double")
+        * F.lit(3600000000.0)
+        / F.col("span_us").cast("double"),
+    )

@@ -141,6 +141,13 @@ RELATIONAL = [
     # with hashes still gated at sf0.01 by the driver oracle
     "neardup_canonical_docs",
     "neardup_components_docs",
+    # round-4 analytics pack representatives: a window-heavy per-series agg
+    # (TWA), a double-percentile robust stat (MAD), and the hist-state
+    # percentile server — the continuous-aggregate function family's cost
+    # profile at sf0.1
+    "twa_locf_daily",
+    "outliers_mad_daily",
+    "hist_percentile_monthly",
 ]
 
 

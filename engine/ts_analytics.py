@@ -545,3 +545,181 @@ def rate_extrapolated_hourly(spark, sf_dir):
         * F.lit(3600000000.0)
         / F.col("span_us").cast("double"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles served FROM the mergeable histogram state
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hist_percentile_monthly",
+    f"""
+    WITH c AS (
+      SELECT user_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+             CAST(LEAST(FLOOR(value / {_HIST_W}), {_HIST_K - 1}) AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2, 3),
+    w AS (
+      SELECT user_id, month, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY user_id, month ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY user_id, month) AS total
+      FROM c)
+    SELECT user_id, month,
+           CAST(MIN(CASE WHEN cum * 2 >= total THEN bin END) AS BIGINT)
+             AS p50_bin,
+           CAST(MIN(CASE WHEN cum * 20 >= total * 19 THEN bin END) AS BIGINT)
+             AS p95_bin,
+           CAST(MAX(total) AS BIGINT) AS n
+    FROM w GROUP BY 1, 2
+    """,
+)
+def hist_percentile_monthly(spark, sf_dir):
+    """Percentiles served FROM mergeable histogram state (the reason a
+    timeseries engine keeps distribution state in its tiers): hourly
+    bin-count arrays merge to monthly (same fold as hist_tier_monthly),
+    then p50/p95 are the first bins whose cumulative count crosses the
+    rank — integer rank arithmetic (cum*2 >= total, cum*20 >= 19*total),
+    so the result is exact w.r.t. the binned distribution and the oracle
+    (which recomputes the bins from raw) must agree bit-for-bit. One
+    tier-bounded explode + window per (user, month) — never a raw re-scan."""
+    e = _t(spark, sf_dir, "events")
+    bin_expr = F.least(
+        F.floor(F.col("value") / F.lit(_HIST_W)), F.lit(_HIST_K - 1)
+    )
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.array(
+            *[
+                F.sum(F.when(bin_expr == i, 1).otherwise(0)).cast("long")
+                for i in range(_HIST_K)
+            ]
+        ).alias("hist")
+    )
+    zero = F.array(*[F.lit(0).cast("long")] * _HIST_K)
+    monthly = hourly.groupBy(
+        "user_id", F.date_trunc("month", "hour").alias("month")
+    ).agg(
+        F.aggregate(
+            F.collect_list("hist"),
+            zero,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("hist")
+    )
+    bins = monthly.select(
+        "user_id", "month", F.posexplode("hist")
+    ).withColumnsRenamed({"pos": "bin", "col": "cnt"})
+    wb = Window.partitionBy("user_id", "month").orderBy("bin")
+    wt = Window.partitionBy("user_id", "month")
+    w = bins.withColumn("cum", F.sum("cnt").over(wb)).withColumn(
+        "total", F.sum("cnt").over(wt)
+    )
+    return w.groupBy("user_id", "month").agg(
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("total"), F.col("bin"))
+        ).cast("long").alias("p50_bin"),
+        F.min(
+            F.when(F.col("cum") * 20 >= F.col("total") * 19, F.col("bin"))
+        ).cast("long").alias("p95_bin"),
+        F.max("total").cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "outliers_mad_daily",
+    """
+    WITH o AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) * 2 AS v2
+      FROM events),
+    m AS (
+      SELECT day, quantile_cont(v2, 0.5) AS med2 FROM o GROUP BY 1),
+    d AS (
+      SELECT o.day, o.v2, ABS(o.v2 - m.med2) AS dev2
+      FROM o JOIN m USING (day)),
+    s AS (
+      SELECT day, quantile_cont(dev2 * 2, 0.5) AS mad4 FROM d GROUP BY 1)
+    SELECT d.day,
+           COUNT(*) AS n_events,
+           CAST(MAX(m.med2) AS BIGINT) AS med2_c,
+           CAST(MAX(s.mad4) AS BIGINT) AS mad4_c,
+           CAST(SUM(CASE WHEN d.dev2 * 2 > 3 * s.mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN m USING (day) JOIN s USING (day)
+    GROUP BY 1
+    """,
+)
+def outliers_mad_daily(spark, sf_dir):
+    """Robust outlier counting per day: |v - median| > 3 * MAD. Exactness
+    trick: all quantities are kept as INTEGER-valued doubles by working on
+    2x cents (median of integers interpolates to halves at worst, so 2x
+    makes every median integral; MAD gets the same 2x again) — the
+    comparison 2*dev2 > 3*mad4 is then exact integer arithmetic in both
+    engines and the hash gate holds despite two chained percentiles."""
+    e = _t(spark, sf_dir, "events")
+    o = e.select(
+        F.date_trunc("day", "ts").alias("day"),
+        (cents(F.col("value")) * 2).alias("v2"),
+    )
+    m = o.groupBy("day").agg(F.percentile("v2", F.lit(0.5)).alias("med2"))
+    d = o.join(m, "day").withColumn("dev2", F.abs(F.col("v2") - F.col("med2")))
+    s = d.groupBy("day").agg(
+        F.percentile(F.col("dev2") * 2, F.lit(0.5)).alias("mad4")
+    )
+    return (
+        d.join(s, "day")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("med2").cast("long").alias("med2_c"),
+            F.max("mad4").cast("long").alias("mad4_c"),
+            F.sum(
+                F.when(F.col("dev2") * 2 > 3 * F.col("mad4"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average (per-series sequential smoother)
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.25  # power of two: each step is exact halving/quartering
+
+
+@register("ewma_user_values")  # rows-only: recursive per-series state
+def ewma_user_values(spark, sf_dir):
+    """Per-user EWMA (s_t = α·v_t + (1-α)·s_{t-1}, adjust=False) over the
+    unique (ts, event_id) order — the classic streaming smoother behind
+    alerting baselines. Inherently recursive (each output depends on the
+    previous), so not SQL-expressible: the driver records a rows-only
+    check and tests/test_ts_analytics pins parity against an explicit
+    python recurrence. Runs as one Arrow batch per series (applyInPandas);
+    the recurrence itself is pandas' C-level ewm kernel, never a python
+    per-row loop."""
+    e = _t(spark, sf_dir, "events")
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], ignore_index=True)
+        pdf["ewma"] = (
+            pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean()
+        )
+        return pdf[["user_id", "ts", "event_id", "value", "ewma"]]
+
+    return (
+        e.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            smooth,
+            "user_id bigint, ts timestamp_ntz, event_id bigint, "
+            "value double, ewma double",
+        )
+    )

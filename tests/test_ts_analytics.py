@@ -23,6 +23,11 @@ ORACLE_QUERIES = [
     "ohlc_daily",
     "ohlc_weekly_composed",
     "hist_tier_monthly",
+    "topn_plus_others_daily",
+    "heartbeat_uptime_daily",
+    "rate_extrapolated_hourly",
+    "hist_percentile_monthly",
+    "outliers_mad_daily",
 ]
 
 
@@ -148,3 +153,18 @@ def test_lttb_spark_query(spark):
         src = events[events.user_id == uid].sort_values(["ts", "event_id"])
         assert grp["event_id"].iloc[0] == src["event_id"].iloc[0]
         assert grp["event_id"].iloc[-1] == src["event_id"].iloc[-1]
+
+
+def test_ewma_matches_explicit_recurrence(spark):
+    """EWMA output equals the hand-rolled s_t = a*v_t + (1-a)*s_{t-1}
+    recurrence on every series (spot-checks the pandas kernel semantics:
+    adjust=False, first value seeds the state)."""
+    from engine.ts_analytics import EWMA_ALPHA, ewma_user_values
+
+    got = ewma_user_values(spark, SF_DIR).toPandas()
+    for uid, g in got.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], ignore_index=True)
+        s = None
+        for v, e in zip(g["value"], g["ewma"]):
+            s = v if s is None else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * s
+            assert abs(s - e) < 1e-9, (uid, s, e)

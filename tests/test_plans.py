@@ -96,6 +96,7 @@ BNLJ_OK = {
     "hot_users_topk",  # broadcasts the ONE-ROW grand total into per-key shares
     "ann_cosine_topk",
     "ivf_cosine_topk",
+    "simindex_ivf_topk",  # same bounded query×broadcast-centroid cross as ivf_cosine_topk, over the stored index
     "embedding_neardup_pairs",
     "lsh_cosine_buckets",
     "minhash_signatures",

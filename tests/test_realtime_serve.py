@@ -70,3 +70,34 @@ def test_serve_refuses_mid_bucket_watermark(spark, t0, tmp_path):
         serve_hourly_realtime(
             pipe.read_tier("hourly"), t0, datetime(2026, 1, 5, 12, 30)
         )
+
+
+def test_serve_over_stream_built_tiers(spark, tmp_path):
+    """Composition: tiers built by micro-batch streaming ingest
+    (run_stream_into_pipeline) serve a real-time view that equals a full
+    recompute over everything streamed — the lambda seam closed from the
+    streaming side too (the ran-ahead guard drops tier rows past the
+    watermark, the raw tail comes from the stream's accumulated ingest
+    table)."""
+    from engine.streaming import run_stream_into_pipeline
+
+    t0 = synth_transcripts(spark, n_convs=20, hot_turns=150)
+    src = str(tmp_path / "src")
+    t0.orderBy("ts").coalesce(1).write.parquet(src + "_one")
+    spark.read.parquet(src + "_one").repartitionByRange(
+        8, "ts"
+    ).write.parquet(src)
+
+    pipe = TierPipeline(spark, str(tmp_path / "sp"), fill_tiers=False)
+    out = run_stream_into_pipeline(
+        spark, src, pipe, raw_path=str(tmp_path / "raw")
+    )
+    assert out["batches"] >= 2, out
+
+    raw = spark.read.parquet(str(tmp_path / "raw"))
+    wm = raw.agg(
+        F.date_trunc("day", F.max("ts")).cast("timestamp_ntz").alias("w")
+    ).first()["w"]
+    served = serve_hourly_realtime(pipe.read_tier("hourly"), raw, wm)
+    full = rollup_hourly(raw).select(*served.columns)
+    assert _key(served) == _key(full)

@@ -158,3 +158,36 @@ def test_refresh_scan_is_partition_pruned(spark, em, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:4000]
     assert "PartitionFilters" in plan
+
+
+def test_stream_ingest_equals_rebuild(spark, em, tmp_path):
+    """Structured-Streaming index maintenance (engine/streaming.py
+    run_stream_into_simindex): embeddings arriving as micro-batch files
+    (one file per trigger) leave the persisted index bit-identical to a
+    one-shot full rebuild — same LSH buckets, IVF lists, and verified
+    pairs (modulo which batch partition emitted them)."""
+    from engine.streaming import run_stream_into_simindex
+
+    src = str(tmp_path / "src")
+    batches = _batches(em)
+    # one parquet FILE per batch => one micro-batch per trigger; file names
+    # carry the batch order so trigger order matches vec_id order (the
+    # auto-centroid build must see the lowest ids first, like _batches)
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(src)
+
+    stream_idx = SimIndex(spark, str(tmp_path / "sidx"))
+    res = run_stream_into_simindex(spark, src, stream_idx)
+    assert res["batches"] >= 1
+
+    full = SimIndex(spark, str(tmp_path / "full"))
+    assert full.ingest(em, "all")["ingested"]
+
+    for name, keys in (
+        ("lsh_buckets", ("vec_id", "tbl")),
+        ("inverted_lists", ("vec_id",)),
+        ("verified_pairs", ("vec_a", "vec_b")),
+    ):
+        got = _pdf(getattr(stream_idx, name)(), keys)
+        want = _pdf(getattr(full, name)(), keys)
+        pd.testing.assert_frame_equal(got, want), name

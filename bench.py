@@ -451,6 +451,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true",
                     help="two-parallelism scaling evidence -> BENCH/BASELINE.md")
+    ap.add_argument("--scaling-only", action="store_true",
+                    help="scaling protocol alone (no headline bench, no "
+                         "BASELINE.md rewrite) — cheap repeated window "
+                         "attempts on a steal-prone host")
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--levels", default="2,8",
@@ -466,6 +470,11 @@ def main():
 
     if args.scale_worker:
         print(json.dumps(scale_worker(args.scale_worker, args.table_path)))
+        return
+    if args.scaling_only:
+        levels = tuple(int(x) for x in args.levels.split(","))
+        print(json.dumps(run_scaling(args.sf_dir, levels=levels,
+                                     trials=args.trials)))
         return
     if args.scaling:
         levels = tuple(int(x) for x in args.levels.split(","))

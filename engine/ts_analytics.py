@@ -723,3 +723,151 @@ def ewma_user_values(spark, sf_dir):
             "value double, ewma double",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary-width time_bucket (the generalized tumbling bucket)
+# ---------------------------------------------------------------------------
+
+_BUCKET_S = 900  # 15 minutes
+
+
+@register(
+    "time_bucket_15min",
+    f"""
+    SELECT user_id,
+           CAST(to_timestamp(
+             CAST(FLOOR(epoch_us(ts) / ({_BUCKET_S} * 1000000))
+                  * {_BUCKET_S} AS BIGINT)) AS TIMESTAMP) AS bucket_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS val_c
+    FROM events GROUP BY 1, 2
+    """,
+)
+def time_bucket_15min(spark, sf_dir):
+    """Arbitrary-width tumbling bucket (TimescaleDB time_bucket / Spark
+    window() semantics, epoch-aligned): floor(epoch/width)*width on integer
+    microseconds — the generalization of the engine's calendar tiers to any
+    width. Spark's window() function produces the same boundaries; the
+    explicit integer arithmetic keeps the oracle expression identical."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    bucket = F.timestamp_seconds(
+        F.floor(us / F.lit(_BUCKET_S * 1_000_000)) * F.lit(_BUCKET_S)
+    ).cast("timestamp_ntz")
+    return e.groupBy("user_id", bucket.alias("bucket_start")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(cents(F.col("value"))).alias("val_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact bivariate statistics (correlation from integer sums)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corr_value_length_daily",
+    """
+    WITH o AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS x,
+             CAST(length(props) AS BIGINT) AS y
+      FROM events),
+    s AS (
+      SELECT day, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM o GROUP BY 1)
+    SELECT day, n, sx, sy, sxx, syy, sxy,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+    FROM s
+    WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    """,
+)
+def corr_value_length_daily(spark, sf_dir):
+    """Exact Pearson correlation per day from INTEGER co-moment sums (the
+    mergeable-state formulation: n, Σx, Σy, Σx², Σy², Σxy compose across
+    partitions/tiers exactly, unlike a streaming corr accumulator whose
+    float state is order-dependent). The final expression is the only
+    float math and is shaped identically in the oracle, so even the corr
+    doubles hash-match. Built-in corr() would NOT gate: its Welford-style
+    accumulation order varies with partitioning."""
+    e = _t(spark, sf_dir, "events")
+    o = e.select(
+        F.date_trunc("day", "ts").alias("day"),
+        cents(F.col("value")).alias("x"),
+        F.length("props").cast("long").alias("y"),
+    )
+    s = o.groupBy("day").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        s.filter((var_x > 0) & (var_y > 0))
+        .withColumn(
+            "corr",
+            cov_n.cast("double")
+            / F.sqrt(var_x.cast("double") * var_y.cast("double")),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts (product-analytics matrix)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retention_cohorts_monthly",
+    """
+    WITH f AS (
+      SELECT o_custkey,
+             CAST(MIN(date_trunc('month', o_orderdate)) AS DATE) AS cohort
+      FROM orders GROUP BY 1),
+    a AS (
+      SELECT DISTINCT o_custkey,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+      FROM orders)
+    SELECT f.cohort,
+           CAST(datediff('month', f.cohort, a.month) AS BIGINT) AS offset_m,
+           COUNT(*) AS active_users
+    FROM a JOIN f USING (o_custkey)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts_monthly(spark, sf_dir):
+    """Retention cohort matrix: customers grouped by first-order month, a
+    row per (cohort, month offset) counting how many stayed active — the
+    standard product-analytics rollup, over the multi-year orders table.
+    Plan shape: one distinct-activity agg, one tiny first-activity agg, a
+    broadcast-ready customer→cohort join (dimension sized), one final
+    count — no fact-table window."""
+    e = _t(spark, sf_dir, "orders")
+    f = e.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).cast("date").alias("cohort")
+    )
+    a = e.select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).distinct()
+    months_between = (
+        (F.year("month") - F.year("cohort")) * 12
+        + (F.month("month") - F.month("cohort"))
+    )
+    return (
+        a.join(f, "o_custkey")
+        .groupBy("cohort", months_between.cast("long").alias("offset_m"))
+        .agg(F.count("*").alias("active_users"))
+    )

@@ -236,30 +236,34 @@ class SimIndex:
         pairs = self._pairs_for_batch(v, new_buckets, batch_id)
 
         drop = f"batch={batch_id}"
-        self._write_partitions(
-            "lsh",
-            new_buckets.select(bcol, "vec_id", "tbl", "bucket"),
-            ["batch", "tbl", "bucket"],
-            drop_first=drop,
-        )
-        self._write_partitions(
-            "ivf",
-            asn.select(bcol, "vec_id", "e", "nrm", "cid"),
-            ["batch", "cid"],
-            drop_first=drop,
-        )
-        self._write_partitions(
-            "vectors",
-            v.select(bcol, "vec_id", "e", "nrm"),
-            ["batch"],
-            drop_first=drop,
-        )
-        self._write_partitions(
-            "pairs",
-            pairs.select(bcol, "vec_a", "vec_b", "sim"),
-            ["batch"],
-            drop_first=drop,
-        )
+        # the four tables live in independent snapshot stores and their
+        # inputs are already pinned (buckets localCheckpoint'd, centroids
+        # broadcast, pairs' candidate set checkpointed) — submit the write
+        # jobs from 4 threads so one batch ingest pays max(job) wall time,
+        # not the sum of four scheduler round-trips. Spark's scheduler is
+        # explicitly multi-thread-submission safe; each write touches only
+        # its own store directory.
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [
+            (
+                "lsh",
+                new_buckets.select(bcol, "vec_id", "tbl", "bucket"),
+                ["batch", "tbl", "bucket"],
+            ),
+            ("ivf", asn.select(bcol, "vec_id", "e", "nrm", "cid"), ["batch", "cid"]),
+            ("vectors", v.select(bcol, "vec_id", "e", "nrm"), ["batch"]),
+            ("pairs", pairs.select(bcol, "vec_a", "vec_b", "sim"), ["batch"]),
+        ]
+        with ThreadPoolExecutor(max_workers=len(writes)) as ex:
+            futs = [
+                ex.submit(
+                    self._write_partitions, n, df, pc, drop_first=drop
+                )
+                for n, df, pc in writes
+            ]
+            for f in futs:
+                f.result()
         self.manifest.commit(
             [
                 {

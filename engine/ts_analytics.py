@@ -871,3 +871,141 @@ def retention_cohorts_monthly(spark, sf_dir):
         .groupBy("cohort", months_between.cast("long").alias("offset_m"))
         .agg(F.count("*").alias("active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# M4 visualization downsampling (pixel-exact anchor points)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m4_downsample_hourly",
+    """
+    WITH o AS (
+      SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+             ts, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_first,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_last,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY value, ts, event_id) AS rn_min,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY value DESC, ts, event_id) AS rn_max
+      FROM events)
+    SELECT DISTINCT user_id, bucket, ts, value
+    FROM o
+    WHERE rn_first = 1 OR rn_last = 1 OR rn_min = 1 OR rn_max = 1
+    """,
+)
+def m4_downsample_hourly(spark, sf_dir):
+    """M4 downsampling (Jugel et al., VLDB 2014): per (series, pixel bucket)
+    keep only the first, last, min-value and max-value POINTS — the 4-tuple
+    that renders the same pixels as the full series on a width-of-buckets
+    canvas. Unlike OHLC (which keeps values only), M4 keeps the points'
+    timestamps, so the output is itself a plottable series: <=4 rows per
+    bucket regardless of input density.
+
+    Determinism: every anchor is picked by row_number over a total order
+    ((ts, event_id) for first/last, (value, ts, event_id) for extrema), so
+    ties resolve identically in Spark and the oracle. DISTINCT collapses a
+    point that wins several roles (a bucket's max may also be its last).
+
+    Scale: one shuffle — all four row_numbers share the (user_id, bucket)
+    window partitioning, so the plan is a single Exchange followed by
+    per-partition sorts; output is bounded by 4 x series x buckets
+    (pixel count), independent of raw density. This is the query a
+    dashboard layer pushes down instead of scanning raw points."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        "ts",
+        "value",
+        "event_id",
+    )
+    p = Window.partitionBy("user_id", "bucket")
+    anchors = (
+        base.withColumn(
+            "rn_first", F.row_number().over(p.orderBy("ts", "event_id"))
+        )
+        .withColumn(
+            "rn_last",
+            F.row_number().over(p.orderBy(F.desc("ts"), F.desc("event_id"))),
+        )
+        .withColumn(
+            "rn_min",
+            F.row_number().over(p.orderBy("value", "ts", "event_id")),
+        )
+        .withColumn(
+            "rn_max",
+            F.row_number().over(p.orderBy(F.desc("value"), "ts", "event_id")),
+        )
+    )
+    keep = (
+        (F.col("rn_first") == 1)
+        | (F.col("rn_last") == 1)
+        | (F.col("rn_min") == 1)
+        | (F.col("rn_max") == 1)
+    )
+    return (
+        anchors.filter(keep)
+        .select("user_id", "bucket", "ts", "value")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period comparison (calendar-aligned WoW delta)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wow_value_daily",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v_c,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT cur.user_id, cur.day, cur.v_c AS value_c, cur.n,
+           prv.v_c AS prev_value_c,
+           CAST(cur.v_c - prv.v_c AS BIGINT) AS wow_delta_c
+    FROM d cur
+    JOIN d prv
+      ON prv.user_id = cur.user_id
+     AND prv.day = cur.day - INTERVAL 7 DAY
+    """,
+)
+def wow_value_daily(spark, sf_dir):
+    """Week-over-week comparison on the daily rollup: each (user, day)'s
+    total against the SAME WEEKDAY one calendar week earlier. Calendar
+    alignment is the point — lag(1) over existing days would silently
+    compare against whatever day happened to precede a gap, so this is a
+    self-equi-join on (user_id, day - 7), the TimescaleDB
+    `timescaledb_experimental.time_weight`-adjacent "vs last week"
+    dashboard primitive.
+
+    Scale: the join runs on the AGGREGATED daily tier (|users| x |days|
+    rows, orders of magnitude under raw), both sides share the same
+    groupBy partitioning, and integer-cents sums keep the delta exact."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(cents(F.col("value"))).alias("v_c"),
+        F.count("*").alias("n"),
+    )
+    cur, prv = d.alias("cur"), d.alias("prv")
+    return cur.join(
+        prv,
+        (F.col("cur.user_id") == F.col("prv.user_id"))
+        & (F.col("prv.day") == F.col("cur.day") - F.expr("INTERVAL 7 DAY")),
+    ).select(
+        F.col("cur.user_id").alias("user_id"),
+        F.col("cur.day").alias("day"),
+        F.col("cur.v_c").alias("value_c"),
+        F.col("cur.n").alias("n"),
+        F.col("prv.v_c").alias("prev_value_c"),
+        (F.col("cur.v_c") - F.col("prv.v_c")).alias("wow_delta_c"),
+    )

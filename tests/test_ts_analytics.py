@@ -168,3 +168,40 @@ def test_ewma_matches_explicit_recurrence(spark):
         for v, e in zip(g["value"], g["ewma"]):
             s = v if s is None else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * s
             assert abs(s - e) < 1e-9, (uid, s, e)
+
+
+def test_m4_anchor_invariants(spark):
+    """M4 output per (user, bucket) is 1-4 rows and always contains the
+    bucket's true first/last/min/max points; a dense bucket (1000 points)
+    still yields <=4 rows."""
+    import pandas as pd
+
+    from engine.ts_analytics import m4_downsample_hourly
+
+    base = pd.Timestamp("2024-03-01 05:00:00")
+    rows = [
+        (1, base + pd.Timedelta(seconds=i), float((i * 37) % 101), i)
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="m4-")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = m4_downsample_hourly(spark, d).toPandas()
+    assert 1 <= len(out) <= 4
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
+    vals = set(out["value"])
+    assert pdf.loc[pdf["ts"].idxmin(), "value"] in vals  # first
+    assert pdf.loc[pdf["ts"].idxmax(), "value"] in vals  # last
+    assert pdf["value"].min() in vals and pdf["value"].max() in vals
+
+
+def test_m4_and_wow_oracle_parity(spark):
+    for name in ("m4_downsample_hourly", "wow_value_daily"):
+        spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
+        assert len(spark_pdf) > 0
+        duck_pdf = duck_run(SF_DIR, ORACLE_SQL[name])
+        assert_frames_match(spark_pdf, duck_pdf, name)

@@ -57,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .checkpoint import Manifest, new_run_id, pending_partitions, work_manifest
+from .simindex import MERGED_BATCH
 from .snapstore import SnapStore
 
 #: band_key -> directory bucket (band_key cardinality is unbounded; kb
@@ -140,6 +141,9 @@ class DocDedupIndex:
         pending = pending_partitions(work, self.manifest, "dedupindex").collect()
         if not pending:
             return {"batch": batch_id, "ingested": False}
+        if batch_id == MERGED_BATCH:
+            raise ValueError(f"{MERGED_BATCH!r} is reserved for compact()")
+        self._refuse_compacted_reroll(batch_id)
 
         tw = _doc_token_ids(docs)
         toks = tw.groupBy("doc_id").agg(
@@ -203,6 +207,63 @@ class DocDedupIndex:
             "ingested": True,
             "touched_buckets": len(touched),
         }
+
+    def _refuse_compacted_reroll(self, batch_id: str) -> None:
+        """A pending-but-previously-committed batch whose partition dirs
+        were merged by compact() can no longer be re-rolled surgically: the
+        touched-bucket discovery reads `batch == batch_id` rows that no
+        longer exist, so its old buckets would silently keep stale
+        candidates. Refuse instead."""
+        store = self._store("tokens")
+        sid = store.current_id()
+        if sid is None or os.path.isdir(
+            os.path.join(store.snapshot_path(sid), f"batch={batch_id}")
+        ):
+            return
+        was_committed = (
+            self.manifest.committed_keys("dedupindex")
+            .filter(F.col("partition_key") == f"batch={batch_id}")
+            .count()
+            > 0
+        )
+        if was_committed:
+            raise ValueError(
+                f"batch {batch_id!r} was merged by compact(); re-roll it as "
+                "a NEW batch id or rebuild the index root"
+            )
+
+    def compact(self) -> dict[str, int]:
+        """Merge per-batch `tokens`/`bands` partitions into one
+        ``batch=__base__`` partition — the small-files lifecycle step after
+        steady incremental ingestion. `cand`/`verified`/`labels` carry no
+        batch dimension and are untouched. Reads answer identically before
+        and after (batch never enters query logic); unchanged re-ingests
+        stay fingerprint no-ops; content re-rolls of compacted history are
+        refused by ingest(). Returns per-table merged-partition counts."""
+        out: dict[str, int] = {}
+        for name, pcols in (
+            ("tokens", ["batch"]),
+            ("bands", ["batch", "band", "kb"]),
+        ):
+            if not self._has_data(name):
+                continue
+            store = self._store(name)
+            cur = store.snapshot_path(store.current_id())
+            old_dirs = [
+                d
+                for d in os.listdir(cur)
+                if d.startswith("batch=") and d != f"batch={MERGED_BATCH}"
+            ]
+            if not old_dirs:
+                out[name] = 0
+                continue
+            # the scan lists files in the CURRENT snapshot; the staged dir
+            # is a separate hardlink tree, so dropping batch dirs there
+            # never touches the inodes being read
+            merged = self._read(name).withColumn("batch", F.lit(MERGED_BATCH))
+            self._write(name, merged, pcols, drop_dirs=old_dirs)
+            out[name] = len(old_dirs)
+        return out
 
     def _rebuild_buckets(self, touched: list[tuple[int, int]]) -> None:
         """Recompute candidates + verification for exactly the touched

@@ -70,6 +70,10 @@ from .snapstore import SnapStore
 
 _PAIR_THRESHOLD = 0.5
 
+#: partition value `compact()` merges history into — reserved, not a valid
+#: user batch id
+MERGED_BATCH = "__base__"
+
 
 class SimIndex:
     def __init__(
@@ -191,6 +195,8 @@ class SimIndex:
         Fingerprint-gated: an unchanged (batch, config) is a no-op; a
         changed batch or config re-rolls exactly that batch's partitions.
         `batch_id` must be a filesystem-safe token."""
+        if batch_id == MERGED_BATCH:
+            raise ValueError(f"{MERGED_BATCH!r} is reserved for compact()")
         if not self._has("centroids"):
             self.build_centroids(em)
         run_id = run_id or new_run_id()
@@ -204,6 +210,7 @@ class SimIndex:
         pending = pending_partitions(work, self.manifest, "simindex").collect()
         if not pending:
             return {"batch": batch_id, "ingested": False}
+        self._refuse_compacted_reroll(batch_id)
 
         bcol = F.lit(batch_id).alias("batch")
         v = (
@@ -345,6 +352,94 @@ class SimIndex:
             .filter(F.col("sim") >= _PAIR_THRESHOLD)
             .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
         )
+
+    def _refuse_compacted_reroll(self, batch_id: str) -> None:
+        """A pending batch that was ALREADY committed is a re-roll (content
+        or config changed). After compact() merged its rows into the base
+        partition, drop-first can no longer surgically remove just that
+        batch — refuse rather than silently duplicate or orphan rows."""
+        store = self._store("vectors")
+        sid = store.current_id()
+        if sid is None or os.path.isdir(
+            os.path.join(store.snapshot_path(sid), f"batch={batch_id}")
+        ):
+            return
+        was_committed = (
+            self.manifest.committed_keys("simindex")
+            .filter(F.col("partition_key") == f"batch={batch_id}")
+            .count()
+            > 0
+        )
+        if was_committed:
+            raise ValueError(
+                f"batch {batch_id!r} was merged by compact(); its rows can "
+                "no longer be re-rolled in place — ingest the new content "
+                "as a NEW batch id, or rebuild the index root (content "
+                "rewrites of compacted history, like centroid retrains "
+                "after compact, need a full rebuild)"
+            )
+
+    def compact(self) -> dict[str, int]:
+        """Merge every per-batch partition into one ``batch=__base__``
+        partition per table — the small-files lifecycle step: steady
+        ingestion at one partition tree per batch accumulates directory
+        fan-out and per-file overhead; compaction rewrites the accumulated
+        state once, inside fresh published snapshots (concurrent readers
+        keep their pinned pre-compact view, same CoW discipline as
+        engine/retention.compact_partition).
+
+        Semantics are untouched: `batch` never enters query logic (searches
+        and pair reads drop it), so every read answers identically before
+        and after — pytest'd bit-exact. The manifest keeps its per-batch
+        fingerprint rows, so re-ingesting an UNCHANGED batch remains a
+        no-op; a CONTENT re-roll of a compacted batch is refused by
+        ingest() (the escape hatch is a fresh root rebuild). New batches
+        ingest on top of the base exactly as before — compaction is
+        invisible to the incremental contract. Returns per-table counts of
+        batch partitions merged."""
+        specs = {
+            "lsh": ["batch", "tbl", "bucket"],
+            "ivf": ["batch", "cid"],
+            "vectors": ["batch"],
+            "pairs": ["batch"],
+        }
+        out: dict[str, int] = {}
+        for name, pcols in specs.items():
+            if not self._has(name):
+                continue
+            store = self._store(name)
+            cur = store.snapshot_path(store.current_id())
+            old_dirs = [
+                d
+                for d in os.listdir(cur)
+                if d.startswith("batch=") and d != f"batch={MERGED_BATCH}"
+            ]
+            if not old_dirs:
+                out[name] = 0
+                continue
+            # the read plan lists files in the CURRENT snapshot dir; the
+            # staged dir is a separate hardlink tree, so dropping batch
+            # dirs there never touches the inodes the scan reads
+            merged = self._read(name).withColumn("batch", F.lit(MERGED_BATCH))
+            sid = store.begin("compact")
+            try:
+                for d in old_dirs:
+                    shutil.rmtree(
+                        os.path.join(store.snapshot_path(sid), d),
+                        ignore_errors=True,
+                    )
+                (
+                    merged.write.option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(*pcols)
+                    .mode("overwrite")
+                    .parquet(store.snapshot_path(sid))
+                )
+            except Exception:
+                store.abort(sid)
+                raise
+            store.publish(sid)
+            out[name] = len(old_dirs)
+        return out
 
     def rebuild_pairs(self) -> None:
         """Recompute the whole pair table from the stored index (one full

@@ -149,3 +149,42 @@ def test_streaming_ingest_maintains_index(spark, docs, tmp_path):
     q.awaitTermination(300)
     q.stop()
     _assert_matches_rebuild(spark, idx, docs)
+
+
+def test_compact_preserves_answers_and_accepts_new_batches(spark, docs, tmp_path):
+    """compact() merges the tokens/bands batch partitions into one base
+    partition: pairs()/components() are bit-identical, unchanged re-ingests
+    stay no-ops, a NEW batch on top of the base still equals a full
+    rebuild, and a content re-roll of compacted history is refused."""
+    idx = DocDedupIndex(spark, str(tmp_path / "cp"))
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    step = (hi + 2) // 3
+    parts = [
+        docs.filter(
+            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+        )
+        for i in range(3)
+    ]
+    assert idx.ingest(parts[0], "b0")["ingested"]
+    assert idx.ingest(parts[1], "b1")["ingested"]
+    before = _pdf(idx.pairs(), ("doc_a", "doc_b"))
+
+    merged = idx.compact()
+    assert merged["tokens"] == 2 and merged["bands"] == 2
+    ts = idx._store("tokens")
+    cur = ts.snapshot_path(ts.current_id())
+    assert [d for d in os.listdir(cur) if d.startswith("batch=")] == [
+        "batch=__base__"
+    ]
+    pd.testing.assert_frame_equal(_pdf(idx.pairs(), ("doc_a", "doc_b")), before)
+    assert not idx.ingest(parts[0], "b0")["ingested"]
+
+    assert idx.ingest(parts[2], "b2")["ingested"]
+    _assert_matches_rebuild(
+        spark, idx, parts[0].unionByName(parts[1]).unionByName(parts[2])
+    )
+
+    with pytest.raises(ValueError, match="compact"):
+        idx.ingest(parts[0].limit(5), "b0")
+    with pytest.raises(ValueError, match="reserved"):
+        idx.ingest(parts[2], "__base__")

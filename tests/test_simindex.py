@@ -191,3 +191,54 @@ def test_stream_ingest_equals_rebuild(spark, em, tmp_path):
         got = _pdf(getattr(stream_idx, name)(), keys)
         want = _pdf(getattr(full, name)(), keys)
         pd.testing.assert_frame_equal(got, want), name
+
+
+def test_compact_preserves_answers_and_accepts_new_batches(spark, em, tmp_path):
+    """compact() merges per-batch partitions into one base partition: every
+    read answers bit-identically, unchanged re-ingests stay no-ops, a NEW
+    batch on top of the base still equals a full rebuild, and a content
+    re-roll of compacted history is refused instead of corrupting state."""
+    b0, b1, b2 = _batches(em)
+    idx = SimIndex(spark, str(tmp_path / "cp"))
+    assert idx.ingest(b0, "b0")["ingested"]
+    assert idx.ingest(b1, "b1")["ingested"]
+    before_pairs = _pdf(idx.verified_pairs(), ("vec_a", "vec_b"))
+    before_topk = _pdf(idx.ivf_topk(F.col("vec_id") < 10), ("qid", "rn"))
+
+    merged = idx.compact()
+    assert merged["lsh"] == 2 and merged["vectors"] == 2
+    vs = idx._store("vectors")
+    cur = vs.snapshot_path(vs.current_id())
+    assert [d for d in os.listdir(cur) if d.startswith("batch=")] == [
+        "batch=__base__"
+    ]
+
+    pd.testing.assert_frame_equal(
+        _pdf(idx.verified_pairs(), ("vec_a", "vec_b")), before_pairs
+    )
+    pd.testing.assert_frame_equal(
+        _pdf(idx.ivf_topk(F.col("vec_id") < 10), ("qid", "rn")), before_topk
+    )
+    # fingerprints survive compaction: unchanged re-ingest is still a no-op
+    assert not idx.ingest(b0, "b0")["ingested"]
+
+    # incremental contract is compaction-invisible: base + new batch ==
+    # one-shot full rebuild, bit-exact
+    assert idx.ingest(b2, "b2")["ingested"]
+    full = SimIndex(spark, str(tmp_path / "cpfull"))
+    assert full.ingest(em, "all")["ingested"]
+    for name, keys in (
+        ("lsh_buckets", ("vec_id", "tbl")),
+        ("inverted_lists", ("vec_id",)),
+        ("verified_pairs", ("vec_a", "vec_b")),
+    ):
+        pd.testing.assert_frame_equal(
+            _pdf(getattr(idx, name)(), keys), _pdf(getattr(full, name)(), keys)
+        )
+
+    # content re-roll of a compacted batch: refused, state untouched
+    with pytest.raises(ValueError, match="compact"):
+        idx.ingest(b0.filter(F.col("vec_id") % 2 == 0), "b0")
+    # the reserved merge id is not a valid user batch
+    with pytest.raises(ValueError, match="reserved"):
+        idx.ingest(b2, "__base__")

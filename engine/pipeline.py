@@ -79,6 +79,7 @@ class TierPipeline:
         sketch_cols: list[str] | None = None,
         hist_cols: dict | None = None,
         firstlast_cols: list[str] | None = None,
+        sumsq_cols: list[str] | None = None,
         wap: bool = False,
         wap_audit=None,
         hourly_layout: int = 1,
@@ -121,6 +122,12 @@ class TierPipeline:
         #: firstlast_partial_aggs). Fingerprint + migration story identical
         #: to hist_cols.
         self.firstlast_cols = sorted(firstlast_cols or [])
+        #: exact sum-of-squares tier state per raw column (`<col>_sumsq`,
+        #: engine/rollup.py sumsq_partial_aggs): Σx² composes by long
+        #: addition across tiers and salts, so variance/stddev are served
+        #: from any tier with one final float expression. Fingerprint +
+        #: migration story identical to hist_cols.
+        self.sumsq_cols = sorted(sumsq_cols or [])
         #: write-audit-publish (requires snapshots): a run writes every
         #: stage into STAGED (unpublished) snapshots with manifest commits
         #: deferred; at the seal, `wap_audit(pipe)` (if given) inspects the
@@ -174,6 +181,8 @@ class TierPipeline:
             )
         if self.firstlast_cols:
             parts.append("fl:" + ";".join(self.firstlast_cols))
+        if self.sumsq_cols:
+            parts.append("sq:" + ";".join(self.sumsq_cols))
         if self.hourly_layout != 1:
             parts.append(f"layout:{self.hourly_layout}")
         return "|".join(p for p in parts if p)
@@ -208,6 +217,8 @@ class TierPipeline:
                 for c in self.firstlast_cols
                 for side in ("first", "last")
             ]
+            # Σx² is exact + deterministic — hash raw
+            + [F.col(f"{c}_sumsq") for c in self.sumsq_cols]
         )
 
     # -- paths -------------------------------------------------------------
@@ -963,6 +974,7 @@ class TierPipeline:
                     sketch_cols=self.sketch_cols,
                     hist_cols=self.hist_cols,
                     firstlast_cols=self.firstlast_cols,
+                    sumsq_cols=self.sumsq_cols,
                 )
                 if self.salted
                 else rollup_hourly(
@@ -970,6 +982,7 @@ class TierPipeline:
                     sketch_cols=self.sketch_cols,
                     hist_cols=self.hist_cols,
                     firstlast_cols=self.firstlast_cols,
+                    sumsq_cols=self.sumsq_cols,
                 )
             )
             if self.fill_tiers:

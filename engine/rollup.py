@@ -57,6 +57,22 @@ HLL_LGK = 12
 HistSpec = "tuple[float, float, int]"
 
 
+def sumsq_partial_aggs(sumsq_cols: list | None) -> list:
+    """Exact sum-of-squares tier state (`<col>_sumsq`, long): Σx² is
+    associative under addition, so it composes hourly→daily→monthly (and
+    across salts) exactly like `<col>_sum` — enabling variance/stddev
+    served FROM TIERS with a single final float expression
+    (var = (sumsq - sum²/n)/n), no float accumulation anywhere."""
+    return [
+        F.sum(F.col(c).cast("long") * F.col(c).cast("long")).alias(f"{c}_sumsq")
+        for c in sorted(sumsq_cols or [])
+    ]
+
+
+def sumsq_merge_aggs(cols: list[str]) -> list:
+    return [F.sum(c).alias(c) for c in sorted(cols)]
+
+
 def hist_partial_aggs(hist_cols: dict | None) -> list:
     """Leaf aggregates producing one `<col>_hist` array<long> of bin counts
     per spec'd column. Exact integer state: unlike the HLL columns this
@@ -152,6 +168,7 @@ def rollup_hourly(
     sketch_cols: list[str] | None = None,
     hist_cols: dict | None = None,
     firstlast_cols: list[str] | None = None,
+    sumsq_cols: list[str] | None = None,
 ) -> DataFrame:
     """Leaf rollup D1: raw turns → hourly tier state.
 
@@ -182,6 +199,7 @@ def rollup_hourly(
         ]
         + hist_partial_aggs(hist_cols)
         + firstlast_partial_aggs(firstlast_cols)
+        + sumsq_partial_aggs(sumsq_cols)
     )
     df = with_metrics(t0)
     hourly = (
@@ -260,6 +278,7 @@ def densify_hourly_locf(hourly: DataFrame) -> DataFrame:
         or c.endswith("_hist")
         or c.endswith("_first")
         or c.endswith("_last")
+        or c.endswith("_sumsq")
     ]
     return dense.select(
         "conv_id",
@@ -295,6 +314,7 @@ def rollup_up(lower: DataFrame, to_tier: str) -> DataFrame:
         ]
         + hist_merge_aggs([c for c in lower.columns if c.endswith("_hist")])
         + firstlast_merge_aggs(lower.columns)
+        + sumsq_merge_aggs([c for c in lower.columns if c.endswith("_sumsq")])
     )
     return (
         observed_state(lower).groupBy(
@@ -325,6 +345,7 @@ def build_tiers(
     sketch_cols: list[str] | None = None,
     hist_cols: dict | None = None,
     firstlast_cols: list[str] | None = None,
+    sumsq_cols: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """raw → {hourly, daily, monthly} tier-state DataFrames."""
     hourly = rollup_hourly(
@@ -332,6 +353,7 @@ def build_tiers(
         sketch_cols=sketch_cols,
         hist_cols=hist_cols,
         firstlast_cols=firstlast_cols,
+        sumsq_cols=sumsq_cols,
     )
     daily = rollup_up(hourly, "daily")
     monthly = rollup_up(daily, "monthly")

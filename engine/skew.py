@@ -64,6 +64,7 @@ def rollup_hourly_salted(
     sketch_cols: list[str] | None = None,
     hist_cols: dict | None = None,
     firstlast_cols: list[str] | None = None,
+    sumsq_cols: list[str] | None = None,
 ) -> DataFrame:
     """F6: two-phase salted leaf rollup.
 
@@ -86,6 +87,8 @@ def rollup_hourly_salted(
         firstlast_partial_aggs,
         hist_merge_aggs,
         hist_partial_aggs,
+        sumsq_merge_aggs,
+        sumsq_partial_aggs,
     )
 
     fl_partial = firstlast_partial_aggs(firstlast_cols)
@@ -96,6 +99,7 @@ def rollup_hourly_salted(
         ]
         + hist_partial_aggs(hist_cols)
         + fl_partial
+        + sumsq_partial_aggs(sumsq_cols)
     )
     sketch_merge = (
         [
@@ -113,6 +117,9 @@ def rollup_hourly_salted(
             if firstlast_cols
             else []
         )
+        # per-salt Σx² sums add to the unsalted Σx² exactly (long addition
+        # is associative) — same pass-through argument as token_sum
+        + sumsq_merge_aggs([f"{c}_sumsq" for c in sorted(sumsq_cols or [])])
     )
     df = with_metrics(t0).withColumn(
         "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_salts))

@@ -806,3 +806,60 @@ def tier_hourly_filled(spark, sf_dir):
     t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
     hourly = erollup.rollup_hourly(t0)
     return erollup.densify_hourly_locf(hourly).drop("tier")
+
+
+@register(
+    "tier_variance_pipeline_monthly",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts,
+             CAST(length(props) AS BIGINT) AS token_count
+      FROM events)
+    SELECT conv_id,
+           CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket_start,
+           COUNT(*) AS n_turns,
+           CAST(SUM(token_count) AS BIGINT) AS token_sum,
+           CAST(SUM(token_count * token_count) AS BIGINT) AS token_sumsq,
+           (CAST(SUM(token_count * token_count) AS DOUBLE)
+            - CAST(SUM(token_count) AS DOUBLE) * CAST(SUM(token_count) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE))
+           / CAST(COUNT(*) AS DOUBLE) AS token_var_pop
+    FROM t0 GROUP BY 1, 2
+    """,
+)
+def tier_variance_pipeline_monthly(spark, sf_dir):
+    """Exact variance FROM TIER STATE through the REAL pipeline on the
+    SALTED path: TierPipeline(salted=True, sumsq_cols=["token_count"])
+    carries Σx² as long tier state (engine/rollup.py sumsq_partial_aggs) —
+    associative addition makes it compose raw→hourly→daily→monthly and
+    across salts bit-exactly, so population variance is served from the
+    monthly tier with ONE final float expression (var = (Σx² − (Σx)²/n)/n,
+    identical IEEE op order to the oracle's direct-from-raw computation).
+    The tier-served variance of a 10^12-turn month reads |convs| monthly
+    rows, never raw."""
+    import tempfile
+
+    from .pipeline import TierPipeline
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    pipe = TierPipeline(
+        spark,
+        tempfile.mkdtemp(prefix="tier-var-"),
+        salted=True,
+        sumsq_cols=["token_count"],
+        fill_tiers=False,
+    )
+    pipe.run(t0, stages=("hourly", "daily", "monthly"))
+    monthly = pipe.read_tier("monthly")
+    n = F.col("n_turns").cast("double")
+    s = F.col("token_sum").cast("double")
+    q = F.col("token_count_sumsq").cast("double")
+    return monthly.select(
+        "conv_id",
+        "bucket_start",
+        "n_turns",
+        "token_sum",
+        F.col("token_count_sumsq").alias("token_sumsq"),
+        ((q - s * s / n) / n).alias("token_var_pop"),
+    )

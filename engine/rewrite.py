@@ -118,6 +118,49 @@ def rewrite_range_agg(
     )
 
 
+def rewrite_range_variance(
+    tiers: dict[str, DataFrame], lo: datetime, hi: datetime
+) -> DataFrame:
+    """Per-conversation EXACT population variance of token_count over
+    [lo, hi), composed from tier rows only — requires the Σx² tier state
+    (`sumsq_cols=["token_count"]`, engine/rollup.py sumsq_partial_aggs).
+    n/Σx/Σx² each compose by long addition across the greedy calendar
+    spans, so the range variance is served from O(tiers) rows with ONE
+    final float expression — bit-identical to computing it over the raw
+    rows of the range (the driver oracle does exactly that)."""
+    spans = split_range(lo, hi)
+    if not spans:
+        raise ValueError("empty range")
+    sq = "token_count_sumsq"
+    parts = []
+    for tier, a, b in spans:
+        st = observed_state(tiers[tier])
+        if sq not in st.columns:
+            raise ValueError(f"{tier} tier has no sumsq column {sq!r}")
+        parts.append(
+            st.filter(
+                (F.col("bucket_start") >= F.lit(a))
+                & (F.col("bucket_start") < F.lit(b))
+            ).select("conv_id", "n_turns", "token_sum", sq)
+        )
+    u = reduce(lambda x, y: x.unionByName(y), parts)
+    agg = u.groupBy("conv_id").agg(
+        F.sum("n_turns").alias("n_turns"),
+        F.sum("token_sum").alias("token_sum"),
+        F.sum(sq).alias("token_sumsq"),
+    )
+    n = F.col("n_turns").cast("double")
+    s = F.col("token_sum").cast("double")
+    q = F.col("token_sumsq").cast("double")
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        "token_sum",
+        "token_sumsq",
+        ((q - s * s / n) / n).alias("token_var_pop"),
+    )
+
+
 def rewrite_range_distinct(
     tiers: dict[str, DataFrame], lo: datetime, hi: datetime, col: str
 ) -> DataFrame:

@@ -863,3 +863,44 @@ def tier_variance_pipeline_monthly(spark, sf_dir):
         F.col("token_count_sumsq").alias("token_sumsq"),
         ((q - s * s / n) / n).alias("token_var_pop"),
     )
+
+
+@register(
+    "tier_rewrite_range_variance",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts,
+             CAST(length(props) AS BIGINT) AS token_count
+      FROM events)
+    SELECT conv_id, COUNT(*) AS n_turns,
+           CAST(SUM(token_count) AS BIGINT) AS token_sum,
+           CAST(SUM(token_count * token_count) AS BIGINT) AS token_sumsq,
+           (CAST(SUM(token_count * token_count) AS DOUBLE)
+            - CAST(SUM(token_count) AS DOUBLE) * CAST(SUM(token_count) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE))
+           / CAST(COUNT(*) AS DOUBLE) AS token_var_pop
+    FROM t0
+    WHERE ts >= TIMESTAMP '2024-01-03 07:00:00'
+      AND ts <  TIMESTAMP '2024-01-28 19:00:00'
+    GROUP BY conv_id
+    """,
+)
+def tier_rewrite_range_variance(spark, sf_dir):
+    """§4.3 rewrite extended to second moments: EXACT population variance
+    of token_count over an arbitrary hour-aligned range, answered from
+    tier rows only (leading hours → days → months → trailing days/hours;
+    Σx² composes by long addition like Σx), while the oracle computes the
+    variance over the RAW rows of the range with the identical final float
+    expression — hash equality proves second-moment range rewriting costs
+    nothing in exactness. Scan shape: O(tier rows in the decomposition)
+    per conversation, never O(raw turns)."""
+    from datetime import datetime
+
+    from .rewrite import rewrite_range_variance
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0, sumsq_cols=["token_count"])
+    return rewrite_range_variance(
+        tiers, datetime(2024, 1, 3, 7), datetime(2024, 1, 28, 19)
+    )

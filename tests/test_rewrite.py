@@ -156,3 +156,21 @@ def test_rewrite_distinct_requires_sketch_column(spark, tmp_path):
         rewrite_range_distinct(
             tiers, datetime(2026, 1, 5, 7), datetime(2026, 1, 5, 9), "tool"
         )
+
+
+def test_range_variance_requires_sumsq_state(spark):
+    """rewrite_range_variance refuses tiers built without the Σx² state
+    instead of silently emitting nulls."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from engine.rewrite import rewrite_range_variance
+    from engine.rollup import build_tiers
+    from engine.synth import synth_transcripts
+
+    tiers = build_tiers(synth_transcripts(spark, n_convs=5, hot_turns=50))
+    with _pytest.raises(ValueError, match="sumsq"):
+        rewrite_range_variance(
+            tiers, datetime(2024, 1, 1, 0), datetime(2024, 2, 1, 0)
+        )

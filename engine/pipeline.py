@@ -80,6 +80,7 @@ class TierPipeline:
         hist_cols: dict | None = None,
         firstlast_cols: list[str] | None = None,
         sumsq_cols: list[str] | None = None,
+        sumprod_cols: list | None = None,
         wap: bool = False,
         wap_audit=None,
         hourly_layout: int = 1,
@@ -128,6 +129,12 @@ class TierPipeline:
         #: from any tier with one final float expression. Fingerprint +
         #: migration story identical to hist_cols.
         self.sumsq_cols = sorted(sumsq_cols or [])
+        #: exact cross-product tier state per (a, b) column pair
+        #: (`<a>_x_<b>_sumprod`, engine/rollup.py sumprod_partial_aggs):
+        #: Σxy composes by addition, completing the second-moment algebra —
+        #: covariance/correlation/slope served from tiers. Fingerprint +
+        #: migration story identical to sumsq_cols.
+        self.sumprod_cols = sorted(tuple(p) for p in (sumprod_cols or []))
         #: write-audit-publish (requires snapshots): a run writes every
         #: stage into STAGED (unpublished) snapshots with manifest commits
         #: deferred; at the seal, `wap_audit(pipe)` (if given) inspects the
@@ -183,6 +190,10 @@ class TierPipeline:
             parts.append("fl:" + ";".join(self.firstlast_cols))
         if self.sumsq_cols:
             parts.append("sq:" + ";".join(self.sumsq_cols))
+        if self.sumprod_cols:
+            parts.append(
+                "sp:" + ";".join(f"{a}*{b}" for a, b in self.sumprod_cols)
+            )
         if self.hourly_layout != 1:
             parts.append(f"layout:{self.hourly_layout}")
         return "|".join(p for p in parts if p)
@@ -217,8 +228,9 @@ class TierPipeline:
                 for c in self.firstlast_cols
                 for side in ("first", "last")
             ]
-            # Σx² is exact + deterministic — hash raw
+            # Σx²/Σxy are exact + deterministic — hash raw
             + [F.col(f"{c}_sumsq") for c in self.sumsq_cols]
+            + [F.col(f"{a}_x_{b}_sumprod") for a, b in self.sumprod_cols]
         )
 
     # -- paths -------------------------------------------------------------
@@ -975,6 +987,7 @@ class TierPipeline:
                     hist_cols=self.hist_cols,
                     firstlast_cols=self.firstlast_cols,
                     sumsq_cols=self.sumsq_cols,
+                    sumprod_cols=self.sumprod_cols,
                 )
                 if self.salted
                 else rollup_hourly(
@@ -983,6 +996,7 @@ class TierPipeline:
                     hist_cols=self.hist_cols,
                     firstlast_cols=self.firstlast_cols,
                     sumsq_cols=self.sumsq_cols,
+                    sumprod_cols=self.sumprod_cols,
                 )
             )
             if self.fill_tiers:

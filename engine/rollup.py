@@ -73,6 +73,20 @@ def sumsq_merge_aggs(cols: list[str]) -> list:
     return [F.sum(c).alias(c) for c in sorted(cols)]
 
 
+def sumprod_partial_aggs(sumprod_cols: list | None) -> list:
+    """Exact cross-product tier state (`<a>_x_<b>_sumprod`, long): Σxy
+    composes by addition like Σx², completing the second-moment algebra —
+    covariance / Pearson correlation / regression slope are served from
+    any tier via one final float expression over (n, Σx, Σy, Σx², Σy²,
+    Σxy). The TimescaleDB stats_agg 2D analogue."""
+    return [
+        F.sum(F.col(a).cast("long") * F.col(b).cast("long")).alias(
+            f"{a}_x_{b}_sumprod"
+        )
+        for a, b in sorted(sumprod_cols or [])
+    ]
+
+
 def hist_partial_aggs(hist_cols: dict | None) -> list:
     """Leaf aggregates producing one `<col>_hist` array<long> of bin counts
     per spec'd column. Exact integer state: unlike the HLL columns this
@@ -169,6 +183,7 @@ def rollup_hourly(
     hist_cols: dict | None = None,
     firstlast_cols: list[str] | None = None,
     sumsq_cols: list[str] | None = None,
+    sumprod_cols: list | None = None,
 ) -> DataFrame:
     """Leaf rollup D1: raw turns → hourly tier state.
 
@@ -200,6 +215,7 @@ def rollup_hourly(
         + hist_partial_aggs(hist_cols)
         + firstlast_partial_aggs(firstlast_cols)
         + sumsq_partial_aggs(sumsq_cols)
+        + sumprod_partial_aggs(sumprod_cols)
     )
     df = with_metrics(t0)
     hourly = (
@@ -279,6 +295,7 @@ def densify_hourly_locf(hourly: DataFrame) -> DataFrame:
         or c.endswith("_first")
         or c.endswith("_last")
         or c.endswith("_sumsq")
+        or c.endswith("_sumprod")
     ]
     return dense.select(
         "conv_id",
@@ -314,7 +331,13 @@ def rollup_up(lower: DataFrame, to_tier: str) -> DataFrame:
         ]
         + hist_merge_aggs([c for c in lower.columns if c.endswith("_hist")])
         + firstlast_merge_aggs(lower.columns)
-        + sumsq_merge_aggs([c for c in lower.columns if c.endswith("_sumsq")])
+        + sumsq_merge_aggs(
+            [
+                c
+                for c in lower.columns
+                if c.endswith("_sumsq") or c.endswith("_sumprod")
+            ]
+        )
     )
     return (
         observed_state(lower).groupBy(
@@ -346,6 +369,7 @@ def build_tiers(
     hist_cols: dict | None = None,
     firstlast_cols: list[str] | None = None,
     sumsq_cols: list[str] | None = None,
+    sumprod_cols: list | None = None,
 ) -> dict[str, DataFrame]:
     """raw → {hourly, daily, monthly} tier-state DataFrames."""
     hourly = rollup_hourly(
@@ -354,6 +378,7 @@ def build_tiers(
         hist_cols=hist_cols,
         firstlast_cols=firstlast_cols,
         sumsq_cols=sumsq_cols,
+        sumprod_cols=sumprod_cols,
     )
     daily = rollup_up(hourly, "daily")
     monthly = rollup_up(daily, "monthly")

@@ -65,6 +65,7 @@ def rollup_hourly_salted(
     hist_cols: dict | None = None,
     firstlast_cols: list[str] | None = None,
     sumsq_cols: list[str] | None = None,
+    sumprod_cols: list | None = None,
 ) -> DataFrame:
     """F6: two-phase salted leaf rollup.
 
@@ -87,6 +88,7 @@ def rollup_hourly_salted(
         firstlast_partial_aggs,
         hist_merge_aggs,
         hist_partial_aggs,
+        sumprod_partial_aggs,
         sumsq_merge_aggs,
         sumsq_partial_aggs,
     )
@@ -100,6 +102,7 @@ def rollup_hourly_salted(
         + hist_partial_aggs(hist_cols)
         + fl_partial
         + sumsq_partial_aggs(sumsq_cols)
+        + sumprod_partial_aggs(sumprod_cols)
     )
     sketch_merge = (
         [
@@ -117,9 +120,12 @@ def rollup_hourly_salted(
             if firstlast_cols
             else []
         )
-        # per-salt Σx² sums add to the unsalted Σx² exactly (long addition
-        # is associative) — same pass-through argument as token_sum
-        + sumsq_merge_aggs([f"{c}_sumsq" for c in sorted(sumsq_cols or [])])
+        # per-salt Σx²/Σxy sums add to the unsalted ones exactly (long
+        # addition is associative) — same pass-through argument as token_sum
+        + sumsq_merge_aggs(
+            [f"{c}_sumsq" for c in sorted(sumsq_cols or [])]
+            + [f"{a}_x_{b}_sumprod" for a, b in sorted(sumprod_cols or [])]
+        )
     )
     df = with_metrics(t0).withColumn(
         "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_salts))

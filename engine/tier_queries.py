@@ -904,3 +904,79 @@ def tier_rewrite_range_variance(spark, sf_dir):
     return rewrite_range_variance(
         tiers, datetime(2024, 1, 3, 7), datetime(2024, 1, 28, 19)
     )
+
+
+@register(
+    "tier_corr_pipeline_monthly",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts,
+             CAST(length(props) AS BIGINT) AS x,
+             CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM events),
+    s AS (
+      SELECT conv_id,
+             CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket_start,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM t0 GROUP BY 1, 2)
+    SELECT conv_id, bucket_start, n AS n_turns,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS corr_tokens_tool
+    FROM s
+    WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+    """,
+)
+def tier_corr_pipeline_monthly(spark, sf_dir):
+    """Pearson correlation SERVED FROM TIER STATE through the REAL pipeline
+    on the SALTED path: TierPipeline(salted=True, sumsq_cols=[x, y],
+    sumprod_cols=[(x, y)]) carries n/Σx/Σy/Σx²/Σy²/Σxy as long tier state —
+    each composes raw→hourly→daily→monthly and across salts by addition, so
+    per-(conv, month) correlation is one final float expression over 6
+    monthly longs while the oracle recomputes it from raw with the
+    identical IEEE op order. Zero-variance groups are excluded by the same
+    expression on both sides. The stats_agg-2D serving shape: a 10^12-turn
+    month reads |convs| tier rows, never raw."""
+    import tempfile
+
+    from .pipeline import TierPipeline
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    pipe = TierPipeline(
+        spark,
+        tempfile.mkdtemp(prefix="tier-corr-"),
+        salted=True,
+        sumsq_cols=["token_count", "is_tool"],
+        sumprod_cols=[("token_count", "is_tool")],
+        fill_tiers=False,
+    )
+    pipe.run(t0, stages=("hourly", "daily", "monthly"))
+    monthly = pipe.read_tier("monthly")
+    n = F.col("n_turns").cast("double")
+    sx = F.col("token_sum").cast("double")
+    sy = F.col("tool_sum").cast("double")
+    sxx = F.col("token_count_sumsq").cast("double")
+    syy = F.col("is_tool_sumsq").cast("double")
+    sxy = F.col("token_count_x_is_tool_sumprod").cast("double")
+    vxn = n * sxx - sx * sx
+    vyn = n * syy - sy * sy
+    return monthly.filter((vxn > 0) & (vyn > 0)).select(
+        "conv_id",
+        "bucket_start",
+        "n_turns",
+        ((n * sxy - sx * sy) / (F.sqrt(vxn) * F.sqrt(vyn))).alias(
+            "corr_tokens_tool"
+        ),
+    )

@@ -118,3 +118,35 @@ def test_sumsq_enable_is_one_time_migration(spark, t0, tmp_path):
         for r in direct["monthly"].collect()
     }
     assert got == exp
+
+
+def test_sumprod_composition_and_salting_bit_exact(spark, t0, tmp_path):
+    """Cross-product state Σxy (token_count · is_tool): salted pipeline ==
+    brute force from raw at the monthly tier — long equality."""
+    pipe = TierPipeline(
+        spark,
+        str(tmp_path / "xp"),
+        salted=True,
+        sumprod_cols=[("token_count", "is_tool")],
+        fill_tiers=False,
+    )
+    pipe.run(t0)
+    got = _state(
+        observed_state(pipe.read_tier("monthly")),
+        col="token_count_x_is_tool_sumprod",
+    )
+    raw = {
+        (r["conv_id"], r["m"]): r["q"]
+        for r in t0.groupBy(
+            "conv_id",
+            F.date_trunc("month", "ts").cast("timestamp_ntz").alias("m"),
+        )
+        .agg(
+            F.sum(
+                F.length("text").cast("long")
+                * F.col("tool").isNotNull().cast("long")
+            ).alias("q")
+        )
+        .collect()
+    }
+    assert got == raw

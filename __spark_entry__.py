@@ -18,6 +18,7 @@ from engine.queries import ORACLE_SQL, QUERIES
 import engine.more_queries  # noqa: F401,E402
 import engine.multimodal  # noqa: F401,E402
 import engine.dedupindex  # noqa: F401,E402
+import engine.seqops  # noqa: F401,E402
 import engine.simindex  # noqa: F401,E402
 import engine.ts_analytics  # noqa: F401,E402
 import engine.simsearch  # noqa: F401,E402

@@ -84,6 +84,8 @@ class TierPipeline:
         wap: bool = False,
         wap_audit=None,
         hourly_layout: int = 1,
+        lease: bool = True,
+        lease_ttl_s: float = 3600.0,
     ):
         self.spark = spark
         self.root = root
@@ -158,6 +160,10 @@ class TierPipeline:
         if hourly_layout not in (1, 2):
             raise ValueError("hourly_layout must be 1 or 2")
         self.hourly_layout = hourly_layout
+        #: single-writer mutual exclusion around run(): two concurrent runs
+        #: on one root would double-write pending partitions (engine/lease.py)
+        self.use_lease = lease
+        self.lease_ttl_s = lease_ttl_s
         self._wap_active = False
         self._staged: dict[str, str] = {}
         self._staged_mirror: str | None = None
@@ -947,7 +953,27 @@ class TierPipeline:
         run resumes from the manifest). In WAP mode the whole run stages
         unpublished and seals atomically in `_finish_run`; any exception —
         including an audit veto — aborts with published tables and the
-        manifest untouched."""
+        manifest untouched.
+
+        A run lease (engine/lease.py) serializes writers per root: a second
+        concurrent run raises LeaseHeldError instead of double-writing the
+        same pending partitions; crashed holders are broken as stale."""
+        if self.use_lease:
+            with self.lease():
+                return self._run_locked(t0, run_id, stages)
+        return self._run_locked(t0, run_id, stages)
+
+    def lease(self):
+        """The root's writer lease — lifecycle operations running OUTSIDE
+        run() (retention sweeps, compaction) can serialize against runs
+        with ``with pipe.lease(): ...``."""
+        from .lease import RunLease
+
+        return RunLease(self.root, ttl_s=self.lease_ttl_s)
+
+    def _run_locked(
+        self, t0: DataFrame, run_id: str | None = None, stages=None
+    ) -> dict:
         if self.wap:
             self._begin_wap()
             try:

@@ -1009,3 +1009,49 @@ def wow_value_daily(spark, sf_dir):
         F.col("prv.v_c").alias("prev_value_c"),
         (F.col("cur.v_c") - F.col("prv.v_c")).alias("wow_delta_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear smoothing (Brown's double exponential — level + trend)
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.25  # power of two: exact halving/quartering per step
+
+
+@register("holt_linear_user_values")  # rows-only: recursive per-series state
+def holt_linear_user_values(spark, sf_dir):
+    """Brown's double-exponential smoothing per user (level + trend + one-
+    step-ahead forecast) over the unique (ts, event_id) order — the
+    forecasting baseline one notch above EWMA. With adjust=False and
+    s1_0 = s2_0 = x_0:
+
+        s1_t = a*x_t + (1-a)*s1_{t-1};  s2_t = a*s1_t + (1-a)*s2_{t-1}
+        level = 2*s1 - s2;  trend = a/(1-a)*(s1 - s2);  forecast = level+trend
+
+    Inherently recursive, so not SQL-expressible (rows-only driver check);
+    tests/test_ts_analytics.py pins parity against the literal recurrence.
+    Like the EWMA, the recurrence runs as pandas' C-level ewm kernel applied
+    twice over one Arrow batch per series — never a python per-row loop."""
+    e = _t(spark, sf_dir, "events")
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], ignore_index=True)
+        s1 = pdf["value"].ewm(alpha=HOLT_ALPHA, adjust=False).mean()
+        s2 = s1.ewm(alpha=HOLT_ALPHA, adjust=False).mean()
+        pdf["level"] = 2.0 * s1 - s2
+        pdf["trend"] = HOLT_ALPHA / (1.0 - HOLT_ALPHA) * (s1 - s2)
+        pdf["forecast_next"] = pdf["level"] + pdf["trend"]
+        return pdf[
+            ["user_id", "ts", "event_id", "value", "level", "trend",
+             "forecast_next"]
+        ]
+
+    return (
+        e.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            smooth,
+            "user_id bigint, ts timestamp_ntz, event_id bigint, value double,"
+            " level double, trend double, forecast_next double",
+        )
+    )

@@ -90,6 +90,8 @@ def test_gapfill_linear_is_arrow_not_row_python(spark):
 #: which is the correct shape for a global sum at any scale.
 GLOBAL_AGG_OK = {
     "hot_users_topk",  # grand-total sum over the per-key aggregate
+    "funnel_conversion_steps",  # three per-step COUNT(*) grand totals, each
+    # fed by the per-user partial aggregate (one row per upstream partition)
 }
 
 BNLJ_OK = {

@@ -243,3 +243,61 @@ def serve_hourly_realtime(
         t0.filter(F.col("ts").cast("timestamp_ntz") >= wm)
     ).select(_SERVE_COLS)
     return mat.unionByName(tail)
+
+
+def rewrite_range_agg_realtime(
+    tiers: dict[str, DataFrame],
+    t0: DataFrame,
+    lo: datetime,
+    hi: datetime,
+    watermark: datetime,
+) -> DataFrame:
+    """The two serving rewrites composed: an arbitrary hour-aligned range
+    [lo, hi) that STRADDLES the materialization watermark is answered from
+    tier rows below the watermark (greedy calendar decomposition,
+    `rewrite_range_agg`) unioned with an on-the-fly leaf rollup of the raw
+    tail at/after it (`serve_hourly_realtime`'s seam rule). Integer tier
+    state makes the straddling answer bit-identical to aggregating raw rows
+    over the whole range, regardless of where the materializer stopped.
+
+    This is the query path a live system actually runs: tiers always lag
+    ingestion, and a "last 30 days" dashboard range ends in the
+    un-materialized present. Cost shape: O(tier rows) for everything below
+    the watermark + ONE partition-pruned raw scan bounded by
+    [watermark, hi) — the tail is at most the materializer's lag.
+
+    `watermark` must be hour-aligned (same both-sided seam refusal as
+    serve_hourly_realtime); tier rows at/after it are excluded by span
+    construction, so a materializer that ran ahead cannot double-count."""
+    from .rollup import rollup_hourly
+
+    if (watermark.minute, watermark.second, watermark.microsecond) != (0, 0, 0):
+        raise ValueError(f"watermark must be hour-aligned: {watermark!r}")
+    if lo >= hi:
+        raise ValueError("empty range")
+    parts = []
+    tier_hi = min(hi, watermark)
+    if lo < tier_hi:
+        for tier, a, b in split_range(lo, tier_hi):
+            st = observed_state(tiers[tier])
+            parts.append(
+                st.filter(
+                    (F.col("bucket_start") >= F.lit(a))
+                    & (F.col("bucket_start") < F.lit(b))
+                ).select("conv_id", *RANGE_STATE)
+            )
+    tail_lo = max(lo, watermark)
+    if tail_lo < hi:
+        ts = F.col("ts").cast("timestamp_ntz")
+        tail = rollup_hourly(
+            t0.filter((ts >= F.lit(tail_lo)) & (ts < F.lit(hi)))
+        )
+        parts.append(tail.select("conv_id", *RANGE_STATE))
+    u = reduce(lambda x, y: x.unionByName(y), parts)
+    return u.groupBy("conv_id").agg(
+        F.sum("n_turns").alias("n_turns"),
+        F.sum("token_sum").alias("token_sum"),
+        F.min("token_min").alias("token_min"),
+        F.max("token_max").alias("token_max"),
+        F.sum("tool_sum").alias("tool_sum"),
+    )

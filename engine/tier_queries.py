@@ -980,3 +980,44 @@ def tier_corr_pipeline_monthly(spark, sf_dir):
             "corr_tokens_tool"
         ),
     )
+
+
+@register(
+    "tier_rewrite_range_realtime",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts,
+             CAST(length(props) AS BIGINT) AS token_count,
+             CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS BIGINT) AS is_tool
+      FROM events)
+    SELECT conv_id, COUNT(*) AS n_turns,
+           CAST(SUM(token_count) AS BIGINT) AS token_sum,
+           MIN(token_count) AS token_min, MAX(token_count) AS token_max,
+           CAST(SUM(is_tool) AS BIGINT) AS tool_sum
+    FROM t0
+    WHERE ts >= TIMESTAMP '2024-01-03 07:00:00'
+      AND ts <  TIMESTAMP '2024-01-29 19:00:00'
+    GROUP BY conv_id
+    """,
+)
+def tier_rewrite_range_realtime(spark, sf_dir):
+    """§4.3 rewrite × real-time serving: the tiers are materialized ONLY
+    below a 2024-01-27 watermark (simulating materializer lag), yet the
+    served range runs to 01-29 19:00 — tier spans answer everything below
+    the watermark, one bounded raw-tail rollup answers the rest. The
+    oracle aggregates raw over the WHOLE range; hash equality proves the
+    straddling composition is exact (no gap/overlap/double count at the
+    watermark seam)."""
+    from datetime import datetime
+
+    from .rewrite import rewrite_range_agg_realtime
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    wm = datetime(2024, 1, 27)
+    tiers = erollup.build_tiers(
+        t0.filter(F.col("ts").cast("timestamp_ntz") < F.lit(wm))
+    )
+    return rewrite_range_agg_realtime(
+        tiers, t0, datetime(2024, 1, 3, 7), datetime(2024, 1, 29, 19), wm
+    )

@@ -174,3 +174,76 @@ def test_range_variance_requires_sumsq_state(spark):
         rewrite_range_variance(
             tiers, datetime(2024, 1, 1, 0), datetime(2024, 2, 1, 0)
         )
+
+
+def test_realtime_rewrite_straddles_watermark(spark, tmp_path):
+    """Tiers materialized only below the watermark + raw tail above ==
+    direct raw aggregation over the whole range, for straddling, pure-tier,
+    and pure-tail ranges; misaligned watermark refused; a materializer that
+    ran AHEAD of the watermark is excluded (no double count)."""
+    import pandas as pd
+
+    from engine.pipeline import TierPipeline
+    from engine.rewrite import rewrite_range_agg_realtime
+
+    t0 = synth_transcripts(spark, n_convs=40, hot_turns=300)
+    wm = datetime(2026, 2, 10)
+    pipe = TierPipeline(spark, str(tmp_path / "rt"))
+    pipe.run(
+        t0.filter(F.col("ts").cast("timestamp_ntz") < F.lit(wm)),
+        stages=("hourly", "daily", "monthly"),
+    )
+    tiers = {t: pipe.read_tier(t) for t in ("hourly", "daily", "monthly")}
+
+    def raw_agg(lo, hi):
+        return (
+            t0.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+            .groupBy("conv_id")
+            .agg(
+                F.count("*").alias("n_turns"),
+                F.sum(F.length("text").cast("long")).alias("token_sum"),
+                F.min(F.length("text").cast("long")).alias("token_min"),
+                F.max(F.length("text").cast("long")).alias("token_max"),
+                F.sum(F.col("tool").isNotNull().cast("long")).alias("tool_sum"),
+            )
+            .toPandas()
+            .sort_values("conv_id", ignore_index=True)
+        )
+
+    cases = [
+        (datetime(2026, 1, 5, 7), datetime(2026, 2, 14, 19)),  # straddles
+        (datetime(2026, 1, 5, 7), datetime(2026, 2, 1, 3)),  # pure tier
+        (datetime(2026, 2, 10), datetime(2026, 2, 14, 19)),  # pure tail
+        (datetime(2026, 2, 9, 23), datetime(2026, 2, 10, 1)),  # 1h each side
+    ]
+    for lo, hi in cases:
+        got = (
+            rewrite_range_agg_realtime(tiers, t0, lo, hi, wm)
+            .toPandas()
+            .sort_values("conv_id", ignore_index=True)
+        )
+        raw = raw_agg(lo, hi)
+        pd.testing.assert_frame_equal(got[raw.columns], raw, obj=f"{lo}-{hi}")
+
+    with pytest.raises(ValueError, match="hour-aligned"):
+        rewrite_range_agg_realtime(
+            tiers, t0, cases[0][0], cases[0][1], datetime(2026, 2, 10, 0, 30)
+        )
+
+    # ran-ahead materializer: tiers built over ALL data, watermark in the
+    # middle — tier rows at/after the watermark must be ignored, the raw
+    # tail used instead, and the answer unchanged
+    tiers_ahead = {
+        t: pipe.read_tier(t) for t in ("hourly", "daily", "monthly")
+    }
+    pipe2 = TierPipeline(spark, str(tmp_path / "rt2"))
+    pipe2.run(t0, stages=("hourly", "daily", "monthly"))
+    tiers_ahead = {t: pipe2.read_tier(t) for t in ("hourly", "daily", "monthly")}
+    lo, hi = cases[0]
+    got = (
+        rewrite_range_agg_realtime(tiers_ahead, t0, lo, hi, wm)
+        .toPandas()
+        .sort_values("conv_id", ignore_index=True)
+    )
+    raw = raw_agg(lo, hi)
+    pd.testing.assert_frame_equal(got[raw.columns], raw)

@@ -373,3 +373,103 @@ def run_stream_into_simindex(
     q.awaitTermination(timeout_s)
     q.stop()
     return {"batches": len(ingested), "batch_ids": ingested}
+
+
+# -- streaming CUSUM drift alerting (J6 × M23) -------------------------------
+
+#: token_count (text length) control parameters — synth text lengths span
+#: ~8-190 chars, so target+slack=120 keeps the in-control drift negative
+STREAM_CUSUM_TARGET = 100
+STREAM_CUSUM_SLACK = 20
+STREAM_CUSUM_THRESH = 1500
+
+CUSUM_OUT_SCHEMA = "conv_id string, cusum long, n_alerts long, max_cusum long"
+CUSUM_STATE_SCHEMA = "s long, n_alerts long, max_cusum long"
+
+
+def _cusum_fn(key, pdf_iter, state):
+    """Per-conv streaming CUSUM: the persistent state is (current cusum,
+    alerts so far, running max). Each micro-batch folds its rows — sorted by
+    event time WITHIN the batch — through the reset recurrence using the
+    same closed prefix form as the batch operator (engine/seqops.py):
+    with carry-in s0 >= 0, cs = s0 + cumsum(d) and
+    s_t = cs_t - min(0, running_min(cs_t)) — numpy-vectorized, no per-row
+    python. Contract (standard streaming SPC): rows are processed in
+    arrival order across micro-batches; in-order feeds reproduce the batch
+    answer exactly (pytest pins this)."""
+    import numpy as np
+    import pandas as pd
+
+    s, n_alerts, mx = state.get if state.exists else (0, 0, 0)
+    pdf = pd.concat(list(pdf_iter), ignore_index=True)
+    pdf = pdf.sort_values(["ts", "turn_idx"], ignore_index=True)
+    d = (
+        pdf["text"].str.len().to_numpy(np.int64)
+        - STREAM_CUSUM_TARGET
+        - STREAM_CUSUM_SLACK
+    )
+    if len(d):
+        cs = s + np.cumsum(d)
+        run = cs - np.minimum.accumulate(np.minimum(cs, 0))
+        s = int(run[-1])
+        n_alerts += int((run > STREAM_CUSUM_THRESH).sum())
+        mx = max(mx, int(run.max()))
+    state.update((int(s), int(n_alerts), int(mx)))
+    yield pd.DataFrame(
+        {
+            "conv_id": [key[0]],
+            "cusum": [s],
+            "n_alerts": [n_alerts],
+            "max_cusum": [mx],
+        }
+    )
+
+
+def cusum_alert_stream(t0_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming change detection: per-conversation CUSUM state that
+    outlives micro-batches, emitted per (conv, batch). State store shuffles
+    on conv_id only; each update is O(batch rows) vectorized."""
+    return (
+        t0_stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _cusum_fn,
+            outputStructType=CUSUM_OUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def run_cusum_stream(
+    spark: SparkSession, input_path: str, out_path: str, checkpoint: str,
+    max_files: int = 1,
+):
+    """availableNow run of the CUSUM stream; one file per trigger keeps an
+    in-order (time-partitioned) feed processing in event order, so the
+    final state is comparable to the batch recurrence."""
+    t0 = (
+        spark.readStream.schema(T0_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = cusum_alert_stream(t0)
+
+    def _sink(batch_df: DataFrame, batch_id: int):
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .foreachBatch(_sink)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -386,3 +386,73 @@ def test_stream_wap_trigger_veto_then_resume(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(got, exp)
     assert not got.equals(before)  # the veto really had blocked progress
+
+
+def test_cusum_stream_equals_batch_recurrence(spark, tmp_path):
+    """Streaming CUSUM (applyInPandasWithState) fed in event-time order ==
+    the literal batch recurrence per conversation; state provably crosses
+    micro-batches (multiple emissions, monotone alert counts)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from engine.streaming import (
+        STREAM_CUSUM_SLACK,
+        STREAM_CUSUM_TARGET,
+        STREAM_CUSUM_THRESH,
+        run_cusum_stream,
+    )
+    from engine.synth import synth_transcripts
+
+    t0 = synth_transcripts(spark, n_convs=8, hot_turns=120)
+    inp = tmp_path / "cusum_in"
+    inp.mkdir()
+    days = [
+        r["d"]
+        for r in t0.select(F.to_date("ts").alias("d")).distinct().orderBy("d").collect()
+    ]
+    for i, d in enumerate(days):
+        stage = str(tmp_path / f"stage_{i}")
+        (
+            t0.filter(F.to_date("ts") == F.lit(d))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = str(inp / f"day_{i:03d}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))  # mtime order
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_cusum_stream(spark, str(inp), out, ckpt)
+    emitted = spark.read.parquet(out)
+    w = Window.partitionBy("conv_id").orderBy(F.desc("batch_id"))
+    final = (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .toPandas()
+        .set_index("conv_id")
+    )
+
+    pdf = t0.select("conv_id", "ts", "turn_idx", F.length("text").alias("L")).toPandas()
+    for cid, g in pdf.groupby("conv_id"):
+        g = g.sort_values(["ts", "turn_idx"])
+        s, alerts, mx = 0, 0, 0
+        for L in g["L"]:
+            s = max(0, s + int(L) - STREAM_CUSUM_TARGET - STREAM_CUSUM_SLACK)
+            alerts += s > STREAM_CUSUM_THRESH
+            mx = max(mx, s)
+        assert final.loc[cid, "cusum"] == s, cid
+        assert final.loc[cid, "n_alerts"] == alerts, cid
+        assert final.loc[cid, "max_cusum"] == mx, cid
+
+    # state crossed micro-batches, and per-conv alert counts never decrease
+    per = emitted.groupBy("conv_id").count().toPandas()
+    assert (per["count"] > 1).any()
+    mono = emitted.toPandas().sort_values("batch_id")
+    for cid, g in mono.groupby("conv_id"):
+        assert (np.diff(g["n_alerts"].to_numpy()) >= 0).all(), cid

@@ -148,6 +148,10 @@ RELATIONAL = [
     "twa_locf_daily",
     "outliers_mad_daily",
     "hist_percentile_monthly",
+    # sequence-analytics representatives (third round-4 session): the CUSUM
+    # prefix-form double window stack and the chained-join funnel
+    "cusum_alerts_user",
+    "funnel_conversion_steps",
 ]
 
 

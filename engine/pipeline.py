@@ -81,6 +81,7 @@ class TierPipeline:
         firstlast_cols: list[str] | None = None,
         sumsq_cols: list[str] | None = None,
         sumprod_cols: list | None = None,
+        freq_cols: list[str] | None = None,
         wap: bool = False,
         wap_audit=None,
         hourly_layout: int = 1,
@@ -137,6 +138,14 @@ class TierPipeline:
         #: covariance/correlation/slope served from tiers. Fingerprint +
         #: migration story identical to sumsq_cols.
         self.sumprod_cols = sorted(tuple(p) for p in (sumprod_cols or []))
+        #: exact categorical frequency tier state per raw column
+        #: (`<col>_freq` map<string,long>, engine/rollup.py freq_maps):
+        #: value→count maps compose across tiers and salts by key-union
+        #: addition — exact heavy-hitters / distribution-over-categories
+        #: served from any tier. Fingerprint hashes the SORTED entry array
+        #: (map internal order is merge-order-dependent); migration story
+        #: identical to hist_cols.
+        self.freq_cols = sorted(freq_cols or [])
         #: write-audit-publish (requires snapshots): a run writes every
         #: stage into STAGED (unpublished) snapshots with manifest commits
         #: deferred; at the seal, `wap_audit(pipe)` (if given) inspects the
@@ -200,6 +209,8 @@ class TierPipeline:
             parts.append(
                 "sp:" + ";".join(f"{a}*{b}" for a, b in self.sumprod_cols)
             )
+        if self.freq_cols:
+            parts.append("fq:" + ";".join(self.freq_cols))
         if self.hourly_layout != 1:
             parts.append(f"layout:{self.hourly_layout}")
         return "|".join(p for p in parts if p)
@@ -237,6 +248,16 @@ class TierPipeline:
             # Σx²/Σxy are exact + deterministic — hash raw
             + [F.col(f"{c}_sumsq") for c in self.sumsq_cols]
             + [F.col(f"{a}_x_{b}_sumprod") for a, b in self.sumprod_cols]
+            # freq maps are exact as MULTISETS of entries but internally
+            # merge-order-dependent — hash the canonical sorted entry array,
+            # AS JSON: xxhash64 skips empty arrays entirely (like nulls), so
+            # a raw empty array would make enable/disable migrations miss
+            # every all-empty-map day (mixed-schema tiers); the "[]" string
+            # is never hash-invisible
+            + [
+                F.to_json(F.sort_array(F.map_entries(f"{c}_freq")))
+                for c in self.freq_cols
+            ]
         )
 
     # -- paths -------------------------------------------------------------
@@ -1014,6 +1035,7 @@ class TierPipeline:
                     firstlast_cols=self.firstlast_cols,
                     sumsq_cols=self.sumsq_cols,
                     sumprod_cols=self.sumprod_cols,
+                    freq_cols=self.freq_cols,
                 )
                 if self.salted
                 else rollup_hourly(
@@ -1023,6 +1045,7 @@ class TierPipeline:
                     firstlast_cols=self.firstlast_cols,
                     sumsq_cols=self.sumsq_cols,
                     sumprod_cols=self.sumprod_cols,
+                    freq_cols=self.freq_cols,
                 )
             )
             if self.fill_tiers:

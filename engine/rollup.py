@@ -132,6 +132,72 @@ def hist_merge_aggs(cols: list[str]) -> list:
     return out
 
 
+def freq_maps(df: DataFrame, keys: list[str], freq_cols: list[str] | None):
+    """Exact categorical frequency state: one `<col>_freq` map<string,long>
+    of value→count per group (nulls skipped), computed as a two-phase
+    aggregate — count per (group, value) with map-side partial combine,
+    then map_from_entries over the per-group value list. The entry list is
+    bounded by the group's DISTINCT values (the categorical analogue of
+    hist_cols' n_bins bound), never its row count, and the fine-keyed
+    pre-aggregation is inherently salt-proof: a hot (conv, hour) splits
+    across its values and partial combine absorbs what's left. Leaf entries
+    are sort_array'd so leaf maps are deterministic; upper tiers must
+    canonicalize via sort_array(map_entries(c)) when hashing."""
+    if not freq_cols:
+        return None
+    out = None
+    # NOTE: callers must coalesce the join result with EMPTY_FREQ_MAP —
+    # a bucket with no non-null values must carry an empty map, not NULL
+    # (the HLL precedent: hll_sketch_agg yields an empty sketch), so the
+    # densifier's gap-carry never fires on observed rows.
+    for c in sorted(freq_cols):
+        m = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(*keys, F.col(c).cast("string").alias("_v"))
+            .agg(F.count("*").alias("_n"))
+            .groupBy(*keys)
+            .agg(
+                F.map_from_entries(
+                    F.sort_array(F.collect_list(F.struct("_v", "_n")))
+                ).alias(f"{c}_freq")
+            )
+        )
+        out = m if out is None else out.join(m, keys, "full")
+    return out
+
+
+def empty_freq_map():
+    return F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<long>")
+    )
+
+
+def freq_merge_aggs(cols: list[str]) -> list:
+    """Merge aggregates for `<col>_freq` maps: fold the tier-bounded list
+    of maps with map_zip_with (key-union, count addition) — exact under any
+    merge order, so frequency maps compose across tiers AND salts
+    bit-identically (as multisets of entries; internal key order is
+    canonicalized at hash/compare time)."""
+    out = []
+    seed = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<long>")
+    )
+    for c in cols:
+        out.append(
+            F.aggregate(
+                F.collect_list(c),
+                seed,
+                lambda acc, m: F.map_zip_with(
+                    acc,
+                    m,
+                    lambda k, a, b: F.coalesce(a, F.lit(0).cast("long"))
+                    + F.coalesce(b, F.lit(0).cast("long")),
+                ),
+            ).alias(c)
+        )
+    return out
+
+
 def firstlast_partial_aggs(firstlast_cols: list[str] | None) -> list:
     """Leaf aggregates for first/last (open/close) tier state: per spec'd
     column `{c}_first`/`{c}_last` = the column's value at the bucket's
@@ -184,6 +250,7 @@ def rollup_hourly(
     firstlast_cols: list[str] | None = None,
     sumsq_cols: list[str] | None = None,
     sumprod_cols: list | None = None,
+    freq_cols: list[str] | None = None,
 ) -> DataFrame:
     """Leaf rollup D1: raw turns → hourly tier state.
 
@@ -244,6 +311,20 @@ def rollup_hourly(
             }
         )
     )
+    fm = freq_maps(
+        df.withColumn(
+            "bucket_start",
+            F.date_trunc("hour", "ts").cast("timestamp_ntz"),
+        ),
+        ["conv_id", "bucket_start"],
+        freq_cols,
+    )
+    if fm is not None:
+        hourly = hourly.join(fm, ["conv_id", "bucket_start"], "left")
+        for c in sorted(freq_cols):
+            hourly = hourly.withColumn(
+                f"{c}_freq", F.coalesce(f"{c}_freq", empty_freq_map())
+            )
     return hourly.withColumn("tier", F.lit("hourly"))
 
 
@@ -296,6 +377,7 @@ def densify_hourly_locf(hourly: DataFrame) -> DataFrame:
         or c.endswith("_last")
         or c.endswith("_sumsq")
         or c.endswith("_sumprod")
+        or c.endswith("_freq")
     ]
     return dense.select(
         "conv_id",
@@ -338,6 +420,7 @@ def rollup_up(lower: DataFrame, to_tier: str) -> DataFrame:
                 if c.endswith("_sumsq") or c.endswith("_sumprod")
             ]
         )
+        + freq_merge_aggs([c for c in lower.columns if c.endswith("_freq")])
     )
     return (
         observed_state(lower).groupBy(
@@ -370,6 +453,7 @@ def build_tiers(
     firstlast_cols: list[str] | None = None,
     sumsq_cols: list[str] | None = None,
     sumprod_cols: list | None = None,
+    freq_cols: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """raw → {hourly, daily, monthly} tier-state DataFrames."""
     hourly = rollup_hourly(
@@ -379,6 +463,7 @@ def build_tiers(
         firstlast_cols=firstlast_cols,
         sumsq_cols=sumsq_cols,
         sumprod_cols=sumprod_cols,
+        freq_cols=freq_cols,
     )
     daily = rollup_up(hourly, "daily")
     monthly = rollup_up(daily, "monthly")

@@ -66,6 +66,7 @@ def rollup_hourly_salted(
     firstlast_cols: list[str] | None = None,
     sumsq_cols: list[str] | None = None,
     sumprod_cols: list | None = None,
+    freq_cols: list[str] | None = None,
 ) -> DataFrame:
     """F6: two-phase salted leaf rollup.
 
@@ -154,6 +155,27 @@ def rollup_hourly_salted(
         F.max("tool_max").alias("tool_max"),
         *sketch_merge,
     )
+    # frequency maps need no salt plumbing at all: their fine-keyed
+    # (conv, bucket, value) pre-aggregation is already skew-proof
+    # (engine/rollup.py freq_maps), so they join the merged state directly
+    from .rollup import freq_maps
+
+    fm = freq_maps(
+        df.withColumn(
+            "bucket_start",
+            F.date_trunc("hour", "ts").cast("timestamp_ntz"),
+        ),
+        ["conv_id", "bucket_start"],
+        freq_cols,
+    )
+    if fm is not None:
+        from .rollup import empty_freq_map
+
+        merged = merged.join(fm, ["conv_id", "bucket_start"], "left")
+        for c in sorted(freq_cols):
+            merged = merged.withColumn(
+                f"{c}_freq", F.coalesce(f"{c}_freq", empty_freq_map())
+            )
     return merged.withColumns(
         {
             "hours_count": F.lit(1).cast("long"),

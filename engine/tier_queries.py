@@ -1021,3 +1021,34 @@ def tier_rewrite_range_realtime(spark, sf_dir):
     return rewrite_range_agg_realtime(
         tiers, t0, datetime(2024, 1, 3, 7), datetime(2024, 1, 29, 19), wm
     )
+
+
+@register(
+    "tier_role_freq_monthly",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts, event_type AS role
+      FROM events)
+    SELECT conv_id,
+           CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket_start,
+           role, COUNT(*) AS n
+    FROM t0 GROUP BY 1, 2, 3
+    """,
+)
+def tier_role_freq_monthly(spark, sf_dir):
+    """M26 categorical frequency TIER STATE: the monthly tier's
+    `role_freq` map (exact value→count state composed hourly→daily→monthly
+    by key-union addition, engine/rollup.py freq_maps/freq_merge_aggs)
+    exploded back into rows — the oracle recomputes the distribution from
+    raw, so hash equality proves the map algebra loses nothing across two
+    tier compositions. At scale this serves per-category breakdowns and
+    exact heavy-hitters from O(tier) rows."""
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0, freq_cols=["role"])
+    m = tiers["monthly"]
+    return m.select(
+        "conv_id",
+        "bucket_start",
+        F.explode("role_freq").alias("role", "n"),
+    )

@@ -301,3 +301,45 @@ def rewrite_range_agg_realtime(
         F.max("token_max").alias("token_max"),
         F.sum("tool_sum").alias("tool_sum"),
     )
+
+
+def rewrite_range_freq(
+    tiers: dict[str, DataFrame], lo: datetime, hi: datetime, col: str, k: int = 3
+) -> DataFrame:
+    """Per-conversation EXACT top-k categories of `col` over [lo, hi),
+    composed from tier frequency-map state only (`TierPipeline(freq_cols=
+    [col])`, engine/rollup.py freq_maps) — raw data is never read. The maps
+    merge across the greedy calendar spans by key-union addition (exact
+    under any order), then explode to (value, n) rows ranked with a full
+    deterministic tiebreak (n desc, value asc). O(tiers) rows scanned, and
+    the answer is bit-identical to counting raw rows in the range — exact
+    heavy-hitters at 10^12-turn scale without a raw scan."""
+    from pyspark.sql import Window
+    from .rollup import freq_merge_aggs
+
+    spans = split_range(lo, hi)
+    if not spans:
+        raise ValueError("empty range")
+    fq = f"{col}_freq"
+    parts = []
+    for tier, a, b in spans:
+        st = observed_state(tiers[tier])
+        if fq not in st.columns:
+            raise ValueError(f"{tier} tier has no freq column {fq!r}")
+        parts.append(
+            st.filter(
+                (F.col("bucket_start") >= F.lit(a))
+                & (F.col("bucket_start") < F.lit(b))
+            ).select("conv_id", fq)
+        )
+    u = reduce(lambda x, y: x.unionByName(y), parts)
+    merged = u.groupBy("conv_id").agg(*freq_merge_aggs([fq]))
+    exploded = merged.select(
+        "conv_id", F.explode(fq).alias("value", "n")
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.desc("n"), "value")
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("conv_id", "rank", "value", "n")
+    )

@@ -1052,3 +1052,39 @@ def tier_role_freq_monthly(spark, sf_dir):
         "bucket_start",
         F.explode("role_freq").alias("role", "n"),
     )
+
+
+@register(
+    "tier_rewrite_range_topk_roles",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts, event_type AS role
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-03 07:00:00'
+        AND ts <  TIMESTAMP '2024-01-28 19:00:00'),
+    c AS (
+      SELECT conv_id, role AS value, COUNT(*) AS n FROM t0 GROUP BY 1, 2),
+    r AS (
+      SELECT conv_id, value, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY conv_id ORDER BY n DESC, value) AS rank
+      FROM c)
+    SELECT conv_id, rank, value, n FROM r WHERE rank <= 3
+    """,
+)
+def tier_rewrite_range_topk_roles(spark, sf_dir):
+    """§4.3 rewrite over M26 frequency state: exact per-conversation top-3
+    roles for an arbitrary hour-aligned range, served from span-matched
+    tier maps (key-union addition across leading-hours/days/months spans)
+    while the oracle counts raw rows in the range — hash equality proves
+    exact heavy-hitters need no raw scan."""
+    from datetime import datetime
+
+    from .rewrite import rewrite_range_freq
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0, freq_cols=["role"])
+    return rewrite_range_freq(
+        tiers, datetime(2024, 1, 3, 7), datetime(2024, 1, 28, 19), "role", k=3
+    )

@@ -247,3 +247,50 @@ def test_realtime_rewrite_straddles_watermark(spark, tmp_path):
     )
     raw = raw_agg(lo, hi)
     pd.testing.assert_frame_equal(got[raw.columns], raw)
+
+
+def test_rewrite_range_freq_multimonth_and_refusal(spark, tmp_path):
+    """Top-k-from-tiers over a range using all five span kinds equals raw
+    counting (full deterministic tiebreak); tiers without freq state are
+    refused loudly."""
+    import pandas as pd
+
+    from engine.pipeline import TierPipeline
+    from engine.rewrite import rewrite_range_freq
+
+    t0 = synth_transcripts(spark, n_convs=30, hot_turns=200)
+    pipe = TierPipeline(spark, str(tmp_path / "fq"), freq_cols=["tool"])
+    pipe.run(t0, stages=("hourly", "daily", "monthly"))
+    tiers = {t: pipe.read_tier(t) for t in ("hourly", "daily", "monthly")}
+    lo, hi = datetime(2026, 1, 5, 7), datetime(2026, 3, 18, 19)
+    assert any(t == "monthly" for t, _, _ in split_range(lo, hi))
+
+    got = (
+        rewrite_range_freq(tiers, lo, hi, "tool", k=2)
+        .toPandas()
+        .sort_values(["conv_id", "rank"], ignore_index=True)
+    )
+    from pyspark.sql import Window
+
+    raw_counts = (
+        t0.filter(
+            (F.col("ts") >= F.lit(lo))
+            & (F.col("ts") < F.lit(hi))
+            & F.col("tool").isNotNull()
+        )
+        .groupBy("conv_id", F.col("tool").alias("value"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.desc("n"), "value")
+    exp = (
+        raw_counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("conv_id", "rank", "value", "n")
+        .toPandas()
+        .sort_values(["conv_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+    plain = build_tiers(t0)
+    with pytest.raises(ValueError, match="no freq column"):
+        rewrite_range_freq(plain, lo, hi, "tool").collect()

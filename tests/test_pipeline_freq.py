@@ -120,3 +120,28 @@ def test_freq_enable_is_one_time_migration(spark, t0, tmp_path):
         for r in direct["monthly"].collect()
     }
     assert got == exp
+
+
+def test_freq_composes_with_all_modes(spark, t0, tmp_path):
+    """freq state rides the full mode stack (salted × sketches × snapshots
+    × WAP × bucketed) — maps equal the plain+freq reference as entry
+    multisets at every tier."""
+    pipe = TierPipeline(
+        spark,
+        str(tmp_path / "six"),
+        salted=True,
+        sketch_cols=["tool"],
+        freq_cols=["tool", "role"],
+        snapshots=True,
+        wap=True,
+        bucketed=True,
+    )
+    pipe.run(t0)
+    ref = TierPipeline(
+        spark, str(tmp_path / "sref"), freq_cols=["tool", "role"]
+    )
+    ref.run(t0)
+    for tier in ("hourly", "daily", "monthly"):
+        a, b = pipe.read_tier(tier), ref.read_tier(tier)
+        for col in ("tool_freq", "role_freq"):
+            assert _freqs(a, col) == _freqs(b, col), (tier, col)

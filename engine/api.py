@@ -1,0 +1,135 @@
+"""TierEngine — the one front door a user drives the engine through.
+
+Everything here is a thin, documented delegation to the real modules (the
+pipeline, the rewrite family, retention, the result cache); it exists so
+the common lifecycle reads as one object:
+
+    eng = TierEngine(spark, root, salted=True, snapshots=True,
+                     freq_cols=["tool"])
+    eng.run(t0)                                   # tiers + gapfill + chunks
+    eng.serve_range(lo, hi)                        # exact agg from tiers
+    eng.serve_range_topk(lo, hi, "tool")           # exact heavy hitters
+    eng.serve_realtime(lo, hi, watermark, t0_live) # straddles the watermark
+    eng.sql("SELECT * FROM tiers_monthly ...")     # SQL over the tiers
+    df, hit = eng.cached("dash_q1", lambda: ...)   # snapshot-keyed reuse
+    eng.drop_hourly_before("2026-02-01")           # retention
+    eng.rollback(run_id)                           # snapshot-mode undo
+
+Every serving call is tier-composed (O(tier rows), partition-pruned) and
+oracle/pytest-verified in its home module; see engine/rewrite.py,
+engine/resultcache.py, engine/retention.py for semantics and scale notes.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import rewrite as _rw
+from .pipeline import TierPipeline
+from .resultcache import ResultCache
+from .rollup import tier_view
+
+
+class TierEngine:
+    TIERS = ("hourly", "daily", "monthly")
+
+    def __init__(self, spark: SparkSession, root: str, **pipeline_opts):
+        self.spark = spark
+        self.root = root
+        self.pipeline = TierPipeline(spark, root, **pipeline_opts)
+        self._cache = ResultCache(spark, root)
+
+    # -- ingest / lifecycle ---------------------------------------------------
+
+    def run(self, t0: DataFrame, run_id: str | None = None, stages=None) -> dict:
+        """One batch run: dedup/mask → hourly → daily → monthly → gapfill →
+        compress, manifest-gated per partition (only changed work re-rolls),
+        serialized by the root's writer lease."""
+        return self.pipeline.run(t0, run_id=run_id, stages=stages)
+
+    def tier(self, name: str) -> DataFrame:
+        return self.pipeline.read_tier(name)
+
+    def view(self, name: str) -> DataFrame:
+        """FIXTURES.md tier-row shape (per-metric sum/count/min/max/mean)."""
+        return tier_view(self.pipeline.read_tier(name), name)
+
+    def drop_hourly_before(self, older_than: str, run_id: str = "retention"):
+        from .retention import drop_hourly_partitions, droppable_hourly_days
+
+        days = droppable_hourly_days(self.pipeline, older_than)
+        return drop_hourly_partitions(self.pipeline, days, run_id=run_id)
+
+    def rollback(self, run_id: str) -> None:
+        """Snapshot mode: pointer-flip every table to a sealed run barrier
+        and re-arm resume (engine/pipeline.py rollback_run)."""
+        self.pipeline.rollback_run(run_id)
+
+    # -- tier-composed serving (§4.3 rewrite family) ---------------------------
+
+    def _tiers(self) -> dict[str, DataFrame]:
+        return {t: self.pipeline.read_tier(t) for t in self.TIERS}
+
+    def serve_range(self, lo: datetime, hi: datetime) -> DataFrame:
+        """Exact per-conversation (n_turns, token sum/min/max, tool_sum)
+        over an hour-aligned [lo, hi) from tier rows only."""
+        return _rw.rewrite_range_agg(self._tiers(), lo, hi)
+
+    def serve_range_variance(self, lo: datetime, hi: datetime) -> DataFrame:
+        """Exact range variance from Σx² state (needs sumsq_cols)."""
+        return _rw.rewrite_range_variance(self._tiers(), lo, hi)
+
+    def serve_range_distinct(
+        self, lo: datetime, hi: datetime, col: str
+    ) -> DataFrame:
+        """Approx range distinct from HLL state (needs sketch_cols)."""
+        return _rw.rewrite_range_distinct(self._tiers(), lo, hi, col)
+
+    def serve_range_topk(
+        self, lo: datetime, hi: datetime, col: str, k: int = 3
+    ) -> DataFrame:
+        """Exact top-k categories from freq-map state (needs freq_cols)."""
+        return _rw.rewrite_range_freq(self._tiers(), lo, hi, col, k=k)
+
+    def serve_realtime(
+        self, lo: datetime, hi: datetime, watermark: datetime, t0: DataFrame
+    ) -> DataFrame:
+        """Range straddling the materialization watermark: tiers below it,
+        one bounded raw-tail rollup above it — exact regardless of lag."""
+        return _rw.rewrite_range_agg_realtime(self._tiers(), t0, lo, hi, watermark)
+
+    def serve_hourly_realtime(self, watermark, t0: DataFrame) -> DataFrame:
+        return _rw.serve_hourly_realtime(self.tier("hourly"), t0, watermark)
+
+    # -- SQL over the tiers -----------------------------------------------------
+
+    def register_views(self, prefix: str = "tiers") -> list[str]:
+        """Expose each tier as `<prefix>_<tier>` temp views for spark.sql."""
+        names = []
+        for t in self.TIERS:
+            name = f"{prefix}_{t}"
+            self.tier(t).createOrReplaceTempView(name)
+            names.append(name)
+        return names
+
+    def sql(self, query: str) -> DataFrame:
+        self.register_views()
+        return self.spark.sql(query)
+
+    # -- snapshot-keyed result reuse ---------------------------------------------
+
+    def cached(self, key: str, build) -> tuple[DataFrame, bool]:
+        """Serve `build()` through the result cache keyed on the pipeline
+        tables' snapshot pointers: unchanged tables hit (provably identical
+        to recomputation), any run/retention/compaction/rollback misses.
+        Outside snapshot mode every table fingerprints as '<none>', so a
+        key caches once and never invalidates — use snapshots=True."""
+        deps = ResultCache.deps_of(
+            {
+                n: self.pipeline._store(self.pipeline.table_path(n))
+                for n in self.pipeline.TABLE_NAMES
+            }
+        )
+        return self._cache.serve(key, deps, build)

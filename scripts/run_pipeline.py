@@ -56,6 +56,13 @@ def main():
     ap.add_argument("--expire-keep-last", type=int, default=None,
                     help="snapshot GC after the run: keep newest N "
                          "snapshots per table (requires --snapshots)")
+    ap.add_argument("--freq-cols", default=None,
+                    help="comma list of raw columns to carry exact "
+                         "value->count frequency-map tier state for "
+                         "(e.g. tool,role)")
+    ap.add_argument("--no-lease", action="store_true",
+                    help="skip the single-writer run lease (concurrent "
+                         "runs on one root can then double-write)")
     args = ap.parse_args()
 
     from engine.session import get_spark
@@ -102,6 +109,12 @@ def main():
             if args.hist_cols
             else None
         ),
+        freq_cols=(
+            [c for c in args.freq_cols.split(",") if c]
+            if args.freq_cols
+            else None
+        ),
+        lease=not args.no_lease,
     )
     result = pipe.run(t0)
 

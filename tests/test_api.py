@@ -1,0 +1,112 @@
+"""TierEngine facade (engine/api.py): one end-to-end scenario driven ONLY
+through the front door — run, tier-composed serving parity vs raw, SQL over
+registered views, snapshot-keyed cache hit/miss across runs."""
+
+from __future__ import annotations
+
+import os
+import sys
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from engine.api import TierEngine  # noqa: E402
+from engine.synth import synth_transcripts  # noqa: E402
+
+
+def test_engine_front_door_end_to_end(spark, tmp_path):
+    import pandas as pd
+
+    t0 = synth_transcripts(spark, n_convs=12, hot_turns=100)
+    early = t0.filter(F.dayofmonth("ts") <= 15)
+    eng = TierEngine(
+        spark,
+        str(tmp_path / "eng"),
+        salted=True,
+        snapshots=True,
+        freq_cols=["tool"],
+    )
+    eng.run(early, run_id="r1")
+
+    # serve_range == raw aggregation
+    lo, hi = datetime(2026, 1, 2, 5), datetime(2026, 2, 10, 7)
+    got = (
+        eng.serve_range(lo, hi)
+        .toPandas()
+        .sort_values("conv_id", ignore_index=True)
+    )
+    raw = (
+        early.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text").cast("long")).alias("token_sum"),
+            F.min(F.length("text").cast("long")).alias("token_min"),
+            F.max(F.length("text").cast("long")).alias("token_max"),
+            F.sum(F.col("tool").isNotNull().cast("long")).alias("tool_sum"),
+        )
+        .toPandas()
+        .sort_values("conv_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got[raw.columns], raw)
+
+    # top-k from freq state == raw counting for one conv
+    topk = eng.serve_range_topk(lo, hi, "tool", k=1).toPandas()
+    one = topk.iloc[0]
+    n_raw = (
+        early.filter(
+            (F.col("ts") >= F.lit(lo))
+            & (F.col("ts") < F.lit(hi))
+            & (F.col("conv_id") == one["conv_id"])
+            & (F.col("tool") == one["value"])
+        ).count()
+    )
+    assert one["n"] == n_raw
+
+    # SQL over registered views
+    n_sql = eng.sql(
+        "SELECT SUM(n_turns) AS n FROM tiers_monthly WHERE NOT filled"
+    ).first()["n"] if "filled" in eng.tier("monthly").columns else eng.sql(
+        "SELECT SUM(n_turns) AS n FROM tiers_monthly"
+    ).first()["n"]
+    assert n_sql == early.count()
+
+    # snapshot-keyed cache: hit while pointers stand, miss after a new run
+    build_calls = []
+
+    def build():
+        build_calls.append(1)
+        return eng.view("monthly").groupBy("conv_id").count()
+
+    _, hit1 = eng.cached("facade_q", build)
+    _, hit2 = eng.cached("facade_q", build)
+    assert (hit1, hit2) == (False, True) and len(build_calls) == 1
+    eng.run(t0, run_id="r2")
+    _, hit3 = eng.cached("facade_q", build)
+    assert not hit3 and len(build_calls) == 2
+
+    # realtime serving across the watermark equals raw over the full range
+    wm = datetime(2026, 1, 16)
+    eng_rt = TierEngine(spark, str(tmp_path / "rt"), snapshots=True)
+    eng_rt.run(early, run_id="r1", stages=("hourly", "daily", "monthly"))
+    got_rt = (
+        eng_rt.serve_realtime(lo, hi, wm, t0)
+        .toPandas()
+        .sort_values("conv_id", ignore_index=True)
+    )
+    raw_rt = (
+        t0.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text").cast("long")).alias("token_sum"),
+            F.min(F.length("text").cast("long")).alias("token_min"),
+            F.max(F.length("text").cast("long")).alias("token_max"),
+            F.sum(F.col("tool").isNotNull().cast("long")).alias("tool_sum"),
+        )
+        .toPandas()
+        .sort_values("conv_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got_rt[raw_rt.columns], raw_rt)

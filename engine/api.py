@@ -93,6 +93,10 @@ class TierEngine:
         """Exact top-k categories from freq-map state (needs freq_cols)."""
         return _rw.rewrite_range_freq(self._tiers(), lo, hi, col, k=k)
 
+    def serve_range_hist(self, lo: datetime, hi: datetime, col: str) -> DataFrame:
+        """Range percentiles from histogram state (needs hist_cols)."""
+        return _rw.rewrite_range_hist(self._tiers(), lo, hi, col)
+
     def serve_realtime(
         self, lo: datetime, hi: datetime, watermark: datetime, t0: DataFrame
     ) -> DataFrame:

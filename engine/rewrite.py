@@ -343,3 +343,60 @@ def rewrite_range_freq(
         .filter(F.col("rank") <= k)
         .select("conv_id", "rank", "value", "n")
     )
+
+
+def rewrite_range_hist(
+    tiers: dict[str, DataFrame], lo: datetime, hi: datetime, col: str
+) -> DataFrame:
+    """Per-conversation percentiles (p50/p95 bins) of `col` over [lo, hi),
+    served from mergeable histogram tier state (`TierPipeline(hist_cols=
+    {col: (origin, width, k)})`) — the last member of the range-rewrite
+    family: sum/min/max (agg), Σx² (variance), HLL (distinct), freq maps
+    (top-k), and now bin arrays (distribution shape). Span-matched hist
+    arrays fold by element-wise addition (exact under any order); the
+    percentile is integer rank arithmetic over the merged bins, so the
+    answer is bit-identical to binning the raw rows of the range. O(tiers)
+    rows, one tier-bounded explode + window — never a raw scan."""
+    from pyspark.sql import Window
+    from .rollup import hist_merge_aggs
+
+    spans = split_range(lo, hi)
+    if not spans:
+        raise ValueError("empty range")
+    h = f"{col}_hist"
+    parts = []
+    for tier, a, b in spans:
+        st = observed_state(tiers[tier])
+        if h not in st.columns:
+            raise ValueError(f"{tier} tier has no hist column {h!r}")
+        parts.append(
+            st.filter(
+                (F.col("bucket_start") >= F.lit(a))
+                & (F.col("bucket_start") < F.lit(b))
+            ).select("conv_id", h)
+        )
+    u = reduce(lambda x, y: x.unionByName(y), parts)
+    merged = u.groupBy("conv_id").agg(*hist_merge_aggs([h]))
+    bins = merged.select("conv_id", F.posexplode(h)).withColumnsRenamed(
+        {"pos": "bin", "col": "cnt"}
+    )
+    wb = Window.partitionBy("conv_id").orderBy("bin")
+    wt = Window.partitionBy("conv_id")
+    w = bins.withColumn("cum", F.sum("cnt").over(wb)).withColumn(
+        "total", F.sum("cnt").over(wt)
+    )
+    return (
+        w.filter(F.col("total") > 0)
+        .groupBy("conv_id")
+        .agg(
+            F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("bin")))
+            .cast("long")
+            .alias("p50_bin"),
+            F.min(
+                F.when(F.col("cum") * 20 >= F.col("total") * 19, F.col("bin"))
+            )
+            .cast("long")
+            .alias("p95_bin"),
+            F.max("total").cast("long").alias("n"),
+        )
+    )

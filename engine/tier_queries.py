@@ -1088,3 +1088,46 @@ def tier_rewrite_range_topk_roles(spark, sf_dir):
     return rewrite_range_freq(
         tiers, datetime(2024, 1, 3, 7), datetime(2024, 1, 28, 19), "role", k=3
     )
+
+
+@register(
+    "tier_rewrite_range_hist",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             CAST(LEAST(FLOOR(length(props) / 16), 11) AS BIGINT) AS bin
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-03 07:00:00'
+        AND ts <  TIMESTAMP '2024-01-28 19:00:00'),
+    c AS (SELECT conv_id, bin, COUNT(*) AS cnt FROM t0 GROUP BY 1, 2),
+    w AS (
+      SELECT conv_id, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY conv_id ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY conv_id) AS total
+      FROM c)
+    SELECT conv_id,
+           CAST(MIN(CASE WHEN cum * 2 >= total THEN bin END) AS BIGINT)
+             AS p50_bin,
+           CAST(MIN(CASE WHEN cum * 20 >= total * 19 THEN bin END) AS BIGINT)
+             AS p95_bin,
+           CAST(MAX(total) AS BIGINT) AS n
+    FROM w GROUP BY conv_id
+    """,
+)
+def tier_rewrite_range_hist(spark, sf_dir):
+    """§4.3 rewrite over M6 histogram state: range percentiles (p50/p95
+    bins of token_count, 12 bins × width 16) served from span-matched tier
+    bin arrays folded by element-wise addition, while the oracle bins raw
+    rows of the range — hash equality proves distribution shape composes
+    exactly across leading-hours/days/months spans."""
+    from datetime import datetime
+
+    from .rewrite import rewrite_range_hist
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(
+        t0, hist_cols={"token_count": (0.0, 16.0, 12)}
+    )
+    return rewrite_range_hist(
+        tiers, datetime(2024, 1, 3, 7), datetime(2024, 1, 28, 19), "token_count"
+    )

@@ -92,6 +92,8 @@ GLOBAL_AGG_OK = {
     "hot_users_topk",  # grand-total sum over the per-key aggregate
     "funnel_conversion_steps",  # three per-step COUNT(*) grand totals, each
     # fed by the per-user partial aggregate (one row per upstream partition)
+    "corpus_mixture_upsample",  # MAX over the per-source size aggregate
+    # (one row per source) — the balance target for the mixture
 }
 
 BNLJ_OK = {
@@ -105,6 +107,11 @@ BNLJ_OK = {
     "neardup_canonical_docs",
     "neardup_components_docs",
     "simhash_docs",
+    "corpus_mixture_upsample",  # broadcasts the ONE-ROW global max source
+    # size into the per-source epochs table
+    "token_prefix_tranches",  # broadcast `shard' < shard` prefix over the
+    # per-shard totals table — rows = #range partitions (metadata scale),
+    # the join that REPLACES the partition-less window's single reducer
 }
 
 

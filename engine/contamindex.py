@@ -1,0 +1,289 @@
+"""Persisted benchmark-contamination index — the n-gram decontamination
+pass (engine/corpusops.py:ngram_contamination) restructured so a new corpus
+batch costs O(batch), never O(corpus).
+
+`ngram_contamination` recomputes gram fingerprints for BOTH sides from the
+whole table on every run. In a production pretraining pipeline the benchmark
+suite is small and near-static while the corpus arrives in batches forever;
+the index persists the benchmark's distinct gram fingerprints once and joins
+only each NEW batch against that stored state, under the same snapshot-store
++ fingerprint-manifest machinery as the tier pipeline and the similarity /
+dedup indexes (engine/simindex.py, engine/dedupindex.py):
+
+    <root>/
+      _manifest/   # per-batch + benchmark content fingerprints
+      benchgrams/  # (bench_id, gfp) distinct benchmark gram fingerprints,
+                   #   partitioned by gb = pmod(gfp, N_GB) for pruning
+      hits/        # (doc_id, bench_id, n_shared >= MIN_SHARED) by batch
+
+Refresh contract:
+
+* `set_benchmark(bench_docs)` is fingerprint-gated: re-offering an unchanged
+  benchmark is a no-op; a changed benchmark publishes a NEW benchgrams
+  snapshot, which implicitly STALES every committed batch (each batch's work
+  fingerprint folds the benchmark snapshot id in via `extra_token`, and its
+  manifest lineage records which benchmark it was joined against).
+* `ingest(docs, batch_id)` computes gram fingerprints for the new batch
+  only, joins them against the broadcast benchmark grams, and overwrites the
+  batch's own `hits/batch=<id>` partition. Unchanged batch re-offer = no-op;
+  changed batch content or changed benchmark = re-roll of exactly that
+  batch's partition.
+* `hits()` refuses (by default) while any committed batch was joined against
+  a non-current benchmark — `stale_batches()` names them; re-offering those
+  batches through `ingest` heals the index. This makes "benchmark suite
+  grew" an ordinary incremental maintenance event, not a rebuild.
+
+Union of per-batch hits == the one-shot query over the full corpus
+bit-exactly (pytest + a driver query pinned to the SAME DuckDB oracle as
+`ngram_contamination`, so the hash gate re-proves incremental == rebuild
+every round).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .checkpoint import Manifest, new_run_id, pending_partitions, work_manifest
+from .corpusops import MIN_SHARED, NGRAM_WORDS, doc_gram_fps
+from .snapstore import SnapStore
+
+#: benchmark gram-bucket fan-out (partition pruning unit)
+N_GB = 16
+
+_BENCH_STAGE = "contam_bench"
+_BATCH_STAGE = "contamindex"
+
+
+class ContamIndex:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.manifest = Manifest(spark, os.path.join(root, "_manifest"))
+
+    # -- stores (same snapshot mechanics as the dedup index) ----------------
+    def _store(self, name: str) -> SnapStore:
+        return SnapStore(os.path.join(self.root, name))
+
+    def _has_data(self, name: str) -> bool:
+        store = self._store(name)
+        sid = store.current_id()
+        if sid is None:
+            return False
+        p = store.snapshot_path(sid)
+        return any(os.path.isdir(os.path.join(p, d)) for d in os.listdir(p))
+
+    def _read(self, name: str) -> DataFrame:
+        return self._store(name).read(self.spark)
+
+    def _write(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_cols: list[str],
+        drop_first: str | None = None,
+    ) -> None:
+        store = self._store(name)
+        sid = store.begin("ingest:" + ",".join(partition_cols))
+        try:
+            # a re-rolled batch whose recomputed hits came out EMPTY writes
+            # no partition, so its stale dir must be dropped explicitly
+            for d in [drop_first] if drop_first else []:
+                shutil.rmtree(
+                    os.path.join(store.snapshot_path(sid), d),
+                    ignore_errors=True,
+                )
+            (
+                df.write.option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*partition_cols)
+                .mode("overwrite")
+                .parquet(store.snapshot_path(sid))
+            )
+        except Exception:
+            store.abort(sid)
+            raise
+        store.publish(sid)
+
+    # -- benchmark side ------------------------------------------------------
+    def bench_token(self) -> str | None:
+        """Snapshot id of the current benchmark gram table (None = unset)."""
+        return self._store("benchgrams").current_id()
+
+    def set_benchmark(self, bench: DataFrame, run_id: str | None = None) -> dict:
+        """Publish the benchmark suite's distinct gram fingerprints.
+
+        Fingerprint-gated on the benchmark CONTENT: an unchanged suite is a
+        no-op (the token — and therefore every batch fingerprint — stays
+        put); a changed suite publishes a new snapshot whose id stales all
+        committed batches (see `stale_batches`)."""
+        run_id = run_id or new_run_id()
+        work = work_manifest(
+            bench.withColumn("_b", F.lit("__bench__")),
+            F.col("_b"),
+            ["doc_id", "text"],
+            "bench",
+            extra_token=f"n:{NGRAM_WORDS}",
+        )
+        pending = pending_partitions(work, self.manifest, _BENCH_STAGE).collect()
+        if not pending:
+            return {"updated": False, "bench_token": self.bench_token()}
+        fps = (
+            doc_gram_fps(bench)
+            .select(F.col("doc_id").alias("bench_id"), "gfp")
+            .withColumn("gb", F.pmod("gfp", F.lit(N_GB)).cast("int"))
+        )
+        store = self._store("benchgrams")
+        sid = store.begin("set_benchmark")
+        try:
+            # full replace (the benchmark is a unit, not an accumulation):
+            # clear every inherited gb dir, then dynamic-overwrite — a plain
+            # mode=overwrite would delete the staged snapshot's meta.json
+            # with the directory
+            staged = store.snapshot_path(sid)
+            for d in os.listdir(staged):
+                if d.startswith("gb="):
+                    shutil.rmtree(os.path.join(staged, d), ignore_errors=True)
+            (
+                fps.write.option("partitionOverwriteMode", "dynamic")
+                .partitionBy("gb")
+                .mode("overwrite")
+                .parquet(staged)
+            )
+        except Exception:
+            store.abort(sid)
+            raise
+        store.publish(sid)
+        self.manifest.commit(
+            [
+                {
+                    "run_id": run_id,
+                    "stage": _BENCH_STAGE,
+                    "partition_key": r["partition_key"],
+                    "rows_in": r["rows_in"],
+                    "input_snapshot_id": r["input_snapshot_id"],
+                    "output_snapshot_id": store.current_id(),
+                    "lineage": "set_benchmark",
+                }
+                for r in pending
+            ]
+        )
+        return {"updated": True, "bench_token": store.current_id()}
+
+    # -- corpus side -----------------------------------------------------------
+    def ingest(
+        self, docs: DataFrame, batch_id: str, run_id: str | None = None
+    ) -> dict:
+        """Join ONE new corpus batch against the stored benchmark grams and
+        commit its hits partition. Cost: O(batch grams) + a broadcast of the
+        benchmark fingerprints (eval suites are ~1e5 docs, not 1e9 — at a
+        scale where that broadcast no longer fits, drop the hint and the gb
+        bucketing turns it into a pruned shuffle join, same result)."""
+        bench_sid = self.bench_token()
+        if bench_sid is None:
+            raise ValueError("set_benchmark() before ingest()")
+        run_id = run_id or new_run_id()
+        work = work_manifest(
+            docs.withColumn("_b", F.lit(batch_id)),
+            F.col("_b"),
+            ["doc_id", "text"],
+            "batch",
+            extra_token=f"n:{NGRAM_WORDS}|m:{MIN_SHARED}|bench:{bench_sid}",
+        )
+        pending = pending_partitions(work, self.manifest, _BATCH_STAGE).collect()
+        if not pending:
+            return {"batch": batch_id, "ingested": False}
+        fps = doc_gram_fps(docs)
+        bench = self._read("benchgrams")
+        hits = (
+            fps.join(F.broadcast(bench), "gfp")
+            .groupBy("doc_id", "bench_id")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= MIN_SHARED)
+        )
+        self._write(
+            "hits",
+            hits.select(
+                F.lit(batch_id).alias("batch"), "doc_id", "bench_id", "n_shared"
+            ),
+            ["batch"],
+            drop_first=f"batch={batch_id}",
+        )
+        self.manifest.commit(
+            [
+                {
+                    "run_id": run_id,
+                    "stage": _BATCH_STAGE,
+                    "partition_key": r["partition_key"],
+                    "rows_in": r["rows_in"],
+                    "input_snapshot_id": r["input_snapshot_id"],
+                    "output_snapshot_id": self.root,
+                    "lineage": f"ingest@bench={bench_sid}",
+                }
+                for r in pending
+            ]
+        )
+        return {"batch": batch_id, "ingested": True}
+
+    # -- serving ---------------------------------------------------------------
+    def stale_batches(self) -> list[str]:
+        """Committed batches whose hits were joined against a benchmark that
+        is no longer current (their manifest lineage pins the snapshot id
+        they saw). Re-offering them through `ingest` heals the index."""
+        cur = f"ingest@bench={self.bench_token()}"
+        rows = self.manifest.read().filter(F.col("stage") == _BATCH_STAGE)
+        w = Window.partitionBy("partition_key").orderBy(
+            F.col("committed_at").desc()
+        )
+        latest = (
+            rows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("partition_key", "lineage")
+            .collect()
+        )
+        return sorted(r["partition_key"] for r in latest if r["lineage"] != cur)
+
+    def hits(self, allow_stale: bool = False) -> DataFrame:
+        """(doc_id, bench_id, n_shared) across all ingested batches —
+        bit-exact equal to the one-shot contamination query over the union
+        of the batches. Refuses while any batch is pinned to a non-current
+        benchmark, so a grown eval suite can't silently under-report."""
+        stale = self.stale_batches()
+        if stale and not allow_stale:
+            raise ValueError(
+                f"stale batches vs current benchmark: {stale}; re-ingest "
+                "them (or pass allow_stale=True)"
+            )
+        if not self._has_data("hits"):
+            return self.spark.createDataFrame(
+                [], "doc_id bigint, bench_id bigint, n_shared bigint"
+            )
+        return self._read("hits").select("doc_id", "bench_id", "n_shared")
+
+
+# ---------------------------------------------------------------------------
+# driver query: the persisted incremental index must answer identically to
+# the one-shot query — pinned to the SAME DuckDB oracle, so the hash gate
+# re-proves incremental == rebuild every round.
+# ---------------------------------------------------------------------------
+
+from .queries import ORACLE_SQL, _t, register  # noqa: E402
+
+
+@register("contamindex_hits", ORACLE_SQL["ngram_contamination"])
+def contamindex_hits(spark, sf_dir):
+    """Contamination hits served from the PERSISTED index after two
+    incremental corpus-batch ingests — same oracle as the one-shot
+    ngram_contamination."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    idx = ContamIndex(spark, tempfile.mkdtemp(prefix="contamindex-q-"))
+    idx.set_benchmark(d.filter(F.col("doc_id") % 11 == 0))
+    corpus = d.filter(F.col("doc_id") % 11 != 0)
+    mid = (corpus.agg(F.max("doc_id")).first()[0] + 1) // 2
+    idx.ingest(corpus.filter(F.col("doc_id") < mid), "b0")
+    idx.ingest(corpus.filter(F.col("doc_id") >= mid), "b1")
+    return idx.hits()

@@ -74,6 +74,33 @@ def _ntok_col() -> F.Column:
     return F.size(_words_col()).cast("long")
 
 
+#: contamination n-gram width (words) and minimum shared distinct grams
+NGRAM_WORDS = 3
+MIN_SHARED = 3
+
+
+def doc_gram_fps(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, gfp) word-NGRAM_WORDS-gram 60-bit fingerprints per
+    document — the shared kernel of the one-shot contamination query and the
+    persisted benchmark index (engine/contamindex.py). JVM HOFs end to end;
+    grams leave the executor only as 8-byte fingerprints."""
+    docs = d.select("doc_id", _words_col().alias("w")).filter(
+        F.size("w") >= NGRAM_WORDS
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {NGRAM_WORDS - 1}),"
+                f" i -> array_join(slice(w, i, {NGRAM_WORDS}), ' '))"
+            )
+        ).alias("g"),
+    )
+    return grams.select(
+        "doc_id", portable_hash60(F.col("g")).alias("gfp")
+    ).distinct()
+
+
 # ---------------------------------------------------------------------------
 # deterministic dataset split
 # ---------------------------------------------------------------------------
@@ -261,21 +288,7 @@ def ngram_contamination(spark, sf_dir):
     every pretraining corpus runs before training; the oracle recomputes it
     from the same fingerprints in DuckDB."""
     d = _t(spark, sf_dir, "documents")
-    docs = d.select("doc_id", _words_col().alias("w")).filter(
-        F.size("w") >= 3
-    )
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(w) - 2),"
-                " i -> array_join(slice(w, i, 3), ' '))"
-            )
-        ).alias("g"),
-    )
-    fps = grams.select(
-        "doc_id", portable_hash60(F.col("g")).alias("gfp")
-    ).distinct()
+    fps = doc_gram_fps(d)
     corpus = fps.filter(F.col("doc_id") % 11 != 0)
     bench = fps.filter(F.col("doc_id") % 11 == 0).select(
         F.col("doc_id").alias("bench_id"), "gfp"
@@ -284,7 +297,7 @@ def ngram_contamination(spark, sf_dir):
         corpus.join(bench, "gfp")
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= 3)
+        .filter(F.col("n_shared") >= MIN_SHARED)
     )
 
 

@@ -473,3 +473,100 @@ def run_cusum_stream(
     )
     q.awaitTermination()
     return q
+
+
+# ---------------------------------------------------------------------------
+# J8: stream-stream event-time interval join
+# ---------------------------------------------------------------------------
+
+
+def _tool_context_sides(t0: DataFrame, lookback_minutes: int):
+    """Shared projections: tool-invocation turns vs the user turns that
+    preceded them in the same conversation within the lookback window."""
+    tools = t0.filter(F.col("tool").isNotNull()).select(
+        F.col("conv_id").alias("t_conv"),
+        F.col("turn_idx").alias("tool_turn"),
+        F.col("tool"),
+        F.col("ts").alias("tool_ts"),
+    )
+    users = t0.filter(F.col("role") == "user").select(
+        F.col("conv_id").alias("u_conv"),
+        F.col("turn_idx").alias("user_turn"),
+        F.length("text").cast("long").alias("user_chars"),
+        F.col("ts").alias("user_ts"),
+    )
+    cond = (
+        (F.col("t_conv") == F.col("u_conv"))
+        & (
+            F.col("user_ts")
+            >= F.col("tool_ts") - F.expr(f"INTERVAL {lookback_minutes} MINUTES")
+        )
+        & (F.col("user_ts") <= F.col("tool_ts"))
+    )
+    return tools, users, cond
+
+
+_TOOL_CONTEXT_COLS = [
+    "conv_id", "tool_turn", "tool", "tool_ts", "user_turn", "user_ts",
+    "user_chars",
+]
+
+
+def tool_context_join_stream(
+    t0_stream: DataFrame,
+    watermark: str = "2 hours",
+    lookback_minutes: int = 10,
+) -> DataFrame:
+    """J8 stream-stream event-time interval join: each streaming tool
+    invocation joined to the streaming user turns of the SAME conversation
+    within the preceding `lookback_minutes` — both sides unbounded streams
+    (a self-join of the transcript stream), so neither can be broadcast or
+    buffered whole. Spark keys both sides' state by conv_id, the time-range
+    condition bounds how long a row must be retained, and the watermarks
+    let the join state evict: state size is O(active conversations ×
+    lookback), independent of stream length — the property that makes the
+    join runnable forever. Inner-join matches emit eagerly (no watermark
+    hold, which only outer joins need), so the availableNow result equals
+    the batch twin exactly (pytest)."""
+    tools, users, cond = _tool_context_sides(t0_stream, lookback_minutes)
+    return (
+        tools.withWatermark("tool_ts", watermark)
+        .join(users.withWatermark("user_ts", watermark), cond, "inner")
+        .select(F.col("t_conv").alias("conv_id"), *_TOOL_CONTEXT_COLS[1:])
+    )
+
+
+def batch_tool_context_join(t0: DataFrame, lookback_minutes: int = 10) -> DataFrame:
+    """Batch twin of tool_context_join_stream (same projections, same
+    interval condition) — the parity oracle for the streaming join."""
+    tools, users, cond = _tool_context_sides(
+        t0.withColumn("ts", F.col("ts").cast("timestamp")), lookback_minutes
+    )
+    return tools.join(users, cond, "inner").select(
+        F.col("t_conv").alias("conv_id"), *_TOOL_CONTEXT_COLS[1:]
+    )
+
+
+def run_tool_context_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    ckpt_path: str,
+    watermark: str = "2 hours",
+    lookback_minutes: int = 10,
+) -> None:
+    """availableNow run of the stream-stream join into a parquet sink
+    (append mode — the only mode stream-stream joins support)."""
+    ensure_dirs(out_path, ckpt_path)
+    j = tool_context_join_stream(
+        read_stream_t0(spark, input_path), watermark, lookback_minutes
+    )
+    q = (
+        j.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -456,3 +456,29 @@ def test_cusum_stream_equals_batch_recurrence(spark, tmp_path):
     mono = emitted.toPandas().sort_values("batch_id")
     for cid, g in mono.groupby("conv_id"):
         assert (np.diff(g["n_alerts"].to_numpy()) >= 0).all(), cid
+
+
+def test_stream_stream_interval_join_equals_batch(spark, t0_path, tmp_path):
+    """J8: the stream-stream event-time interval join (tool invocations x
+    preceding user turns, self-join of the transcript stream) must produce
+    exactly the batch join's pairs across micro-batch boundaries."""
+    from engine.streaming import batch_tool_context_join, run_tool_context_stream
+
+    out = str(tmp_path / "ssj")
+    ckpt = str(tmp_path / "ssj-ckpt")
+    run_tool_context_stream(spark, t0_path, out, ckpt)
+    cols = ["conv_id", "tool_turn", "user_turn", "tool", "user_chars"]
+    got = (
+        spark.read.parquet(out)
+        .select(*cols)
+        .toPandas()
+        .sort_values(cols, ignore_index=True)
+    )
+    exp = (
+        batch_tool_context_join(spark.read.parquet(t0_path))
+        .select(*cols)
+        .toPandas()
+        .sort_values(cols, ignore_index=True)
+    )
+    assert len(exp) > 0, "fixture produced no tool/user pairs"
+    assert got.equals(exp), f"stream {len(got)} rows vs batch {len(exp)}"

@@ -536,13 +536,39 @@ def tool_context_join_stream(
     )
 
 
-def batch_tool_context_join(t0: DataFrame, lookback_minutes: int = 10) -> DataFrame:
-    """Batch twin of tool_context_join_stream (same projections, same
-    interval condition) — the parity oracle for the streaming join."""
+def tool_context_left_join_stream(
+    t0_stream: DataFrame,
+    watermark: str = "2 hours",
+    lookback_minutes: int = 10,
+) -> DataFrame:
+    """J9 stream-stream LEFT OUTER event-time interval join: like J8, but a
+    tool invocation with NO preceding user turn in its lookback window still
+    emits (user columns null). Unlike the inner join, unmatched left rows
+    cannot emit eagerly — Spark must hold each tool row in state until the
+    watermark proves no matching user turn can still arrive (user_ts ≤
+    tool_ts, so watermark > tool_ts closes the row), then emits the
+    null-padded row. State stays O(active conversations × watermark), and
+    every tool row emits exactly once — matched immediately, unmatched at
+    watermark close (pytest: equals the batch left join exactly once a
+    flush row advances the watermark past the data)."""
+    tools, users, cond = _tool_context_sides(t0_stream, lookback_minutes)
+    return (
+        tools.withWatermark("tool_ts", watermark)
+        .join(users.withWatermark("user_ts", watermark), cond, "left_outer")
+        .select(F.col("t_conv").alias("conv_id"), *_TOOL_CONTEXT_COLS[1:])
+    )
+
+
+def batch_tool_context_join(
+    t0: DataFrame, lookback_minutes: int = 10, how: str = "inner"
+) -> DataFrame:
+    """Batch twin of tool_context_join_stream / tool_context_left_join_stream
+    (same projections, same interval condition) — the parity oracle for the
+    streaming joins."""
     tools, users, cond = _tool_context_sides(
         t0.withColumn("ts", F.col("ts").cast("timestamp")), lookback_minutes
     )
-    return tools.join(users, cond, "inner").select(
+    return tools.join(users, cond, how).select(
         F.col("t_conv").alias("conv_id"), *_TOOL_CONTEXT_COLS[1:]
     )
 
@@ -554,13 +580,17 @@ def run_tool_context_stream(
     ckpt_path: str,
     watermark: str = "2 hours",
     lookback_minutes: int = 10,
+    how: str = "inner",
 ) -> None:
     """availableNow run of the stream-stream join into a parquet sink
     (append mode — the only mode stream-stream joins support)."""
     ensure_dirs(out_path, ckpt_path)
-    j = tool_context_join_stream(
-        read_stream_t0(spark, input_path), watermark, lookback_minutes
+    build = (
+        tool_context_join_stream
+        if how == "inner"
+        else tool_context_left_join_stream
     )
+    j = build(read_stream_t0(spark, input_path), watermark, lookback_minutes)
     q = (
         j.writeStream.format("parquet")
         .option("path", out_path)

@@ -482,3 +482,55 @@ def test_stream_stream_interval_join_equals_batch(spark, t0_path, tmp_path):
     )
     assert len(exp) > 0, "fixture produced no tool/user pairs"
     assert got.equals(exp), f"stream {len(got)} rows vs batch {len(exp)}"
+
+
+def test_stream_stream_left_outer_join_equals_batch(spark, t0_path, tmp_path):
+    """J9: the LEFT OUTER stream-stream join must emit unmatched tool rows
+    (null user columns) exactly once the watermark closes them. A flush
+    row pair at far-future event time advances both sides' watermarks past
+    all real data, so the availableNow result must equal the batch left
+    join row-for-row — including every unmatched row."""
+    import datetime
+
+    from engine.streaming import batch_tool_context_join, run_tool_context_stream
+
+    t0 = spark.read.parquet(t0_path)
+    max_ts = t0.agg(F.max("ts")).collect()[0][0]
+    flush_ts = max_ts + datetime.timedelta(hours=4)
+    flush = spark.createDataFrame(
+        [
+            ("__flush__", 0, "user", "flush", None, flush_ts),
+            ("__flush__", 1, "assistant", "flush", "__flush__", flush_ts),
+        ],
+        t0.schema,
+    )
+    inp = str(tmp_path / "ssj-left-in")
+    t0.unionByName(flush).repartition(6).write.parquet(inp)
+
+    out = str(tmp_path / "ssj-left")
+    ckpt = str(tmp_path / "ssj-left-ckpt")
+    lookback = 2  # minutes — small enough that some tool turns go unmatched
+    run_tool_context_stream(
+        spark, inp, out, ckpt, lookback_minutes=lookback, how="left_outer"
+    )
+    cols = ["conv_id", "tool_turn", "user_turn", "tool", "user_chars"]
+    got = (
+        spark.read.parquet(out)
+        .filter(F.col("conv_id") != "__flush__")
+        .select(*cols)
+        .toPandas()
+        .sort_values(cols, ignore_index=True)
+    )
+    exp = (
+        batch_tool_context_join(t0, lookback_minutes=lookback, how="left_outer")
+        .select(*cols)
+        .toPandas()
+        .sort_values(cols, ignore_index=True)
+    )
+    n_unmatched = int(exp["user_turn"].isna().sum())
+    assert n_unmatched > 0, "lookback left no unmatched tool rows — weak test"
+    assert n_unmatched < len(exp), "no matched pairs — weak test"
+    assert got.equals(exp), (
+        f"stream {len(got)} rows vs batch {len(exp)} "
+        f"({n_unmatched} unmatched expected)"
+    )

@@ -251,6 +251,7 @@ def rollup_hourly(
     sumsq_cols: list[str] | None = None,
     sumprod_cols: list | None = None,
     freq_cols: list[str] | None = None,
+    hh_cols: dict[str, int] | None = None,
 ) -> DataFrame:
     """Leaf rollup D1: raw turns → hourly tier state.
 
@@ -325,6 +326,20 @@ def rollup_hourly(
             hourly = hourly.withColumn(
                 f"{c}_freq", F.coalesce(f"{c}_freq", empty_freq_map())
             )
+    if hh_cols:
+        from .heavyhitters import hh_coalesce_empty, hh_partial_maps
+
+        hm = hh_partial_maps(
+            df.withColumn(
+                "bucket_start",
+                F.date_trunc("hour", "ts").cast("timestamp_ntz"),
+            ),
+            ["conv_id", "bucket_start"],
+            hh_cols,
+        )
+        hourly = hh_coalesce_empty(
+            hourly.join(hm, ["conv_id", "bucket_start"], "left"), hh_cols
+        )
     return hourly.withColumn("tier", F.lit("hourly"))
 
 
@@ -378,6 +393,7 @@ def densify_hourly_locf(hourly: DataFrame) -> DataFrame:
         or c.endswith("_sumsq")
         or c.endswith("_sumprod")
         or c.endswith("_freq")
+        or _is_hh(c)
     ]
     return dense.select(
         "conv_id",
@@ -390,6 +406,21 @@ def densify_hourly_locf(hourly: DataFrame) -> DataFrame:
         gap.alias("filled"),
         F.when(gap, F.lit("locf")).alias("fill_method"),
     )
+
+
+def _is_hh(name: str) -> bool:
+    from .heavyhitters import hh_is_state_col
+
+    return hh_is_state_col(name)
+
+
+def _hh_merges(colnames) -> list:
+    """Bounded heavy-hitter state merges, cap recovered from the
+    self-describing `<col>_hh{cap}` names (engine/heavyhitters.py)."""
+    from .heavyhitters import hh_is_state_col, hh_merge_aggs
+
+    hh = [c for c in colnames if hh_is_state_col(c)]
+    return hh_merge_aggs(hh) if hh else []
 
 
 def rollup_up(lower: DataFrame, to_tier: str) -> DataFrame:
@@ -421,6 +452,7 @@ def rollup_up(lower: DataFrame, to_tier: str) -> DataFrame:
             ]
         )
         + freq_merge_aggs([c for c in lower.columns if c.endswith("_freq")])
+        + _hh_merges(lower.columns)
     )
     return (
         observed_state(lower).groupBy(
@@ -454,6 +486,7 @@ def build_tiers(
     sumsq_cols: list[str] | None = None,
     sumprod_cols: list | None = None,
     freq_cols: list[str] | None = None,
+    hh_cols: dict[str, int] | None = None,
 ) -> dict[str, DataFrame]:
     """raw → {hourly, daily, monthly} tier-state DataFrames."""
     hourly = rollup_hourly(
@@ -464,6 +497,7 @@ def build_tiers(
         sumsq_cols=sumsq_cols,
         sumprod_cols=sumprod_cols,
         freq_cols=freq_cols,
+        hh_cols=hh_cols,
     )
     daily = rollup_up(hourly, "daily")
     monthly = rollup_up(daily, "monthly")

@@ -1055,6 +1055,45 @@ def tier_role_freq_monthly(spark, sf_dir):
 
 
 @register(
+    "tier_role_hh_monthly",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts, event_type AS role
+      FROM events),
+    c AS (
+      SELECT conv_id,
+             CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket_start,
+             role, COUNT(*) AS n
+      FROM t0 GROUP BY 1, 2, 3)
+    SELECT conv_id, bucket_start, role, n,
+           SUM(n) OVER (PARTITION BY conv_id, bucket_start) AS n_total
+    FROM c
+    """,
+)
+def tier_role_hh_monthly(spark, sf_dir):
+    """M34 BOUNDED heavy-hitter TIER STATE (Misra–Gries mergeable summary,
+    engine/heavyhitters.py): the monthly `role_hh32` summary exploded back
+    into rows plus its companion total. With cap ≥ cardinality no MG
+    truncation fires at any tier, so the summary must equal the exact
+    distribution — the hash gate pins the exact regime while the
+    truncating regime's error bounds are pytest'd
+    (tests/test_heavyhitters.py). At 100 TB this is the freq_cols variant
+    that survives high-cardinality columns: per-bucket state is hard-capped
+    at `cap` counters with a (N−S)/(cap+1) undercount bound computable
+    from state alone."""
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0, hh_cols={"role": 32})
+    m = tiers["monthly"]
+    return m.select(
+        "conv_id",
+        "bucket_start",
+        F.explode("role_hh32").alias("role", "n"),
+        F.col("role_hhn32").alias("n_total"),
+    )
+
+
+@register(
     "tier_rewrite_range_topk_roles",
     """
     WITH t0 AS (

@@ -440,3 +440,148 @@ def corpus_mixture_upsample(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# overlapping context-window chunking
+# ---------------------------------------------------------------------------
+
+#: chunk window / stride in words (stride < window => overlapping context)
+CHUNK_W = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "doc_chunks_overlap",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents),
+    s AS (
+      SELECT doc_id, words,
+             CAST(unnest(range(0, CAST(greatest(len(words), 1) AS BIGINT),
+                               {CHUNK_STRIDE})) AS BIGINT) AS st
+      FROM d)
+    SELECT doc_id,
+           CAST(st / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           st AS start_word,
+           CAST(len(words[st + 1 : st + {CHUNK_W}]) AS BIGINT) AS n_words,
+           array_to_string(words[st + 1 : st + {CHUNK_W}], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def doc_chunks_overlap(spark, sf_dir):
+    """M35 overlapping context-window chunking: every document split into
+    CHUNK_W-word windows advancing by CHUNK_STRIDE (8-word overlap) — the
+    standard preprocessing that turns variable-length documents into
+    training/RAG context windows without losing cross-boundary n-grams.
+
+    Row-local: split → sequence of starts → explode → slice, a pure
+    scan→generate plan with ZERO shuffles regardless of corpus size (the
+    fan-out is bounded by words/stride per doc). Short docs emit exactly
+    one (possibly short) chunk; the final chunk is allowed to be shorter
+    than the window rather than re-reading the tail (deterministic,
+    append-stable chunk ids)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    starts = d.select(F.col("doc_id"), words.alias("words")).select(
+        "doc_id",
+        "words",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.greatest(F.size("words") - 1, F.lit(0)).cast("long"),
+                F.lit(CHUNK_STRIDE).cast("long"),
+            )
+        ).alias("st"),
+    )
+    chunk = F.slice("words", (F.col("st") + 1).cast("int"), CHUNK_W)
+    return starts.select(
+        "doc_id",
+        (F.col("st") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.col("st").alias("start_word"),
+        F.size(chunk).cast("long").alias("n_words"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary construction with scale-safe global ranking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_token_ids",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents),
+    v AS (
+      SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      FROM w GROUP BY token)
+    SELECT token, tf, df,
+           CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS BIGINT)
+             AS token_id
+    FROM v
+    """,
+)
+def vocab_token_ids(spark, sf_dir):
+    """M36 vocabulary construction: corpus-wide term/document frequencies
+    plus a DENSE GLOBAL ID assigned by frequency rank (tf desc, token) —
+    the tokenizer-vocab step of a training pipeline.
+
+    The oracle's ROW_NUMBER() OVER (ORDER BY ...) is the textbook global
+    rank — in Spark that compiles to an Exchange SinglePartition: the whole
+    vocabulary through one reducer. This implementation is the distributed
+    sort-rank instead: (1) one explode+agg for (tf, df) per token, (2)
+    WITHIN-(tf, prefix-shard) row_number — the window key includes a token
+    prefix so the tf=1 long tail (most of any real vocabulary) spreads
+    across shards instead of funneling into one, (3) a (tf, prefix)-level
+    count table (metadata scale: bounded by distinct-tf × shards, not by
+    vocab size) prefix-summed via broadcast non-equi self-join gives each
+    shard its global offset. Data crosses the cluster once; no single
+    reducer anywhere."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    v = (
+        d.select("doc_id", F.explode(words).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .withColumn("pfx", F.substring("token", 1, 1))
+    )
+    w = (
+        Window.partitionBy("tf", "pfx")
+        .orderBy("token")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = v.withColumn("rk_in", F.count("*").over(w))
+    cells = v.groupBy("tf", "pfx").agg(F.count("*").alias("cnt"))
+    prior = cells.select(
+        F.col("tf").alias("tf2"), F.col("pfx").alias("pfx2"),
+        F.col("cnt").alias("cnt2"),
+    )
+    before = (F.col("tf2") > F.col("tf")) | (
+        (F.col("tf2") == F.col("tf")) & (F.col("pfx2") < F.col("pfx"))
+    )
+    offsets = (
+        cells.join(F.broadcast(prior), before, "left")
+        .groupBy("tf", "pfx")
+        .agg(F.coalesce(F.sum("cnt2"), F.lit(0)).alias("off"))
+    )
+    return (
+        within.join(F.broadcast(offsets), ["tf", "pfx"])
+        .select(
+            "token",
+            "tf",
+            "df",
+            (F.col("off") + F.col("rk_in")).cast("long").alias("token_id"),
+        )
+    )

@@ -271,3 +271,92 @@ def test_mixture_upsample_matches_bruteforce(spark):
         assert sorted(grp["copy_idx"]) == list(
             range(1, expect[doc_id] + 1)
         )
+
+
+# ---------------------------------------------------------------------------
+# overlapping chunking (M35)
+# ---------------------------------------------------------------------------
+
+
+def test_chunks_match_bruteforce(spark):
+    from engine.corpusops import CHUNK_STRIDE, CHUNK_W, doc_chunks_overlap
+
+    got = {}
+    for r in doc_chunks_overlap(spark, SF_DIR).collect():
+        got[(r["doc_id"], r["chunk_idx"])] = (
+            r["start_word"], r["n_words"], r["chunk_text"]
+        )
+    exp = {}
+    for _, row in _docs_pdf(spark).iterrows():
+        words = [w for w in row["text"].split(" ") if w]
+        starts = list(range(0, max(len(words), 1), CHUNK_STRIDE))
+        for i, s in enumerate(starts):
+            chunk = words[s:s + CHUNK_W]
+            exp[(row["doc_id"], i)] = (s, len(chunk), " ".join(chunk))
+    assert got == exp
+    # overlap invariant: consecutive full chunks share W - stride words
+    assert CHUNK_W > CHUNK_STRIDE
+
+
+def test_chunks_plan_has_no_shuffle(spark):
+    """Chunking is row-local scan→generate: any Exchange would mean the
+    corpus gets shuffled just to slice strings."""
+    from engine.corpusops import doc_chunks_overlap
+
+    p = doc_chunks_overlap(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+
+
+def test_chunks_cover_every_word(spark):
+    """Every word index of every doc falls inside at least one chunk."""
+    from engine.corpusops import doc_chunks_overlap
+
+    rows = doc_chunks_overlap(spark, SF_DIR).collect()
+    cover = {}
+    for r in rows:
+        cover.setdefault(r["doc_id"], []).append(
+            (r["start_word"], r["start_word"] + r["n_words"])
+        )
+    for _, row in _docs_pdf(spark).iterrows():
+        n = len([w for w in row["text"].split(" ") if w])
+        spans = sorted(cover[row["doc_id"]])
+        covered = set()
+        for a, b in spans:
+            covered.update(range(a, b))
+        assert covered == set(range(n)), row["doc_id"]
+
+
+# ---------------------------------------------------------------------------
+# vocabulary ids (M36)
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_ids_match_bruteforce(spark):
+    from engine.corpusops import vocab_token_ids
+
+    got = {
+        r["token"]: (r["tf"], r["df"], r["token_id"])
+        for r in vocab_token_ids(spark, SF_DIR).collect()
+    }
+    tf, df = {}, {}
+    for _, row in _docs_pdf(spark).iterrows():
+        words = [w for w in row["text"].split(" ") if w]
+        for w in words:
+            tf[w] = tf.get(w, 0) + 1
+        for w in set(words):
+            df[w] = df.get(w, 0) + 1
+    order = sorted(tf, key=lambda t: (-tf[t], t))
+    exp = {t: (tf[t], df[t], i + 1) for i, t in enumerate(order)}
+    assert got == exp
+    # dense, gapless, unique ids
+    ids = sorted(v[2] for v in got.values())
+    assert ids == list(range(1, len(got) + 1))
+
+
+def test_vocab_plan_has_no_single_partition(spark):
+    """The global rank must come from the two-phase offset join, never an
+    Exchange SinglePartition funneling the vocabulary through one reducer."""
+    from engine.corpusops import vocab_token_ids
+
+    p = vocab_token_ids(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in p, p

@@ -28,6 +28,7 @@ import engine.simsearch  # noqa: F401,E402
 import engine.textops  # noqa: F401,E402
 import engine.tier_queries  # noqa: F401,E402
 import engine.udx  # noqa: F401,E402
+import engine.vocabindex  # noqa: F401,E402
 
 SF0001 = "/root/testdata/sf0.001"
 

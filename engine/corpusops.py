@@ -544,19 +544,31 @@ def vocab_token_ids(spark, sf_dir):
     vocab size) prefix-summed via broadcast non-equi self-join gives each
     shard its global offset. Data crosses the cluster once; no single
     reducer anywhere."""
-    from pyspark.sql import Window
+    return dense_freq_rank(token_counts(_t(spark, sf_dir, "documents")))
 
-    d = _t(spark, sf_dir, "documents")
+
+def token_counts(docs) -> "F.DataFrame":
+    """(token, tf, df) over a document set — the vocabulary aggregate."""
     words = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
-    v = (
-        d.select("doc_id", F.explode(words).alias("token"))
+    return (
+        docs.select("doc_id", F.explode(words).alias("token"))
         .groupBy("token")
         .agg(
             F.count("*").alias("tf"),
             F.count_distinct("doc_id").alias("df"),
         )
-        .withColumn("pfx", F.substring("token", 1, 1))
     )
+
+
+def dense_freq_rank(v) -> "F.DataFrame":
+    """Attach `token_id` = dense global row_number by (tf desc, token)
+    WITHOUT an Exchange SinglePartition: within-(tf, token-prefix)
+    row_number + a metadata-scale (tf, prefix) count table prefix-summed
+    via broadcast non-equi self-join. Input needs (token, tf) columns;
+    all input columns pass through."""
+    from pyspark.sql import Window
+
+    v = v.withColumn("pfx", F.substring("token", 1, 1))
     w = (
         Window.partitionBy("tf", "pfx")
         .orderBy("token")
@@ -576,12 +588,11 @@ def vocab_token_ids(spark, sf_dir):
         .groupBy("tf", "pfx")
         .agg(F.coalesce(F.sum("cnt2"), F.lit(0)).alias("off"))
     )
+    passthrough = [c for c in v.columns if c not in ("pfx",)]
     return (
         within.join(F.broadcast(offsets), ["tf", "pfx"])
         .select(
-            "token",
-            "tf",
-            "df",
+            *passthrough,
             (F.col("off") + F.col("rk_in")).cast("long").alias("token_id"),
         )
     )

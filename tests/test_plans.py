@@ -112,6 +112,15 @@ BNLJ_OK = {
     "token_prefix_tranches",  # broadcast `shard' < shard` prefix over the
     # per-shard totals table — rows = #range partitions (metadata scale),
     # the join that REPLACES the partition-less window's single reducer
+    "corpus_shard_plan",  # same broadcast band-offset prefix join as
+    # token_prefix_tranches (≤2^12 hash-band totals, metadata scale)
+    "vocab_token_ids",  # broadcast (tf, prefix)-cell offset join — rows
+    # bounded by distinct-tf × prefix shards, never by vocabulary size;
+    # replaces ROW_NUMBER's Exchange SinglePartition
+    "vocabindex_ids_oneshot",  # same distributed sort-rank inside the
+    # persisted index's first build
+    "vocabindex_totals",  # ditto (assignment ranking feeds the index
+    # whose totals this query serves)
 }
 
 

@@ -82,6 +82,7 @@ class TierPipeline:
         sumsq_cols: list[str] | None = None,
         sumprod_cols: list | None = None,
         freq_cols: list[str] | None = None,
+        hh_cols: dict[str, int] | None = None,
         wap: bool = False,
         wap_audit=None,
         hourly_layout: int = 1,
@@ -146,6 +147,15 @@ class TierPipeline:
         #: (map internal order is merge-order-dependent); migration story
         #: identical to hist_cols.
         self.freq_cols = sorted(freq_cols or [])
+        #: BOUNDED heavy-hitter tier state per raw column ({col: cap},
+        #: `<col>_hh{cap}` Misra–Gries map + `<col>_hhn{cap}` total,
+        #: engine/heavyhitters.py): the freq_cols variant whose per-bucket
+        #: state is hard-capped for high-cardinality columns; composes
+        #: across tiers (exact union-add fold + one truncation per row) and
+        #: salts (fine-keyed pre-agg, bit-identical to unsalted). Fingerprint
+        #: hashes the sorted entry array as JSON like freq; migration story
+        #: identical to hist_cols.
+        self.hh_cols = {c: int(k) for c, k in sorted((hh_cols or {}).items())}
         #: write-audit-publish (requires snapshots): a run writes every
         #: stage into STAGED (unpublished) snapshots with manifest commits
         #: deferred; at the seal, `wap_audit(pipe)` (if given) inspects the
@@ -211,6 +221,10 @@ class TierPipeline:
             )
         if self.freq_cols:
             parts.append("fq:" + ";".join(self.freq_cols))
+        if self.hh_cols:
+            parts.append(
+                "hh:" + ";".join(f"{c}={k}" for c, k in self.hh_cols.items())
+            )
         if self.hourly_layout != 1:
             parts.append(f"layout:{self.hourly_layout}")
         return "|".join(p for p in parts if p)
@@ -257,6 +271,17 @@ class TierPipeline:
             + [
                 F.to_json(F.sort_array(F.map_entries(f"{c}_freq")))
                 for c in self.freq_cols
+            ]
+            # hh maps: same canonical-JSON argument as freq (deterministic
+            # given the input multiset — see engine/heavyhitters.py merge
+            # strategy); the companion total is a plain long
+            + [
+                e
+                for c, k in self.hh_cols.items()
+                for e in (
+                    F.to_json(F.sort_array(F.map_entries(f"{c}_hh{k}"))),
+                    F.col(f"{c}_hhn{k}"),
+                )
             ]
         )
 
@@ -1036,6 +1061,7 @@ class TierPipeline:
                     sumsq_cols=self.sumsq_cols,
                     sumprod_cols=self.sumprod_cols,
                     freq_cols=self.freq_cols,
+                    hh_cols=self.hh_cols,
                 )
                 if self.salted
                 else rollup_hourly(
@@ -1046,6 +1072,7 @@ class TierPipeline:
                     sumsq_cols=self.sumsq_cols,
                     sumprod_cols=self.sumprod_cols,
                     freq_cols=self.freq_cols,
+                    hh_cols=self.hh_cols,
                 )
             )
             if self.fill_tiers:

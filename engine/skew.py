@@ -67,6 +67,7 @@ def rollup_hourly_salted(
     sumsq_cols: list[str] | None = None,
     sumprod_cols: list | None = None,
     freq_cols: list[str] | None = None,
+    hh_cols: dict[str, int] | None = None,
 ) -> DataFrame:
     """F6: two-phase salted leaf rollup.
 
@@ -176,6 +177,23 @@ def rollup_hourly_salted(
             merged = merged.withColumn(
                 f"{c}_freq", F.coalesce(f"{c}_freq", empty_freq_map())
             )
+    # bounded heavy-hitter summaries: same argument — the fine-keyed
+    # pre-agg inside hh_partial_maps is salt-proof, so the MG state joins
+    # the merged rows directly and is BIT-IDENTICAL to the unsalted path
+    if hh_cols:
+        from .heavyhitters import hh_coalesce_empty, hh_partial_maps
+
+        hm = hh_partial_maps(
+            df.withColumn(
+                "bucket_start",
+                F.date_trunc("hour", "ts").cast("timestamp_ntz"),
+            ),
+            ["conv_id", "bucket_start"],
+            hh_cols,
+        )
+        merged = hh_coalesce_empty(
+            merged.join(hm, ["conv_id", "bucket_start"], "left"), hh_cols
+        )
     return merged.withColumns(
         {
             "hours_count": F.lit(1).cast("long"),

@@ -97,6 +97,17 @@ class TierEngine:
         """Range percentiles from histogram state (needs hist_cols)."""
         return _rw.rewrite_range_hist(self._tiers(), lo, hi, col)
 
+    def serve_range_heavyhitters(
+        self, lo: datetime, hi: datetime, col: str, k: int = 3
+    ) -> DataFrame:
+        """Bounded heavy-hitter candidates with per-row error bounds from
+        Misra–Gries state (needs hh_cols={col: cap}) — the capped variant
+        of serve_range_topk for high-cardinality columns."""
+        cap = self.pipeline.hh_cols.get(col)
+        if cap is None:
+            raise ValueError(f"hh_cols has no cap for column {col!r}")
+        return _rw.rewrite_range_hh(self._tiers(), lo, hi, col, cap, k=k)
+
     def serve_realtime(
         self, lo: datetime, hi: datetime, watermark: datetime, t0: DataFrame
     ) -> DataFrame:

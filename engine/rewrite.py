@@ -345,6 +345,83 @@ def rewrite_range_freq(
     )
 
 
+def rewrite_range_hh(
+    tiers: dict[str, DataFrame],
+    lo: datetime,
+    hi: datetime,
+    col: str,
+    cap: int,
+    k: int = 3,
+) -> DataFrame:
+    """Per-conversation heavy-hitter candidates of `col` over [lo, hi),
+    served from BOUNDED Misra–Gries tier state (`TierPipeline(hh_cols=
+    {col: cap})`, engine/heavyhitters.py) — the capped sibling of
+    rewrite_range_freq for columns whose exact maps would be data-sized.
+
+    Span-matched summaries fold by exact key-union addition (NO extra
+    truncation at serve time — merging ≤ O(spans × cap) entries per conv,
+    still metadata-scale, keeps the bound tight), and the companion totals
+    sum. Output per (conv, rank): `est` (a lower bound on the true range
+    count), `err_bound` = (ΣN − ΣS)/(cap+1) (upper bound on any
+    undercount, from state alone), so `est + err_bound` brackets the true
+    count; every value whose true range count exceeds ΣN/(cap+1) is
+    guaranteed present (mergeable-summaries no-false-dismissal). Bounds
+    and bracketing are pytest-asserted against raw recounts."""
+    from pyspark.sql import Window
+    from .heavyhitters import hh_col_name, hhn_col_name
+
+    spans = split_range(lo, hi)
+    if not spans:
+        raise ValueError("empty range")
+    hh, hhn = hh_col_name(col, cap), hhn_col_name(col, cap)
+    parts = []
+    for tier, a, b in spans:
+        st = observed_state(tiers[tier])
+        if hh not in st.columns:
+            raise ValueError(f"{tier} tier has no hh column {hh!r}")
+        parts.append(
+            st.filter(
+                (F.col("bucket_start") >= F.lit(a))
+                & (F.col("bucket_start") < F.lit(b))
+            ).select("conv_id", F.col(hh).alias("m"), F.col(hhn).alias("n"))
+        )
+    u = reduce(lambda x, y: x.unionByName(y), parts)
+    seed = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<long>")
+    )
+    merged = u.groupBy("conv_id").agg(
+        F.aggregate(
+            F.collect_list("m"),
+            seed,
+            lambda acc, m: F.map_zip_with(
+                acc,
+                m,
+                lambda _k, a, b: F.coalesce(a, F.lit(0).cast("long"))
+                + F.coalesce(b, F.lit(0).cast("long")),
+            ),
+        ).alias("m"),
+        F.sum("n").alias("n_total"),
+    )
+    retained = F.aggregate(
+        F.map_values("m"), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    err = F.ceil((F.col("n_total") - retained) / F.lit(float(cap + 1))).cast(
+        "long"
+    )
+    exploded = merged.select(
+        "conv_id",
+        F.explode("m").alias("value", "est"),
+        err.alias("err_bound"),
+        "n_total",
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.desc("est"), "value")
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("conv_id", "rank", "value", "est", "err_bound", "n_total")
+    )
+
+
 def rewrite_range_hist(
     tiers: dict[str, DataFrame], lo: datetime, hi: datetime, col: str
 ) -> DataFrame:

@@ -60,6 +60,10 @@ def main():
                     help="comma list of raw columns to carry exact "
                          "value->count frequency-map tier state for "
                          "(e.g. tool,role)")
+    ap.add_argument("--hh-cols", default=None,
+                    help="comma list of col:cap pairs to carry BOUNDED "
+                         "Misra-Gries heavy-hitter tier state for "
+                         "(e.g. tool:64,role:16)")
     ap.add_argument("--no-lease", action="store_true",
                     help="skip the single-writer run lease (concurrent "
                          "runs on one root can then double-write)")
@@ -112,6 +116,15 @@ def main():
         freq_cols=(
             [c for c in args.freq_cols.split(",") if c]
             if args.freq_cols
+            else None
+        ),
+        hh_cols=(
+            {
+                s.split(":")[0]: int(s.split(":")[1])
+                for s in args.hh_cols.split(",")
+                if s
+            }
+            if args.hh_cols
             else None
         ),
         lease=not args.no_lease,

@@ -294,3 +294,70 @@ def test_rewrite_range_freq_multimonth_and_refusal(spark, tmp_path):
     plain = build_tiers(t0)
     with pytest.raises(ValueError, match="no freq column"):
         rewrite_range_freq(plain, lo, hi, "tool").collect()
+
+
+def test_rewrite_range_hh_bounds_and_exact_regime(spark, tmp_path):
+    """Bounded heavy hitters from tier state over a multi-span range:
+    (a) truncating regime (cap=2): for every served value
+    est ≤ true ≤ est + err_bound, n_total equals the raw non-null count,
+    and every value with true count > n_total/(cap+1) is served within
+    top-cap; (b) exact regime (cap ≥ cardinality): est == true, err == 0,
+    ranking identical to rewrite_range_freq; (c) missing state refused."""
+    from engine.pipeline import TierPipeline
+    from engine.rewrite import rewrite_range_freq, rewrite_range_hh
+
+    t0 = synth_transcripts(spark, n_convs=30, hot_turns=200)
+    lo, hi = datetime(2026, 1, 5, 7), datetime(2026, 3, 18, 19)
+
+    pipe = TierPipeline(
+        spark, str(tmp_path / "hh"), hh_cols={"tool": 2, "role": 32}
+    )
+    pipe.run(t0, stages=("hourly", "daily", "monthly"))
+    tiers = {t: pipe.read_tier(t) for t in ("hourly", "daily", "monthly")}
+
+    raw = (
+        t0.filter(
+            (F.col("ts") >= F.lit(lo))
+            & (F.col("ts") < F.lit(hi))
+            & F.col("tool").isNotNull()
+        )
+        .groupBy("conv_id", "tool")
+        .count()
+        .collect()
+    )
+    truth: dict = {}
+    for r in raw:
+        truth.setdefault(r["conv_id"], {})[r["tool"]] = r["count"]
+
+    served = rewrite_range_hh(tiers, lo, hi, "tool", cap=2, k=2).collect()
+    assert served
+    per_conv: dict = {}
+    for r in served:
+        per_conv.setdefault(r["conv_id"], []).append(r)
+    for conv, rows in per_conv.items():
+        t = truth[conv]
+        n_total = rows[0]["n_total"]
+        assert n_total == sum(t.values()), conv
+        for r in rows:
+            tv = t.get(r["value"], 0)
+            assert r["est"] <= tv <= r["est"] + r["err_bound"], (conv, r)
+        served_vals = {r["value"] for r in rows}
+        for v, tv in t.items():
+            if tv > n_total / 3.0:  # cap+1
+                assert v in served_vals, (conv, v, "false dismissal")
+
+    # exact regime on role (cardinality << 32): equals the freq rewrite
+    pipe2 = TierPipeline(spark, str(tmp_path / "fr"), freq_cols=["role"])
+    pipe2.run(t0, stages=("hourly", "daily", "monthly"))
+    tiers2 = {t: pipe2.read_tier(t) for t in ("hourly", "daily", "monthly")}
+    exact = {
+        (r["conv_id"], r["rank"]): (r["value"], r["n"])
+        for r in rewrite_range_freq(tiers2, lo, hi, "role", k=3).collect()
+    }
+    hh = rewrite_range_hh(tiers, lo, hi, "role", cap=32, k=3).collect()
+    got = {(r["conv_id"], r["rank"]): (r["value"], r["est"]) for r in hh}
+    assert got == exact
+    assert all(r["err_bound"] == 0 for r in hh)
+
+    with pytest.raises(ValueError, match="no hh column"):
+        rewrite_range_hh(build_tiers(t0), lo, hi, "tool", cap=2).collect()

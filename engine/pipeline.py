@@ -188,6 +188,13 @@ class TierPipeline:
         self._staged_mirror: str | None = None
         self._buffered_rows: list[dict] = []
         self.manifest = Manifest(spark, os.path.join(root, "_manifest"))
+        #: right-to-be-forgotten tombstones (engine/forget.py): ingest
+        #: anti-joins the input against this set, so a deletion re-rolls
+        #: exactly the affected days via the ordinary fingerprint machinery
+        #: and tombstoned conversations can never resurrect from late data
+        from .forget import TombstoneStore
+
+        self.tombstones = TombstoneStore(root)
 
     @property
     def _sketch_token(self) -> str:
@@ -1035,6 +1042,16 @@ class TierPipeline:
         stages = tuple(stages or self.ALL_STAGES)
         run_id = run_id or new_run_id()
         t0 = dedup_turns(mask_valid(t0))
+        if self.tombstones.has_any():
+            # forgotten conversations (engine/forget.py) filter out BEFORE
+            # the work manifest, so only days that actually contained them
+            # see a fingerprint change; the broadcast anti-join adds no
+            # shuffle (the tombstone set is erasure-request-sized)
+            t0 = t0.join(
+                F.broadcast(self.tombstones.read(self.spark)),
+                "conv_id",
+                "left_anti",
+            )
         t0 = t0.withColumn("bucket_date", F.to_date("ts"))
         done = {}
 

@@ -1170,3 +1170,37 @@ def tier_rewrite_range_hist(spark, sf_dir):
     return rewrite_range_hist(
         tiers, datetime(2024, 1, 3, 7), datetime(2024, 1, 28, 19), "token_count"
     )
+
+
+_FORGET_CTE = _TIER_CTE.replace(
+    "FROM events\n)", "FROM events WHERE user_id NOT IN (7, 19)\n)", 1
+)
+assert _FORGET_CTE.count("WHERE user_id NOT IN") == 1
+
+
+@register(
+    "tier_monthly_after_forget",
+    _FORGET_CTE + _TIER_VIEW.format(tier="monthly"),
+)
+def tier_monthly_after_forget(spark, sf_dir):
+    """L7 right-to-be-forgotten (engine/forget.py) under the hash gate: a
+    full pipeline run, then `forget_conversations` of two conversations
+    with the input re-presented — tombstones change exactly the affected
+    days' ingest fingerprints, the ordinary resume machinery re-rolls them
+    through every tier, and the monthly view must equal the oracle built
+    on the filtered input. Erasure correctness proven as aggregate-level
+    hash equality, not just row absence."""
+    import tempfile
+
+    from .forget import forget_conversations
+    from .pipeline import TierPipeline
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    pipe = TierPipeline(
+        spark, tempfile.mkdtemp(prefix="tier-forget-"), fill_tiers=False
+    )
+    pipe.run(t0)
+    forget_conversations(
+        pipe, ["conv-00000007", "conv-00000019"], t0=t0
+    )
+    return erollup.tier_view(pipe.read_tier("monthly"), "monthly")

@@ -94,10 +94,15 @@ GLOBAL_AGG_OK = {
     # fed by the per-user partial aggregate (one row per upstream partition)
     "corpus_mixture_upsample",  # MAX over the per-source size aggregate
     # (one row per source) — the balance target for the mixture
+    "dq_orders_suite",  # a DQ summary IS one global scalar row: every
+    # violation counter folds partial (per input partition) before the
+    # single final reduce; uniqueness/ref probes join as one-row frames
 }
 
 BNLJ_OK = {
     "hot_users_topk",  # broadcasts the ONE-ROW grand total into per-key shares
+    "dq_orders_suite",  # stitches the one-row uniqueness / referential
+    # probe results onto the one-row scalar summary (1×1 broadcast joins)
     "ann_cosine_topk",
     "ivf_cosine_topk",
     "simindex_ivf_topk",  # same bounded query×broadcast-centroid cross as ivf_cosine_topk, over the stored index

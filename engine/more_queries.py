@@ -493,3 +493,141 @@ def asof_forward_clicks(spark, sf_dir):
         direction="forward",
         allow_exact_matches=True,
     ).select("event_id", "user_id", "next_click_ts")
+
+
+@register(
+    "dq_orders_suite",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM orders) AS rows_scanned,
+      (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+        AS null_o_custkey,
+      (SELECT COUNT(*) FROM orders
+        WHERE o_totalprice IS NOT NULL
+          AND o_totalprice NOT BETWEEN 0 AND 200000) AS range_o_totalprice,
+      (SELECT COUNT(*) FROM orders
+        WHERE o_orderstatus IS NOT NULL
+          AND o_orderstatus NOT IN ('O', 'F')) AS set_o_orderstatus,
+      (SELECT COUNT(*) FROM orders
+        WHERE o_orderpriority IS NOT NULL
+          AND NOT regexp_matches(o_orderpriority, '^[1-3]-'))
+        AS regex_o_orderpriority,
+      (SELECT COUNT(*) FILTER (WHERE o_orderkey IS NOT NULL)
+              - COUNT(DISTINCT o_orderkey) FROM orders) AS unique_o_orderkey,
+      (SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey
+                            AND c.c_custkey < 1000)) AS ref_o_custkey
+    """,
+)
+def dq_orders_suite(spark, sf_dir):
+    """Data-quality expectations (engine/expectations.py) under the hash
+    gate: a 7-check suite over `orders` — completeness (not_null),
+    validity (in_range / in_set / regex, null-skipping), exact key
+    uniqueness, and broadcast referential integrity against `customer` —
+    compiled into one shared row-level scan + one distinct-count + one
+    anti-join probe. The oracle recomputes every count independently in
+    SQL; hash equality pins both the violation arithmetic and the
+    completeness/validity null split."""
+    from .expectations import (
+        Suite,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        ref_integrity,
+        unique,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    suite = Suite(
+        [
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0, 200_000),
+            in_set("o_orderstatus", ["O", "F"]),
+            matches("o_orderpriority", "^[1-3]-"),
+            unique(["o_orderkey"]),
+            ref_integrity(
+                "o_custkey",
+                customer.filter(F.col("c_custkey") < 1000),
+                "c_custkey",
+            ),
+        ]
+    )
+    return suite.summary(orders)
+
+
+@register(
+    "merge_upsert_orders",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y-%m') AS month,
+             o_orderstatus, o_totalprice
+      FROM orders),
+    s AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 194 = 0 THEN '2099-01' ELSE month END
+               AS month,
+             o_orderstatus,
+             o_totalprice + 1000 AS o_totalprice
+      FROM t WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey + 50000000 AS o_orderkey, month,
+             'N' AS o_orderstatus, CAST(1.0 AS DOUBLE) AS o_totalprice
+      FROM t WHERE o_orderkey % 251 = 0)
+    SELECT t.o_orderkey, t.month, t.o_orderstatus, t.o_totalprice
+    FROM t WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, month, o_orderstatus, o_totalprice FROM s
+    """,
+)
+def merge_upsert_orders(spark, sf_dir):
+    """MERGE INTO (engine/merge.py) under the hash gate: orders snapshotted
+    into a month-partitioned table, then a deterministic CDC batch applied
+    — price updates (every 97th key), cross-partition moves (every 194th
+    key jumps to month 2099-01, so its OLD partition must rewrite too) and
+    brand-new keys (every 251st, offset +50M). The oracle replays the same
+    batch as anti-join ∪ source; hash equality pins update, insert, move
+    and untouched-row semantics simultaneously."""
+    import tempfile
+
+    from .merge import merge_into
+
+    t = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_orderstatus",
+            "o_totalprice",
+        )
+    )
+    path = tempfile.mkdtemp(prefix="merge-orders-") + "/t"
+    t.write.partitionBy("month").parquet(path)
+    target = spark.read.parquet(path)
+    updates = (
+        target.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn(
+            "month",
+            F.when(F.col("o_orderkey") % 194 == 0, F.lit("2099-01")).otherwise(
+                F.col("month")
+            ),
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+    )
+    inserts = target.filter(F.col("o_orderkey") % 251 == 0).select(
+        (F.col("o_orderkey") + 50_000_000).alias("o_orderkey"),
+        "month",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    source = updates.unionByName(inserts).localCheckpoint()
+    merge_into(
+        spark, path, source, on=["o_orderkey"], partition_cols=["month"]
+    )
+    return spark.read.parquet(path).select(
+        "o_orderkey", "month", "o_orderstatus", "o_totalprice"
+    )

@@ -14,6 +14,7 @@ the common lifecycle reads as one object:
     df, hit = eng.cached("dash_q1", lambda: ...)   # snapshot-keyed reuse
     eng.drop_hourly_before("2026-02-01")           # retention
     eng.rollback(run_id)                           # snapshot-mode undo
+    eng.forget(["conv-000007"], t0=t0)             # right-to-be-forgotten
 
 Every serving call is tier-composed (O(tier rows), partition-pruned) and
 oracle/pytest-verified in its home module; see engine/rewrite.py,
@@ -148,3 +149,28 @@ class TierEngine:
             }
         )
         return self._cache.serve(key, deps, build)
+
+    # -- erasure (right-to-be-forgotten, engine/forget.py) ---------------------
+
+    def forget(
+        self,
+        conv_ids: list[str],
+        t0: DataFrame | None = None,
+        sweep: bool = True,
+        note: str = "",
+    ) -> dict:
+        """Erase conversations from every engine-owned table: tombstone
+        (future ingests filter them forever), re-roll affected days if the
+        raw input is supplied, surgically sweep retention-frozen leftovers."""
+        from .forget import forget_conversations
+
+        return forget_conversations(
+            self.pipeline, conv_ids, t0=t0, sweep=sweep, note=note
+        )
+
+    def forgotten_leftovers(self) -> dict:
+        """Erasure verifier: rows still attributable to tombstoned
+        conversations, per table (all zeros after a complete forget)."""
+        from .forget import leftover_conversations
+
+        return leftover_conversations(self.pipeline)

@@ -67,6 +67,10 @@ def main():
     ap.add_argument("--no-lease", action="store_true",
                     help="skip the single-writer run lease (concurrent "
                          "runs on one root can then double-write)")
+    ap.add_argument("--forget-convs", default=None,
+                    help="comma list of conv_ids to erase (right-to-be-"
+                         "forgotten): tombstoned before the run so the "
+                         "re-roll + sweep remove them from every table")
     args = ap.parse_args()
 
     from engine.session import get_spark
@@ -129,7 +133,16 @@ def main():
         ),
         lease=not args.no_lease,
     )
-    result = pipe.run(t0)
+    if args.forget_convs:
+        from engine.forget import forget_conversations
+
+        doomed = [c for c in args.forget_convs.split(",") if c]
+        rep = forget_conversations(pipe, doomed, t0=t0)
+        result = rep["run"]
+        result["forgotten"] = rep["tombstoned"]
+        result["forget_swept"] = {k: len(v) for k, v in rep["swept"].items()}
+    else:
+        result = pipe.run(t0)
 
     if args.compact_zorder:
         from engine.retention import compact_partition

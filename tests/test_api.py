@@ -110,3 +110,20 @@ def test_engine_front_door_end_to_end(spark, tmp_path):
         .sort_values("conv_id", ignore_index=True)
     )
     pd.testing.assert_frame_equal(got_rt[raw_rt.columns], raw_rt)
+
+
+def test_engine_forget_front_door(spark, tmp_path):
+    from engine.synth import synth_transcripts
+
+    t0 = synth_transcripts(spark, n_convs=12, hot_turns=80).localCheckpoint()
+    eng = TierEngine(spark, str(tmp_path / "fg"))
+    eng.run(t0)
+    doomed = ["conv-00000011"]
+    assert eng.tier("hourly").filter(
+        F.col("conv_id").isin(doomed)
+    ).count() > 0
+    rep = eng.forget(doomed, t0=t0)
+    assert rep["tombstoned"] == doomed
+    assert all(v == 0 for v in eng.forgotten_leftovers().values())
+    for tier in ("hourly", "daily", "monthly"):
+        assert eng.tier(tier).filter(F.col("conv_id").isin(doomed)).count() == 0

@@ -250,3 +250,27 @@ def test_forget_parity_with_salted_state_cols(spark, tmp_path):
                 want = want.withColumn(c, F.sort_array(F.map_entries(c)))
         assert cur.exceptAll(want).count() == 0, name
         assert want.exceptAll(cur).count() == 0, name
+
+
+def test_stream_cannot_resurrect_tombstoned_conv(spark, tmp_path):
+    """Streaming ingest funnels every trigger through pipe.run(), so the
+    tombstone anti-join applies per micro-batch: a forgotten conversation
+    arriving on the stream never reaches any tier."""
+    from engine.streaming import run_stream_into_pipeline
+    from engine.synth import synth_transcripts
+
+    t0 = synth_transcripts(spark, n_convs=12, hot_turns=80)
+    src = str(tmp_path / "src")
+    t0.orderBy("ts").coalesce(1).write.parquet(src + "_one")
+    spark.read.parquet(src + "_one").repartitionByRange(6, "ts").write.parquet(src)
+
+    pipe = TierPipeline(spark, str(tmp_path / "sf"))
+    doomed = ["conv-00000001"]  # the hot conv: present in every batch
+    pipe.tombstones.append(doomed)
+    out = run_stream_into_pipeline(
+        spark, src, pipe, raw_path=str(tmp_path / "raw")
+    )
+    assert out["batches"] >= 2, out
+    assert all(v == 0 for v in leftover_conversations(pipe).values())
+    # everyone else made it through
+    assert pipe.read_tier("monthly").select("conv_id").distinct().count() == 11

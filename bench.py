@@ -262,6 +262,96 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     stress_wall, stress_stats = _neardup_stress(spark, base)
     timings["neardup_stress_50k"] = stress_wall
 
+    # lifecycle: right-to-be-forgotten (L7) — erase two tail conversations
+    # from a built pipeline root. What the pair of rows proves: forget ≈
+    # the generic resume floor (fingerprint scans every run already pays)
+    # + a re-roll of ONLY the affected days — never a table rebuild. The
+    # floor is measured explicitly as `resume_noop` (a run() with nothing
+    # pending on an identical copy); the erasure increment is the delta.
+    # Base root built untimed; each trial works on a fresh hardlink copy
+    # (tombstones persist, so a repeat forget on one root would no-op).
+    from engine.forget import forget_conversations
+    from engine.pipeline import TierPipeline
+
+    raw_path = os.path.join(base, "bench_forget_t0.parquet")
+    synth_t0(spark, n_convs=5000, hot=40_000).write.mode("overwrite").parquet(
+        raw_path
+    )
+    raw = spark.read.parquet(raw_path)
+    fg_base = os.path.join(base, "bench_forget_base")
+    shutil.rmtree(fg_base, ignore_errors=True)
+    TierPipeline(spark, fg_base, salted=True, lease=False).run(raw)
+
+    def lifecycle_trial(fn):
+        troot = fg_base + "_trial"
+        shutil.rmtree(troot, ignore_errors=True)
+        shutil.copytree(fg_base, troot, copy_function=os.link)
+        pipe = TierPipeline(spark, troot, salted=True, lease=False)
+        return _timed(lambda: fn(pipe))[0]
+
+    timings["resume_noop"] = min(
+        lifecycle_trial(lambda p: p.run(raw))
+        for _ in range(BENCH_STAGE_TRIALS)
+    )
+    timings["forget_reroll"] = min(
+        lifecycle_trial(
+            lambda p: forget_conversations(
+                p, ["conv-00004997", "conv-00004998"], t0=raw
+            )
+        )
+        for _ in range(BENCH_STAGE_TRIALS)
+    )
+
+    # CDC merge (L9): month-partitioned orders base written UNTIMED; the
+    # timed unit is the touched-partition merge of a ~1.5% batch (updates +
+    # cross-partition moves + inserts) into a fresh hardlink copy per trial
+    from engine.merge import merge_into
+
+    orders = (
+        eio.read_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_orderstatus",
+            "o_totalprice",
+        )
+    )
+    mg_base = os.path.join(base, "bench_merge_base")
+    shutil.rmtree(mg_base, ignore_errors=True)
+    orders.write.partitionBy("month").parquet(mg_base)
+    tgt = spark.read.parquet(mg_base)
+    updates = (
+        tgt.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn(
+            "month",
+            F.when(F.col("o_orderkey") % 194 == 0, F.lit("2099-01")).otherwise(
+                F.col("month")
+            ),
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+    )
+    inserts = tgt.filter(F.col("o_orderkey") % 251 == 0).select(
+        (F.col("o_orderkey") + 50_000_000).alias("o_orderkey"),
+        "month",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    cdc = updates.unionByName(inserts).localCheckpoint()
+
+    def merge_trial():
+        troot = mg_base + "_trial"
+        shutil.rmtree(troot, ignore_errors=True)
+        shutil.copytree(mg_base, troot, copy_function=os.link)
+        return _timed(
+            lambda: merge_into(
+                spark, troot, cdc, on=["o_orderkey"], partition_cols=["month"]
+            )
+        )[0]
+
+    timings["merge_upsert"] = min(
+        merge_trial() for _ in range(BENCH_STAGE_TRIALS)
+    )
+
     total = sum(timings.values())
     return {
         "metric": "headline_queries_total_wall",

@@ -285,12 +285,30 @@ def leftover_conversations(pipe) -> dict:
     return out
 
 
+def _sweep_could_matter(pipe) -> bool:
+    """The sweep exists for partitions the re-roll can't reach — which can
+    only arise after a retention drop or rollback sentinel. With the raw
+    input re-presented and a manifest free of those events, every
+    partition is re-rollable and was just re-rolled, so the 5-table sweep
+    scan is provably redundant (saves ~5 full-table probes per erasure)."""
+    m = pipe.manifest.read()
+    return (
+        m.filter(
+            (F.col("stage") == "retention")
+            | (F.col("input_snapshot_id") == "<rolled-back>")
+        )
+        .limit(1)
+        .count()
+        > 0
+    )
+
+
 def forget_conversations(
     pipe,
     conv_ids: list[str],
     t0: DataFrame | None = None,
     run_id: str | None = None,
-    sweep: bool = True,
+    sweep: bool | str = "auto",
     note: str = "",
 ) -> dict:
     """Erase conversations from every engine-owned table.
@@ -300,7 +318,9 @@ def forget_conversations(
        re-roll through every tier via the ordinary fingerprint machinery
        (O(affected days)); wholly-deleted days drop via the stale sweep.
     3. Sweep partitions the run couldn't reach (retention-dropped /
-       frozen) with exact per-partition rewrites.
+       frozen) with exact per-partition rewrites. `sweep='auto'` (default)
+       runs it only when the re-roll could have missed something: no raw
+       input given, or the manifest shows retention/rollback events.
 
     Returns {'tombstoned': ids, 'run': run-report|None, 'swept': {...}}.
     """
@@ -308,6 +328,8 @@ def forget_conversations(
     report: dict = {"tombstoned": sorted(set(conv_ids)), "run": None, "swept": {}}
     if t0 is not None:
         report["run"] = pipe.run(t0, run_id=run_id)
+    if sweep == "auto":
+        sweep = t0 is None or _sweep_could_matter(pipe)
     if sweep:
         report["swept"] = forget_sweep(pipe, run_id=run_id)
     return report

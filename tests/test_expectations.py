@@ -129,3 +129,43 @@ def test_wap_audit_gates_publish(spark, tmp_path):
     res = ok.run(t0)
     assert res["stages"]["hourly"] > 0
     assert ok.read_tier("hourly").count() > 0
+
+
+def test_streaming_triggers_gated_by_expectations(spark, tmp_path):
+    """Streaming × WAP × DQ: each micro-batch trigger seals through the
+    expectations audit. A suite the data satisfies publishes every
+    trigger; an impossible suite vetoes the FIRST trigger, so nothing
+    ever publishes."""
+    from engine.pipeline import TierPipeline
+    from engine.streaming import run_stream_into_pipeline
+    from engine.synth import synth_transcripts
+
+    t0 = synth_transcripts(spark, n_convs=10, hot_turns=80)
+    src = str(tmp_path / "src")
+    t0.orderBy("ts").coalesce(1).write.parquet(src + "_one")
+    spark.read.parquet(src + "_one").repartitionByRange(10, "ts").write.parquet(src)
+
+    good = Suite([not_null("conv_id"), in_range("n_turns", 1, 10**9)])
+    ok = TierPipeline(
+        spark, str(tmp_path / "ok"), snapshots=True, wap=True,
+        wap_audit=good.as_wap_audit("hourly"),
+    )
+    out = run_stream_into_pipeline(spark, src, ok, raw_path=str(tmp_path / "r1"))
+    assert out["batches"] >= 2
+    assert ok.read_tier("hourly").count() > 0
+
+    bad = Suite([in_range("n_turns", 10**6, 10**9)])
+    veto = TierPipeline(
+        spark, str(tmp_path / "veto"), snapshots=True, wap=True,
+        wap_audit=bad.as_wap_audit("hourly"),
+    )
+    try:
+        run_stream_into_pipeline(
+            spark, src, veto, raw_path=str(tmp_path / "r2"), timeout_s=400
+        )
+        raised = ""
+    except Exception as e:  # StreamingQueryException wraps the audit error
+        raised = str(e)
+    assert "expectations failed" in raised, raised[:500]
+    assert veto.manifest.read().count() == 0
+    assert veto._store(veto.tier_path("hourly")).current_id() is None

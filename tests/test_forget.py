@@ -274,3 +274,25 @@ def test_stream_cannot_resurrect_tombstoned_conv(spark, tmp_path):
     assert all(v == 0 for v in leftover_conversations(pipe).values())
     # everyone else made it through
     assert pipe.read_tier("monthly").select("conv_id").distinct().count() == 11
+
+
+def test_forget_flows_through_incremental_consumer(spark, tmp_path):
+    """Snapshot-mode forget produces an ordinary changelog diff, so the
+    downstream incremental serving table drops the conversation with an
+    INCREMENTAL refresh (only the affected days consumed), not a rebuild."""
+    from engine.incremental import IncrementalConvSummary
+
+    t0 = synth_transcripts(spark, n_convs=12, hot_turns=80).localCheckpoint()
+    pipe = TierPipeline(spark, str(tmp_path / "ic"), snapshots=True)
+    pipe.run(t0, stages=("hourly",))
+    cons = IncrementalConvSummary(pipe, str(tmp_path / "serve"))
+    assert cons.refresh()["mode"] == "full"
+    doomed = "conv-00000011"
+    assert cons.read().filter(F.col("conv_id") == doomed).count() == 1
+
+    forget_conversations(pipe, [doomed], t0=t0)
+    r = cons.refresh()
+    assert r["mode"] == "incremental", r
+    assert cons.read().filter(F.col("conv_id") == doomed).count() == 0
+    # the other conversations' summaries are untouched
+    assert cons.read().count() == 11

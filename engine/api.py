@@ -15,6 +15,7 @@ the common lifecycle reads as one object:
     eng.drop_hourly_before("2026-02-01")           # retention
     eng.rollback(run_id)                           # snapshot-mode undo
     eng.forget(["conv-000007"], t0=t0)             # right-to-be-forgotten
+    eng.replica("/dr/site-b").sync()               # diff-only DR replication
 
 Every serving call is tier-composed (O(tier rows), partition-pruned) and
 oracle/pytest-verified in its home module; see engine/rewrite.py,
@@ -156,7 +157,7 @@ class TierEngine:
         self,
         conv_ids: list[str],
         t0: DataFrame | None = None,
-        sweep: bool = True,
+        sweep: bool | str = "auto",
         note: str = "",
     ) -> dict:
         """Erase conversations from every engine-owned table: tombstone
@@ -174,3 +175,13 @@ class TierEngine:
         from .forget import leftover_conversations
 
         return leftover_conversations(self.pipeline)
+
+    # -- cross-root replication (engine/replicate.py) ---------------------------
+
+    def replica(self, root: str):
+        """A pull-based replica of this (snapshot-mode) engine's tables at
+        `root`: `.sync()` ships partition diffs only, `.read(table)` serves
+        from the replica's own atomic snapshots."""
+        from .replicate import Replica
+
+        return Replica(self.spark, self.pipeline, root)

@@ -89,6 +89,54 @@ class SnapStore:
         with open(os.path.join(self.snapshot_path(snap_id), "meta.json")) as f:
             return json.load(f)
 
+    # -- named tags (Iceberg tag refs) ----------------------------------------
+    @property
+    def _tags_dir(self) -> str:
+        return os.path.join(self.root, "_tags")
+
+    def tag(self, name: str, snap_id: str | None = None) -> str:
+        """Pin a retained snapshot under a stable name (compliance audits,
+        'last-good' serving refs). Tagged snapshots survive `expire` at any
+        keep_last. One file per tag, tmp+rename — re-tagging is atomic."""
+        if "/" in name or name.startswith("."):
+            raise SnapshotError(f"bad tag name {name!r}")
+        sid = snap_id or self.current_id()
+        if sid is None or not os.path.isdir(self.snapshot_path(sid)):
+            raise SnapshotError(f"cannot tag unknown snapshot {sid!r}")
+        os.makedirs(self._tags_dir, exist_ok=True)
+        p = os.path.join(self._tags_dir, name)
+        tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(sid)
+        os.replace(tmp, p)
+        return sid
+
+    def tags(self) -> dict[str, str]:
+        if not os.path.isdir(self._tags_dir):
+            return {}
+        out = {}
+        for n in os.listdir(self._tags_dir):
+            if ".tmp-" in n:
+                continue
+            with open(os.path.join(self._tags_dir, n)) as f:
+                out[n] = f.read().strip()
+        return out
+
+    def untag(self, name: str) -> None:
+        try:
+            os.unlink(os.path.join(self._tags_dir, name))
+        except FileNotFoundError:
+            raise SnapshotError(f"no such tag {name!r}") from None
+
+    def resolve(self, ref: str) -> str:
+        """A snapshot id, or a tag name → its pinned id."""
+        t = self.tags()
+        if ref in t:
+            return t[ref]
+        if os.path.isdir(self.snapshot_path(ref)):
+            return ref
+        raise SnapshotError(f"{ref!r} is neither a tag nor a retained snapshot")
+
     # -- write path ----------------------------------------------------------
     def _new_id(self) -> str:
         # Monotonic prefix: max existing prefix + 1, NOT the count of retained
@@ -181,7 +229,7 @@ class SnapStore:
         consumer's _CONSUMED pointer, so keep_last=1 cannot strand a
         rollback target or silently degrade a consumer to full rebuild."""
         keep_last = max(1, keep_last)
-        protected = protected or set()
+        protected = (protected or set()) | set(self.tags().values())
         ids = self.snapshot_ids()
         cur = self.current_id()
         doomed = [s for s in ids[:-keep_last] if s != cur and s not in protected]
@@ -194,7 +242,7 @@ class SnapStore:
         """DataFrame over the published (or `as_of`) snapshot. The returned
         plan is pinned to that snapshot's immutable file tree: concurrent
         publishes never change what this reader sees."""
-        sid = as_of or self.current_id()
+        sid = self.resolve(as_of) if as_of is not None else self.current_id()
         if sid is None:
             raise SnapshotError(f"{self.root}: no published snapshot")
         path = self.snapshot_path(sid)

@@ -661,3 +661,37 @@ def test_snapshot_bucketed_refresh_never_tears_pinned_reader(spark, t0, tmp_path
     # and the new mirror includes the late hour rewrites
     assert pipe2._mirror_current() != pipe._mirror_current() or True
     assert len(_pdf_any(pipe2.series_input())) >= len(pinned)
+
+
+def test_tags_pin_snapshots_and_survive_expire(spark, store):
+    """Iceberg-style tag refs: a named pin reads by name, survives expire
+    at any keep_last, and re-tagging/untagging is atomic."""
+    s1 = _write_snapshot(store, _mk(spark, [("a", 1, 10.0)]))
+    store.tag("audit-q1")  # defaults to current
+    s2 = _write_snapshot(store, _mk(spark, [("a", 1, 20.0)]))
+    s3 = _write_snapshot(store, _mk(spark, [("a", 1, 30.0)]))
+    assert store.tags() == {"audit-q1": s1}
+    assert store.resolve("audit-q1") == s1
+    assert _pdf(store.read(spark, as_of="audit-q1"), ["p", "k"])["v"].tolist() == [10.0]
+
+    # expire keeps the tagged snapshot; the untagged middle one dies
+    gone = store.expire(keep_last=1)
+    assert s2 in gone and s1 not in gone and s3 not in gone
+    assert _pdf(store.read(spark, as_of="audit-q1"), ["p", "k"])["v"].tolist() == [10.0]
+    with pytest.raises(SnapshotError):
+        store.read(spark, as_of=s2)
+
+    # re-tag moves the pin atomically; untag releases it for GC
+    store.tag("audit-q1", s3)
+    assert store.resolve("audit-q1") == s3
+    store.tag("last-good", s1)
+    store.untag("last-good")
+    assert store.expire(keep_last=1) == [s1]
+    with pytest.raises(SnapshotError):
+        store.untag("last-good")
+    with pytest.raises(SnapshotError):
+        store.tag("bad/name")
+    with pytest.raises(SnapshotError):
+        store.tag("ok-name", "no-such-snapshot")
+    with pytest.raises(SnapshotError):
+        store.resolve("neither-tag-nor-id")

@@ -122,17 +122,28 @@ class TierEngine:
 
     # -- SQL over the tiers -----------------------------------------------------
 
-    def register_views(self, prefix: str = "tiers") -> list[str]:
-        """Expose each tier as `<prefix>_<tier>` temp views for spark.sql."""
+    def register_views(
+        self, prefix: str = "tiers", run_id: str | None = None
+    ) -> list[str]:
+        """Expose each tier as `<prefix>_<tier>` temp views for spark.sql.
+        With `run_id` (snapshot mode), every view is pinned to that sealed
+        run's barrier snapshots — time-travel SQL over a mutually
+        consistent cross-table state, immune to later runs/retention."""
+        tiers = (
+            {t: d for t, d in self.pipeline.read_consistent(run_id).items()
+             if t in self.TIERS}
+            if run_id is not None
+            else {t: self.tier(t) for t in self.TIERS}
+        )
         names = []
-        for t in self.TIERS:
+        for t, df in tiers.items():
             name = f"{prefix}_{t}"
-            self.tier(t).createOrReplaceTempView(name)
+            df.createOrReplaceTempView(name)
             names.append(name)
         return names
 
-    def sql(self, query: str) -> DataFrame:
-        self.register_views()
+    def sql(self, query: str, run_id: str | None = None) -> DataFrame:
+        self.register_views(run_id=run_id)
         return self.spark.sql(query)
 
     # -- snapshot-keyed result reuse ---------------------------------------------

@@ -71,6 +71,9 @@ def main():
                     help="comma list of conv_ids to erase (right-to-be-"
                          "forgotten): tombstoned before the run so the "
                          "re-roll + sweep remove them from every table")
+    ap.add_argument("--replicate-to", default=None,
+                    help="replica root to sync after the run (requires "
+                         "--snapshots): ships only the partition diff")
     args = ap.parse_args()
 
     from engine.session import get_spark
@@ -165,6 +168,15 @@ def main():
         days = droppable_hourly_days(pipe, older_than=args.retention_before)
         dropped = drop_hourly_partitions(pipe, days, run_id=result["run_id"])
         result["retention_dropped"] = dropped
+
+    if args.replicate_to:
+        from engine.replicate import Replica
+
+        sync = Replica(spark, pipe, args.replicate_to).sync()
+        result["replicated"] = {
+            t: {"mode": s["mode"], "shipped": len(s["copied"])}
+            for t, s in sync.items()
+        }
 
     pipe.register_views()
     result["monthly_rows"] = spark.table("tiers_monthly").count()

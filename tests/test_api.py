@@ -127,3 +127,24 @@ def test_engine_forget_front_door(spark, tmp_path):
     assert all(v == 0 for v in eng.forgotten_leftovers().values())
     for tier in ("hourly", "daily", "monthly"):
         assert eng.tier(tier).filter(F.col("conv_id").isin(doomed)).count() == 0
+
+
+def test_time_travel_sql_pins_a_sealed_run(spark, tmp_path):
+    from engine.synth import synth_transcripts
+
+    t0 = synth_transcripts(spark, n_convs=10, hot_turns=80).localCheckpoint()
+    eng = TierEngine(spark, str(tmp_path / "tt"), snapshots=True, fill_tiers=False)
+    eng.run(t0, run_id="r1", stages=("hourly", "daily", "monthly"))
+    late = t0.selectExpr(
+        "conv_id", "cast(turn_idx + 100000 as int) as turn_idx",
+        "role", "text", "tool", "ts + interval 30 minutes as ts",
+    )
+    eng.run(t0.unionByName(late), run_id="r2", stages=("hourly", "daily", "monthly"))
+
+    q = "SELECT sum(n_turns) AS n FROM tiers_hourly"
+    n_r1 = eng.sql(q, run_id="r1").collect()[0]["n"]
+    n_r2 = eng.sql(q, run_id="r2").collect()[0]["n"]
+    n_cur = eng.sql(q).collect()[0]["n"]
+    assert n_r2 == n_cur == 2 * n_r1  # late batch doubled every turn count
+    # the pinned view survives later writes: re-query r1 after r2 exists
+    assert eng.sql(q, run_id="r1").collect()[0]["n"] == n_r1

@@ -61,12 +61,30 @@ class Manifest:
         self.spark = spark
         self.path = path
         os.makedirs(path, exist_ok=True)
+        self._cache: tuple[tuple[str, ...], DataFrame] | None = None
 
     def read(self) -> DataFrame:
-        files = [f for f in os.listdir(self.path) if f.endswith(".parquet")]
+        """The manifest as a LOCAL relation, memoized on the exact commit-
+        file set. A run consults the manifest ~a dozen times (pending /
+        stale / retention / frozen checks per stage); as a directory scan
+        each consult is its own small Spark job — at metadata scale that
+        overhead dominates a no-op resume. Reading the (tiny, immutable)
+        commit files driver-side once per file-set makes every consult a
+        broadcastable local relation, and the key invalidates on any new
+        commit — including one from another process."""
+        files = tuple(
+            sorted(f for f in os.listdir(self.path) if f.endswith(".parquet"))
+        )
         if not files:
             return self.spark.createDataFrame([], MANIFEST_SCHEMA)
-        return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
+        if self._cache is not None and self._cache[0] == files:
+            return self._cache[1]
+        table = pa.concat_tables(
+            [pq.read_table(os.path.join(self.path, f)) for f in files]
+        ).cast(_ARROW_SCHEMA)
+        df = self.spark.createDataFrame(table.to_pandas(), MANIFEST_SCHEMA)
+        self._cache = (files, df)
+        return df
 
     def committed_keys(self, stage: str) -> DataFrame:
         return (

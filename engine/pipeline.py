@@ -613,6 +613,82 @@ class TierPipeline:
         return snaps
 
     # -- stage driver --------------------------------------------------------
+    # -- changelog-pruned work manifests (snapshot mode) ---------------------
+    def _progress_file(self, stage: str) -> str:
+        return os.path.join(self.root, "_progress", f"{stage}.upstream")
+
+    def _reconciled(self, stage: str) -> tuple[str, str] | None:
+        try:
+            with open(self._progress_file(stage)) as f:
+                sid, _, token = f.read().strip().partition(" ")
+                return (sid, token) if sid else None
+        except FileNotFoundError:
+            return None
+
+    def _record_reconciled(self, stage: str, sid: str) -> None:
+        os.makedirs(os.path.dirname(self._progress_file(stage)), exist_ok=True)
+        p = self._progress_file(stage)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{sid} {self._day_token}")
+        os.replace(tmp, p)
+
+    def _changed_upstream_days(self, stage: str, upstream: str) -> list[str] | None:
+        """The O(changed)-not-O(table) resume scan (snapshot mode): day
+        values of `upstream` partitions added/rewritten since `stage` last
+        reconciled, from the snapshot changelog's inode inventory — no data
+        reads. Unchanged partitions are PROVABLY fingerprint-identical
+        (their files are the same inodes), so the work manifest only needs
+        to re-fingerprint the changed ones. Returns None when pruning is
+        unsound and the caller must fall back to the full scan: plain mode,
+        WAP (stages read staged snapshots, not the published diff base), no
+        pointer yet, pointer token drift (a state-column migration must
+        re-fingerprint everything), expired diff base (GC race), or a
+        rollback sentinel awaiting heal (its day may be bit-unchanged
+        upstream yet still must re-roll)."""
+        if not self.snapshots or self.wap:
+            return None
+        store = self._store(self.table_path(upstream))
+        cur = store.current_id()
+        if cur is None:
+            return None
+        rec = self._reconciled(stage)
+        if rec is None or rec[1] != self._day_token:
+            return None
+        sid = rec[0]
+        if not os.path.isdir(store.snapshot_path(sid)):
+            return None
+        latest = (
+            self.manifest.read()
+            .filter(F.col("stage") == stage)
+            .groupBy("partition_key")
+            .agg(F.max(F.struct("committed_at", "input_snapshot_id")).alias("_m"))
+            .filter(F.col("_m.input_snapshot_id") == self.ROLLED_BACK)
+            .limit(1)
+            .count()
+        )
+        if latest:
+            return None
+        if sid == cur:
+            return []
+        d = store.diff(sid, cur)
+        return sorted(
+            {p.split("=", 1)[1] for p in d["added"] + d["rewritten"]}
+        )
+
+    def _upstream_day_inventory(self, upstream: str) -> list[str]:
+        """Every day value present in `upstream`'s current snapshot — a
+        directory listing, no data reads; feeds stale detection when the
+        work manifest is pruned (absence from a pruned work manifest must
+        not read as deletion)."""
+        store = self._store(self.table_path(upstream))
+        snap = store.snapshot_path(store.current_id())
+        return sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(snap)
+            if os.path.isdir(os.path.join(snap, d))
+        )
+
     def _run_stage(
         self,
         stage: str,
@@ -623,6 +699,7 @@ class TierPipeline:
         partition_cols: list[str],
         lineage: str,
         protect: set[str] | None = None,
+        inventory: list[str] | None = None,
     ) -> int:
         """Run one stage exactly once per pending partition.
 
@@ -636,7 +713,8 @@ class TierPipeline:
         """
         t0 = time.monotonic()
         self._drop_stale(
-            stage, run_id, work, out_path, partition_cols[0], lineage, protect
+            stage, run_id, work, out_path, partition_cols[0], lineage, protect,
+            inventory=inventory,
         )
         pending = pending_partitions(work, self.manifest, stage).collect()
         if not pending:
@@ -684,6 +762,7 @@ class TierPipeline:
         part: str,
         lineage: str,
         protect: set[str] | None = None,
+        inventory: list[str] | None = None,
     ) -> int:
         """Invalidate committed outputs whose input partitions vanished
         (ADVICE r2): a fully-deleted input day/month/conv_bucket produces no
@@ -693,7 +772,16 @@ class TierPipeline:
         Driver-side loop is bounded by partition count, never data.
         `protect` exempts keys deliberately absent from the work manifest
         (frozen months finalized by daily retention)."""
-        stale = stale_partitions(work, self.manifest, stage).collect()
+        keys = work
+        if inventory is not None:
+            # pruned work manifests omit unchanged partitions — absence
+            # must not read as deletion, so stale detection runs against
+            # the upstream's FULL key inventory (already-prefixed
+            # partition_key strings from a directory listing)
+            keys = self.spark.createDataFrame(
+                [(k,) for k in inventory], "partition_key string"
+            )
+        stale = stale_partitions(keys, self.manifest, stage).collect()
         if protect:
             stale = [r for r in stale if r["partition_key"] not in protect]
         if not stale:
@@ -1115,8 +1203,22 @@ class TierPipeline:
         # policy, not by data deletion, and their committed daily rollup is
         # exactly what retention preserves.
         hourly = observed_state(self.read_tier("hourly"))
+        changed_h = self._changed_upstream_days("daily", "hourly")
+        daily_inv = None
+        work_src = hourly
+        if changed_h is not None:
+            daily_inv = [
+                f"day={v}" for v in self._upstream_day_inventory("hourly")
+            ]
+            work_src = hourly.filter(
+                F.col("bucket_date").cast("string").isin(changed_h)
+            )
+            done["daily_scan"] = f"pruned:{len(changed_h)}/{len(daily_inv)}"
+        else:
+            done["daily_scan"] = "full"
         daily_work = work_manifest(
-            hourly, F.col("bucket_date").cast("string"), self._tier_hash_cols(), "day"
+            work_src, F.col("bucket_date").cast("string"),
+            self._tier_hash_cols(), "day",
         )
         retained_days = self._retention_dropped("hourly")
 
@@ -1134,7 +1236,12 @@ class TierPipeline:
             "daily", run_id, daily_work, build_daily,
             self.tier_path("daily"), ["bucket_date"], "hourly",
             protect=retained_days,
+            inventory=daily_inv,
         )
+        if self.snapshots and not self.wap:
+            cur_h = self._store(self.table_path("hourly")).current_id()
+            if cur_h is not None:
+                self._record_reconciled("daily", cur_h)
         if "monthly" not in stages:
             return self._finish_run(run_id, done)
 
@@ -1146,7 +1253,24 @@ class TierPipeline:
 
         daily = self.read_tier("daily")
         month_of = F.date_format("bucket_start", "yyyy-MM")
-        month_work = work_manifest(daily, month_of, self._tier_hash_cols(), "month")
+        changed_d = self._changed_upstream_days("monthly", "daily")
+        month_inv = None
+        month_src = daily
+        if changed_d is not None:
+            changed_months = sorted({d[:7] for d in changed_d})
+            month_inv = sorted(
+                {f"month={d[:7]}"
+                 for d in self._upstream_day_inventory("daily")}
+            )
+            month_src = daily.filter(month_of.isin(changed_months))
+            done["monthly_scan"] = (
+                f"pruned:{len(changed_months)}/{len(month_inv)}"
+            )
+        else:
+            done["monthly_scan"] = "full"
+        month_work = work_manifest(
+            month_src, month_of, self._tier_hash_cols(), "month"
+        )
         frozen = frozen_months(self.manifest)
         if frozen:
             pend_frozen = {
@@ -1178,7 +1302,12 @@ class TierPipeline:
             "monthly", run_id, month_work, build_monthly,
             self.tier_path("monthly"), ["bucket_month"], "daily",
             protect={f"month={m}" for m in frozen},
+            inventory=month_inv,
         )
+        if self.snapshots and not self.wap:
+            cur_d = self._store(self.table_path("daily")).current_id()
+            if cur_d is not None:
+                self._record_reconciled("monthly", cur_d)
         if "gapfill" not in stages:
             return self._finish_run(run_id, done)
 

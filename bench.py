@@ -280,13 +280,17 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     raw = spark.read.parquet(raw_path)
     fg_base = os.path.join(base, "bench_forget_base")
     shutil.rmtree(fg_base, ignore_errors=True)
-    TierPipeline(spark, fg_base, salted=True, lease=False).run(raw)
+    seed = TierPipeline(spark, fg_base, salted=True, snapshots=True, lease=False)
+    seed.run(raw)
+    seed.run(raw)  # arm the changelog-pruning pointers
 
     def lifecycle_trial(fn):
         troot = fg_base + "_trial"
         shutil.rmtree(troot, ignore_errors=True)
         shutil.copytree(fg_base, troot, copy_function=os.link)
-        pipe = TierPipeline(spark, troot, salted=True, lease=False)
+        pipe = TierPipeline(
+            spark, troot, salted=True, snapshots=True, lease=False
+        )
         return _timed(lambda: fn(pipe))[0]
 
     timings["resume_noop"] = min(

@@ -462,7 +462,9 @@ class TierPipeline:
         self._buffered_rows = []
         self._wap_active = False
 
-    def _finish_run(self, run_id: str, done: dict) -> dict:
+    def _finish_run(
+        self, run_id: str, done: dict, scans: dict | None = None
+    ) -> dict:
         """Seal a run. In snapshot mode, record each table's published
         snapshot id under stage='snapshot' — the cross-table consistency
         barrier: `read_consistent(run_id)` later pins EVERY table to the
@@ -506,7 +508,7 @@ class TierPipeline:
                     )
             if rows:
                 self.manifest.commit(rows)
-        return {"run_id": run_id, "stages": done}
+        return {"run_id": run_id, "stages": done, "scans": scans or {}}
 
     def run_snapshots(self, run_id: str | None = None) -> dict[str, str]:
         """table name -> snapshot id pinned at the end of `run_id` (default:
@@ -1142,6 +1144,7 @@ class TierPipeline:
             )
         t0 = t0.withColumn("bucket_date", F.to_date("ts"))
         done = {}
+        scans: dict[str, str] = {}
 
         # 1. raw -> hourly, keyed by day. The sketch spec is part of the
         # fingerprint: turning sketches on/off re-rolls each day exactly once.
@@ -1194,7 +1197,7 @@ class TierPipeline:
             self.tier_path("hourly"), self.hourly_partition_cols(), "raw",
         )
         if "daily" not in stages:
-            return self._finish_run(run_id, done)
+            return self._finish_run(run_id, done, scans)
 
         # 2. hourly -> daily, keyed by day (observed rows only: gap-filled
         # tier rows carry copied state and must not feed upward aggregation).
@@ -1213,9 +1216,9 @@ class TierPipeline:
             work_src = hourly.filter(
                 F.col("bucket_date").cast("string").isin(changed_h)
             )
-            done["daily_scan"] = f"pruned:{len(changed_h)}/{len(daily_inv)}"
+            scans["daily"] = f"pruned:{len(changed_h)}/{len(daily_inv)}"
         else:
-            done["daily_scan"] = "full"
+            scans["daily"] = "full"
         daily_work = work_manifest(
             work_src, F.col("bucket_date").cast("string"),
             self._tier_hash_cols(), "day",
@@ -1243,7 +1246,7 @@ class TierPipeline:
             if cur_h is not None:
                 self._record_reconciled("daily", cur_h)
         if "monthly" not in stages:
-            return self._finish_run(run_id, done)
+            return self._finish_run(run_id, done, scans)
 
         # 3. daily -> monthly, keyed by month. Months finalized by daily
         # retention are FROZEN: their daily days are gone, so a re-roll
@@ -1263,11 +1266,11 @@ class TierPipeline:
                  for d in self._upstream_day_inventory("daily")}
             )
             month_src = daily.filter(month_of.isin(changed_months))
-            done["monthly_scan"] = (
+            scans["monthly"] = (
                 f"pruned:{len(changed_months)}/{len(month_inv)}"
             )
         else:
-            done["monthly_scan"] = "full"
+            scans["monthly"] = "full"
         month_work = work_manifest(
             month_src, month_of, self._tier_hash_cols(), "month"
         )
@@ -1309,12 +1312,27 @@ class TierPipeline:
             if cur_d is not None:
                 self._record_reconciled("monthly", cur_d)
         if "gapfill" not in stages:
-            return self._finish_run(run_id, done)
+            return self._finish_run(run_id, done, scans)
 
         # 4. gap-fill, keyed by conv_bucket (series must stay whole;
         # observed rows only — the gapfill table derives its own fills).
         # In bucketed mode this is the conv_id-bucketed mirror: gapfill and
         # compress below then plan with zero Exchange (series_input).
+        # Series-stage short-circuit (snapshot mode): when the hourly
+        # snapshot is inode-identical to what BOTH series stages last
+        # reconciled, their full-bucket fingerprints cannot have changed
+        # and no stale transition is possible — skip the scan, the mirror
+        # touch, and both stages outright. (Per-bucket partial pruning is
+        # deliberately not attempted: a bucket's fingerprint spans its
+        # every day, and layout-1 hourly cannot dir-prune on conv_bucket.)
+        ch_g = self._changed_upstream_days("gapfill", "hourly")
+        ch_c = self._changed_upstream_days("compress", "hourly")
+        if ch_g == [] and ch_c == [] and "compress" in stages:
+            done["gapfill"] = 0
+            done["compress"] = 0
+            scans["series"] = "pruned-noop"
+            return self._finish_run(run_id, done, scans)
+        scans["series"] = "full"
         hourly = self.series_input(run_id)
         cb_work = work_manifest(
             hourly, F.col("conv_bucket").cast("string"), _STATE_HASH_COLS, "cb"
@@ -1332,8 +1350,12 @@ class TierPipeline:
             "gapfill", run_id, cb_work, build_gapfill,
             self.gapfill_path, ["conv_bucket"], "hourly",
         )
+        if self.snapshots and not self.wap:
+            cur_h = self._store(self.table_path("hourly")).current_id()
+            if cur_h is not None:
+                self._record_reconciled("gapfill", cur_h)
         if "compress" not in stages:
-            return self._finish_run(run_id, done)
+            return self._finish_run(run_id, done, scans)
 
         # 5. compress hourly series into chunk blobs, keyed by conv_bucket
         def build_compress(keys):
@@ -1347,8 +1369,12 @@ class TierPipeline:
             "compress", run_id, cb_work, build_compress,
             self.chunks_path, ["conv_bucket"], "hourly",
         )
+        if self.snapshots and not self.wap:
+            cur_h = self._store(self.table_path("hourly")).current_id()
+            if cur_h is not None:
+                self._record_reconciled("compress", cur_h)
 
-        return self._finish_run(run_id, done)
+        return self._finish_run(run_id, done, scans)
 
     # -- EP3: SQL over continuous aggregates ---------------------------------
     def register_views(self):

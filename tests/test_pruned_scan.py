@@ -34,13 +34,16 @@ def test_pruned_rescan_tracks_full_scan(spark, t0, tmp_path):
     pipe = TierPipeline(spark, str(tmp_path / "p"), snapshots=True)
     r1 = pipe.run(t0)
     # first run: no pointer yet -> full scan
-    assert r1["stages"]["daily_scan"] == "full"
+    assert r1["scans"]["daily"] == "full"
 
     # unchanged rerun: zero partitions re-fingerprinted, zero re-rolled
     r2 = pipe.run(t0)
-    assert r2["stages"]["daily_scan"].startswith("pruned:0/")
-    assert r2["stages"]["monthly_scan"].startswith("pruned:0/")
+    assert r2["scans"]["daily"].startswith("pruned:0/")
+    assert r2["scans"]["monthly"].startswith("pruned:0/")
     assert r2["stages"]["daily"] == 0 and r2["stages"]["monthly"] == 0
+    # series stages short-circuit without touching the hourly table at all
+    assert r2["scans"]["series"] == "pruned-noop"
+    assert r2["stages"]["gapfill"] == 0 and r2["stages"]["compress"] == 0
 
     # late data for one conversation: only its days re-fingerprint
     late = t0.filter("conv_id = 'conv-00000000'").selectExpr(
@@ -55,10 +58,13 @@ def test_pruned_rescan_tracks_full_scan(spark, t0, tmp_path):
         .count()
     )
     n_pruned, n_total = map(
-        int, r3["stages"]["daily_scan"].split(":")[1].split("/")
+        int, r3["scans"]["daily"].split(":")[1].split("/")
     )
     assert n_pruned == late_days and n_pruned < n_total
     assert r3["stages"]["daily"] == late_days
+    # data changed -> the series stages take the normal path again
+    assert r3["scans"]["series"] == "full"
+    assert r3["stages"]["gapfill"] > 0
 
     # pruned result == a never-pruned (plain-mode) pipeline, bit-exact
     ref = TierPipeline(spark, str(tmp_path / "ref"))
@@ -85,7 +91,7 @@ def test_pruned_stale_detection_still_drops_deleted_days(spark, tmp_path):
     )
     victim = days[len(days) // 2]
     r = pipe.run(t0.filter(F.to_date("ts").cast("string") != victim))
-    assert r["stages"]["daily_scan"].startswith("pruned:")
+    assert r["scans"]["daily"].startswith("pruned:")
     # the deleted day is sentinel-dropped at the daily stage, nothing else
     sent = (
         pipe.manifest.read()
@@ -114,11 +120,11 @@ def test_state_migration_breaks_the_pointer_token(spark, tmp_path):
     pipe.run(t0)
     migrated = TierPipeline(spark, root, snapshots=True, freq_cols=["role"])
     r = migrated.run(t0)
-    assert r["stages"]["daily_scan"] == "full"
+    assert r["scans"]["daily"] == "full"
     assert "role_freq" in migrated.read_tier("daily").columns
     # and pruning re-arms under the new token
     r2 = migrated.run(t0)
-    assert r2["stages"]["daily_scan"].startswith("pruned:0/")
+    assert r2["scans"]["daily"].startswith("pruned:0/")
 
 
 def test_rollback_and_gc_fall_back_to_full(spark, tmp_path):
@@ -133,9 +139,9 @@ def test_rollback_and_gc_fall_back_to_full(spark, tmp_path):
     pipe.rollback_run("r1")
     # rollback sentinels await healing: pruning is unsound, full scan
     r = pipe.run(t0.unionByName(late), run_id="r3")
-    assert r["stages"]["daily_scan"] == "full"
+    assert r["scans"]["daily"] == "full"
     r4 = pipe.run(t0.unionByName(late))
-    assert r4["stages"]["daily_scan"].startswith("pruned:0/")
+    assert r4["scans"]["daily"].startswith("pruned:0/")
 
     # GC the pointer's diff base -> full fallback, then re-arms
     from engine.retention import expire_snapshots
@@ -147,10 +153,10 @@ def test_rollback_and_gc_fall_back_to_full(spark, tmp_path):
     pipe2.run(t0, stages=("hourly",))
     expire_snapshots(pipe2, keep_last=1)  # h1 (the diff base) is GC'd
     r5 = pipe2.run(t0)
-    assert r5["stages"]["daily_scan"] == "full"
+    assert r5["scans"]["daily"] == "full"
     # correctness after the fallback: parity with a plain pipeline
     ref = TierPipeline(spark, str(tmp_path / "ref"))
     ref.run(t0)
     _tiers_equal(pipe2, ref, "daily")
     # and pruning re-arms on the next run
-    assert pipe2.run(t0)["stages"]["daily_scan"].startswith("pruned:0/")
+    assert pipe2.run(t0)["scans"]["daily"].startswith("pruned:0/")

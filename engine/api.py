@@ -187,6 +187,21 @@ class TierEngine:
 
         return leftover_conversations(self.pipeline)
 
+    # -- user-defined continuous aggregates (engine/cagg.py) --------------------
+
+    def cagg(self, path: str, *, keys, aggs, filter=None):  # noqa: A002
+        """Declare (or re-attach) a user-defined continuous aggregate:
+        group keys are SQL expressions over hourly-tier rows, aggregates
+        come from the mergeable algebra (sum/count/min/max/avg/
+        approx_distinct/first/last). `.refresh()` consumes the hourly
+        snapshot changelog — O(changed days); `.read()` serves the merged
+        view. A changed definition rebuilds once (spec-token migration)."""
+        from .cagg import ContinuousAggregate
+
+        return ContinuousAggregate(
+            self.pipeline, path, keys=keys, aggs=aggs, filter=filter
+        )
+
     # -- cross-root replication (engine/replicate.py) ---------------------------
 
     def replica(self, root: str):

@@ -1,0 +1,269 @@
+"""User-DEFINED continuous aggregates over the tier changelog.
+
+`IncrementalConvSummary` (engine/incremental.py) is one hard-coded
+materialized view; `ContinuousAggregate` is the general machine: the user
+declares GROUP KEYS (SQL expressions over hourly-tier rows) and AGGREGATES
+drawn from a mergeable algebra, and the engine maintains the result
+incrementally from the hourly snapshot changelog — the TimescaleDB
+"continuous aggregate" / Materialize "materialized view" feature, Spark-
+first.
+
+Why an algebra instead of arbitrary SQL: the partials table is keyed by
+(user keys, bucket_date) — the changelog's partition unit — so a refresh
+can replace re-rolled days wholesale and the serving view re-merges across
+days. That is only correct for aggregates that DECOMPOSE into
+(per-day partial, cross-day merge, finalize):
+
+    kind              partial state          merge            finalize
+    sum(x)            sum                    sum              id
+    count([x])        count                  sum              id
+    min/max(x)        min/max                min/max          id
+    avg(x)            (sum, count)           (sum, sum)       s / c
+    approx_distinct(x) HLL sketch            hll_union_agg    estimate
+    first(v, o)       min(struct(o, v))      min              .v
+    last(v, o)        max(struct(o, v))      max              .v
+
+first/last carry their order key in a struct so the lexicographic
+(o, v) min/max is deterministic even under order-key ties — the same
+carrier idea as the pipeline's firstlast tier state (engine/rollup.py
+firstlast_partial_aggs), but per user-defined view. Exact COUNT DISTINCT
+is deliberately NOT in the algebra (it does not merge across days);
+`approx_distinct` is its mergeable HLL stand-in.
+
+Refresh protocol (identical consume-pointer discipline as
+IncrementalConvSummary, plus spec versioning):
+
+1. the aggregate DEFINITION is hashed into `_SPEC`; a changed definition
+   (new key, new agg, changed filter) forces one full rebuild — schema
+   evolution as a spec-token change, mirroring the pipeline's
+   state-column migration idiom;
+2. snapshot diff (inode inventory, no data reads) names the changed days;
+3. partials for exactly those days are recomputed from partition-pruned
+   scans and dynamically overwritten; removed days' partials are dropped
+   (retention propagates downstream);
+4. the consumed snapshot id commits last (write-temp-rename, crash-safe:
+   a crash between overwrite and pointer re-consumes the same diff —
+   idempotent because day partials are replaced wholesale).
+
+Cost: O(changed days) per refresh, never O(history); an expired diff base
+(GC raced the consumer) degrades to one correct full rebuild.
+
+At 100 TB this is the serving pattern: dashboards and downstream jobs
+read small pre-merged views that track petabyte tiers by consuming a
+partition-level changelog, instead of re-scanning the store on a cron.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .rollup import HLL_LGK, observed_state
+from .snapstore import SnapshotError, SnapStore
+
+KINDS = ("sum", "count", "min", "max", "avg", "approx_distinct", "first", "last")
+
+
+class ContinuousAggregate:
+    """A named, incrementally-maintained grouped aggregate over the hourly
+    tier. `keys` is a dict {out_name: sql_expr} (or a list of plain column
+    names); `aggs` is {out_name: (kind, *args)} with kinds from KINDS;
+    `filter` is an optional SQL predicate applied to source rows (filled
+    gap rows are always excluded — aggregation inputs are observed-only).
+    """
+
+    def __init__(
+        self,
+        pipe,
+        path: str,
+        *,
+        keys,
+        aggs: dict,
+        filter: str | None = None,  # noqa: A002 - mirrors DataFrame.filter
+    ):
+        if not pipe.snapshots:
+            raise ValueError("continuous aggregate requires TierPipeline(snapshots=True)")
+        self.pipe = pipe
+        self.path = path
+        self.keys = {k: k for k in keys} if isinstance(keys, (list, tuple)) else dict(keys)
+        self.aggs = {k: tuple(v) for k, v in aggs.items()}
+        self.filter = filter
+        self._validate()
+        os.makedirs(path, exist_ok=True)
+
+    def _validate(self) -> None:
+        names = list(self.keys) + list(self.aggs)
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate output names: {sorted(names)}")
+        if "bucket_date" in names:
+            raise ValueError("'bucket_date' is reserved (the changelog partition unit)")
+        for name, spec in self.aggs.items():
+            kind = spec[0]
+            if kind not in KINDS:
+                raise ValueError(f"{name}: unknown agg kind {kind!r} (valid: {KINDS})")
+            need = {"count": (1, 2), "first": (3, 3), "last": (3, 3)}.get(kind, (2, 2))
+            if not (need[0] <= len(spec) <= need[1]):
+                raise ValueError(f"{name}: {kind} expects {need} spec fields, got {len(spec)}")
+
+    # -- spec versioning -------------------------------------------------
+    def spec_token(self) -> str:
+        blob = json.dumps(
+            {"keys": self.keys, "aggs": {k: list(v) for k, v in self.aggs.items()},
+             "filter": self.filter},
+            sort_keys=True,
+        )
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+    @property
+    def partials_path(self) -> str:
+        return os.path.join(self.path, "partials")
+
+    def _pointer(self, name: str) -> str | None:
+        try:
+            with open(os.path.join(self.path, name)) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def _record(self, name: str, value: str) -> None:
+        tmp = os.path.join(self.path, f".{name}.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(value)
+        os.replace(tmp, os.path.join(self.path, name))
+
+    # -- the algebra -----------------------------------------------------
+    def _partial_aggs(self) -> list:
+        out = []
+        for name, spec in self.aggs.items():
+            kind = spec[0]
+            if kind == "sum":
+                out.append(F.sum(F.expr(spec[1])).alias(name))
+            elif kind == "count":
+                e = F.count(F.expr(spec[1])) if len(spec) > 1 else F.count(F.lit(1))
+                out.append(e.alias(name))
+            elif kind in ("min", "max"):
+                out.append(getattr(F, kind)(F.expr(spec[1])).alias(name))
+            elif kind == "avg":
+                out.append(F.sum(F.expr(spec[1])).alias(f"{name}__s"))
+                out.append(F.count(F.expr(spec[1])).alias(f"{name}__c"))
+            elif kind == "approx_distinct":
+                out.append(
+                    F.hll_sketch_agg(F.expr(spec[1]), F.lit(HLL_LGK)).alias(name)
+                )
+            else:  # first / last: lexicographic (order, value) carrier struct
+                carrier = F.struct(
+                    F.expr(spec[2]).alias("o"), F.expr(spec[1]).alias("v")
+                )
+                fn = F.min if kind == "first" else F.max
+                out.append(fn(carrier).alias(name))
+        return out
+
+    def _merge_aggs(self) -> list:
+        out = []
+        for name, spec in self.aggs.items():
+            kind = spec[0]
+            if kind in ("sum", "count"):
+                out.append(F.sum(name).alias(name))
+            elif kind in ("min", "first"):
+                out.append(F.min(name).alias(name))
+            elif kind in ("max", "last"):
+                out.append(F.max(name).alias(name))
+            elif kind == "avg":
+                out.append(F.sum(f"{name}__s").alias(f"{name}__s"))
+                out.append(F.sum(f"{name}__c").alias(f"{name}__c"))
+            else:  # approx_distinct
+                out.append(F.hll_union_agg(name).alias(name))
+        return out
+
+    def _finalize(self, merged: DataFrame) -> DataFrame:
+        cols = [F.col(k) for k in self.keys]
+        for name, spec in self.aggs.items():
+            kind = spec[0]
+            if kind == "avg":
+                cols.append(
+                    (F.col(f"{name}__s").cast("double") / F.col(f"{name}__c").cast("double"))
+                    .alias(name)
+                )
+            elif kind == "approx_distinct":
+                cols.append(F.hll_sketch_estimate(name).alias(name))
+            elif kind in ("first", "last"):
+                cols.append(F.col(name)["v"].alias(name))
+            else:
+                cols.append(F.col(name))
+        return merged.select(*cols)
+
+    # -- refresh ---------------------------------------------------------
+    def _source(self, store: SnapStore, sid: str) -> DataFrame:
+        df = observed_state(store.read(self.pipe.spark, as_of=sid))
+        if self.filter:
+            df = df.filter(self.filter)
+        return df
+
+    def _day_partials(self, src: DataFrame, days: list[str] | None) -> DataFrame:
+        if days is not None:
+            src = src.filter(F.col("bucket_date").cast("string").isin(days))
+        keyed = src.withColumns({k: F.expr(e) for k, e in self.keys.items()})
+        return keyed.groupBy(
+            *self.keys, F.col("bucket_date").cast("string").alias("bucket_date")
+        ).agg(*self._partial_aggs())
+
+    def refresh(self) -> dict:
+        """Consume the hourly changelog up to the published snapshot.
+        Returns {'mode': 'full'|'incremental'|'noop', 'days': [...]}."""
+        store = SnapStore(self.pipe.tier_path("hourly"))
+        current = store.current_id()
+        if current is None:
+            raise SnapshotError("hourly tier has no published snapshot")
+        consumed = self._pointer("_CONSUMED")
+        spec_now, spec_then = self.spec_token(), self._pointer("_SPEC")
+        if consumed == current and spec_then == spec_now:
+            return {"mode": "noop", "days": []}
+        if (
+            consumed is None
+            or spec_then != spec_now
+            or not os.path.isdir(store.snapshot_path(consumed))
+        ):
+            # first build, spec evolution, or GC expired the diff base
+            (
+                self._day_partials(self._source(store, current), None)
+                .write.partitionBy("bucket_date")
+                .mode("overwrite")
+                .parquet(self.partials_path)
+            )
+            self._record("_SPEC", spec_now)
+            self._record("_CONSUMED", current)
+            return {"mode": "full", "days": []}
+        d = store.diff(consumed, current)
+        # layout-agnostic: top-level partition dirs are bucket_date=D in
+        # both the flat and the day/conv_bucket evolved layout
+        changed = sorted(p.split("=", 1)[1] for p in d["added"] + d["rewritten"])
+        if changed:
+            (
+                self._day_partials(self._source(store, current), changed)
+                .write.option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket_date")
+                .mode("overwrite")
+                .parquet(self.partials_path)
+            )
+        for p in d["removed"]:
+            day = p.split("=", 1)[1]
+            shutil.rmtree(
+                os.path.join(self.partials_path, f"bucket_date={day}"),
+                ignore_errors=True,
+            )
+        self._record("_CONSUMED", current)
+        return {"mode": "incremental", "days": changed, "removed": len(d["removed"])}
+
+    # -- serving ---------------------------------------------------------
+    def read(self) -> DataFrame:
+        """The serving view: user keys + finalized aggregates, merged from
+        day partials (one small groupBy over the partials table — O(view
+        rows), never O(tier history))."""
+        p = self.pipe.spark.read.parquet(self.partials_path)
+        return self._finalize(p.groupBy(*self.keys).agg(*self._merge_aggs()))

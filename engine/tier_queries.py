@@ -1204,3 +1204,62 @@ def tier_monthly_after_forget(spark, sf_dir):
         pipe, ["conv-00000007", "conv-00000019"], t0=t0
     )
     return erollup.tier_view(pipe.read_tier("monthly"), "monthly")
+
+
+_CAGG_SQL = """
+SELECT CAST(date_trunc('week', bucket_start) AS TIMESTAMP) AS week,
+       substr(conv_id, length(conv_id), 1) AS cohort,
+       CAST(SUM(n_turns) AS BIGINT) AS turns,
+       COUNT(*) AS hours,
+       MIN(token_min) AS min_tok,
+       MAX(n_turns) AS peak,
+       CAST(SUM(n_turns) AS DOUBLE) / CAST(COUNT(n_turns) AS DOUBLE) AS avg_turns,
+       CAST(MIN(bucket_start) AS TIMESTAMP) AS first_bucket,
+       (MAX({'o': bucket_start, 'v': token_max})).v AS last_max
+FROM hourly
+GROUP BY 1, 2
+"""
+
+
+@register("cagg_weekly_cohort", _TIER_CTE + _CAGG_SQL)
+def cagg_weekly_cohort(spark, sf_dir):
+    """User-DEFINED continuous aggregate (engine/cagg.py) under the hash
+    gate: a declared (week, cohort) view with every exact algebra kind
+    (sum/count/min/max/avg/first/last), built INCREMENTALLY — half the
+    conversations ingested and consumed first, then the rest arrive and a
+    second refresh consumes only the changelog — must equal the oracle
+    computed on the full input in one pass. The first/last kinds carry
+    lexicographic (order, value) structs so order-key ties are
+    deterministic on both engines."""
+    import tempfile
+
+    from .cagg import ContinuousAggregate
+    from .pipeline import TierPipeline
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    pipe = TierPipeline(
+        spark, tempfile.mkdtemp(prefix="tier-cagg-"),
+        snapshots=True, fill_tiers=False,
+    )
+    pipe.run(
+        t0.filter("substr(conv_id, length(conv_id), 1) < '5'"),
+        stages=("hourly",),
+    )
+    cagg = ContinuousAggregate(
+        pipe, tempfile.mkdtemp(prefix="cagg-view-"),
+        keys={"week": "date_trunc('week', bucket_start)",
+              "cohort": "substr(conv_id, length(conv_id), 1)"},
+        aggs={
+            "turns": ("sum", "n_turns"),
+            "hours": ("count",),
+            "min_tok": ("min", "token_min"),
+            "peak": ("max", "n_turns"),
+            "avg_turns": ("avg", "n_turns"),
+            "first_bucket": ("first", "bucket_start", "bucket_start"),
+            "last_max": ("last", "token_max", "bucket_start"),
+        },
+    )
+    cagg.refresh()
+    pipe.run(t0, stages=("hourly",))
+    cagg.refresh()
+    return cagg.read()

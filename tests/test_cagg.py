@@ -1,0 +1,194 @@
+"""User-defined continuous aggregates (engine/cagg.py): the declared view
+tracks a full recompute under incremental refreshes, prunes to exactly the
+changed days, propagates retention, rebuilds on spec evolution or an
+expired diff base, and every algebra kind (sum/count/min/max/avg/
+approx_distinct/first/last) matches a direct computation on the source."""
+
+import sys
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from engine.cagg import ContinuousAggregate  # noqa: E402
+from engine.pipeline import TierPipeline  # noqa: E402
+from engine.rollup import observed_state  # noqa: E402
+from engine.synth import synth_transcripts  # noqa: E402
+
+KEYS = {"week": "date_trunc('week', bucket_start)",
+        "cohort": "substr(conv_id, length(conv_id), 1)"}
+AGGS = {
+    "turns": ("sum", "n_turns"),
+    "rows": ("count",),
+    "tok_rows": ("count", "token_min"),
+    "min_tok": ("min", "token_min"),
+    "peak": ("max", "n_turns"),
+    "avg_turns": ("avg", "n_turns"),
+    "first_bucket": ("first", "bucket_start", "bucket_start"),
+    "last_max": ("last", "token_max", "bucket_start"),
+}
+
+
+@pytest.fixture(scope="module")
+def t0(spark):
+    df = synth_transcripts(spark, n_convs=24, hot_turns=120)
+    df.cache().count()
+    return df
+
+
+def _direct(pipe, filter_expr=None):
+    """The same view computed directly on the hourly tier (no partials)."""
+    h = observed_state(pipe.read_tier("hourly"))
+    if filter_expr:
+        h = h.filter(filter_expr)
+    keyed = h.withColumns({k: F.expr(e) for k, e in KEYS.items()})
+    got = keyed.groupBy(*KEYS).agg(
+        F.sum("n_turns").alias("turns"),
+        F.count(F.lit(1)).alias("rows"),
+        F.count("token_min").alias("tok_rows"),
+        F.min("token_min").alias("min_tok"),
+        F.max("n_turns").alias("peak"),
+        (F.sum("n_turns").cast("double") / F.count("n_turns").cast("double")).alias("avg_turns"),
+        F.min(F.struct(F.col("bucket_start").alias("o"),
+                       F.col("bucket_start").alias("v")))["v"].alias("first_bucket"),
+        F.max(F.struct(F.col("bucket_start").alias("o"),
+                       F.col("token_max").alias("v")))["v"].alias("last_max"),
+    )
+    return got.toPandas().sort_values(list(KEYS), ignore_index=True)
+
+
+def _got(cagg):
+    df = cagg.read().toPandas().sort_values(list(KEYS), ignore_index=True)
+    return df
+
+
+def test_cagg_tracks_full_recompute_and_prunes_days(spark, t0, tmp_path):
+    all_days = sorted(
+        str(x["d"]) for x in t0.selectExpr("to_date(ts) as d").distinct().collect()
+    )
+    assert len(all_days) >= 2, "fixture must span multiple days"
+    split = all_days[len(all_days) // 2]
+
+    pipe = TierPipeline(spark, str(tmp_path / "p"), snapshots=True)
+    early = t0.filter(F.to_date("ts") < F.lit(split))
+    pipe.run(early, stages=("hourly",))
+    cagg = ContinuousAggregate(pipe, str(tmp_path / "v"), keys=KEYS, aggs=AGGS)
+    assert cagg.refresh()["mode"] == "full"
+    pd.testing.assert_frame_equal(_got(cagg)[_direct(pipe).columns], _direct(pipe))
+    assert cagg.refresh()["mode"] == "noop"
+
+    # the rest of the data arrives: only the NEW days may be consumed —
+    # never the whole history
+    pipe.run(t0, stages=("hourly",))
+    r = cagg.refresh()
+    assert r["mode"] == "incremental" and r["days"]
+    late_days = {d for d in all_days if d >= split}
+    assert set(r["days"]) <= late_days
+    assert len(r["days"]) < len(all_days)
+    pd.testing.assert_frame_equal(_got(cagg)[_direct(pipe).columns], _direct(pipe))
+
+
+def test_cagg_matches_fresh_full_rebuild(spark, t0, tmp_path):
+    pipe = TierPipeline(spark, str(tmp_path / "p"), snapshots=True)
+    pipe.run(t0, stages=("hourly",))
+    inc = ContinuousAggregate(pipe, str(tmp_path / "inc"), keys=KEYS, aggs=AGGS)
+    inc.refresh()
+    fresh = ContinuousAggregate(pipe, str(tmp_path / "fresh"), keys=KEYS, aggs=AGGS)
+    assert fresh.refresh()["mode"] == "full"
+    pd.testing.assert_frame_equal(_got(inc), _got(fresh))
+
+
+def test_cagg_filter_and_approx_distinct(spark, t0, tmp_path):
+    pipe = TierPipeline(spark, str(tmp_path / "p"), snapshots=True)
+    pipe.run(t0, stages=("hourly",))
+    cagg = ContinuousAggregate(
+        pipe, str(tmp_path / "v"),
+        keys=["conv_id"],
+        aggs={"utok": ("approx_distinct", "token_min"),
+              "turns": ("sum", "n_turns")},
+        filter="n_turns > 1",
+    )
+    cagg.refresh()
+    got = _got_by(cagg, "conv_id")
+    h = observed_state(pipe.read_tier("hourly")).filter("n_turns > 1")
+    want = (
+        h.groupBy("conv_id")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("token_min", F.lit(12))).alias("utok"),
+            F.sum("n_turns").alias("turns"),
+        )
+        .toPandas().sort_values("conv_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def _got_by(cagg, *keys):
+    return cagg.read().toPandas().sort_values(list(keys), ignore_index=True)
+
+
+def test_cagg_spec_evolution_forces_full_rebuild(spark, t0, tmp_path):
+    pipe = TierPipeline(spark, str(tmp_path / "p"), snapshots=True)
+    pipe.run(t0, stages=("hourly",))
+    path = str(tmp_path / "v")
+    v1 = ContinuousAggregate(pipe, path, keys=["conv_id"],
+                             aggs={"turns": ("sum", "n_turns")})
+    assert v1.refresh()["mode"] == "full"
+    assert v1.refresh()["mode"] == "noop"
+    # same path, evolved definition: the stored spec token mismatches and
+    # the next refresh is a full rebuild under the new spec
+    v2 = ContinuousAggregate(pipe, path, keys=["conv_id"],
+                             aggs={"turns": ("sum", "n_turns"),
+                                   "peak": ("max", "n_turns")})
+    assert v2.refresh()["mode"] == "full"
+    assert "peak" in _got_by(v2, "conv_id").columns
+    assert v2.refresh()["mode"] == "noop"
+
+
+def test_cagg_retention_propagates_and_gc_degrades_to_full(spark, t0, tmp_path):
+    from engine.retention import (
+        drop_hourly_partitions,
+        droppable_hourly_days,
+        expire_snapshots,
+    )
+
+    pipe = TierPipeline(spark, str(tmp_path / "p"), snapshots=True)
+    pipe.run(t0)
+    cagg = ContinuousAggregate(pipe, str(tmp_path / "v"), keys=KEYS, aggs=AGGS)
+    cagg.refresh()
+    days = droppable_hourly_days(pipe, "9999-12-31")
+    drop_hourly_partitions(pipe, days[:2], run_id="ret")
+    r = cagg.refresh()
+    assert r["mode"] == "incremental" and r["removed"] == 2
+    pd.testing.assert_frame_equal(_got(cagg)[_direct(pipe).columns], _direct(pipe))
+
+    late = t0.filter("conv_id = 'conv-00000001'").selectExpr(
+        "conv_id", "cast(turn_idx + 200000 as int) as turn_idx",
+        "role", "text", "tool", "ts + interval 45 minutes as ts",
+    )
+    pipe.run(t0.unionByName(late))
+    expire_snapshots(pipe, keep_last=1)
+    r2 = cagg.refresh()
+    assert r2["mode"] == "full"
+    pd.testing.assert_frame_equal(_got(cagg)[_direct(pipe).columns], _direct(pipe))
+
+
+def test_cagg_validation():
+    class _FakePipe:
+        snapshots = True
+
+    with pytest.raises(ValueError, match="reserved"):
+        ContinuousAggregate(_FakePipe(), "/tmp/x", keys=["bucket_date"],
+                            aggs={"n": ("count",)})
+    with pytest.raises(ValueError, match="unknown agg kind"):
+        ContinuousAggregate(_FakePipe(), "/tmp/x", keys=["conv_id"],
+                            aggs={"n": ("median", "x")})
+    with pytest.raises(ValueError, match="duplicate"):
+        ContinuousAggregate(_FakePipe(), "/tmp/x", keys=["conv_id"],
+                            aggs={"conv_id": ("count",)})
+    with pytest.raises(ValueError, match="spec fields"):
+        ContinuousAggregate(_FakePipe(), "/tmp/x", keys=["conv_id"],
+                            aggs={"f": ("first", "v")})

@@ -69,8 +69,9 @@ class TierPipeline:
         self,
         spark: SparkSession,
         root: str,
-        salted: bool = False,
+        salted: bool | str = False,
         n_salts: int = 16,
+        auto_salt_opts: dict | None = None,
         fill_method: str = "locf",
         fill_tiers: bool = True,
         bucketed: bool = False,
@@ -91,7 +92,12 @@ class TierPipeline:
     ):
         self.spark = spark
         self.root = root
+        if salted not in (True, False, "auto"):
+            raise ValueError("salted must be True, False, or 'auto'")
         self.salted = salted
+        #: choose_salted() thresholds for salted='auto' (ratio_threshold,
+        #: min_hot_rows, frac, seed) — defaults are the production sizing
+        self.auto_salt_opts = dict(auto_salt_opts or {})
         self.n_salts = n_salts
         self.fill_method = fill_method
         #: write flagged intra-day LOCF rows into the hourly tier
@@ -1159,6 +1165,18 @@ class TierPipeline:
         def build_hourly(keys):
             days = [k.split("=", 1)[1] for k in keys]
             inp = t0.filter(F.col("bucket_date").cast("string").isin(days))
+            salted = self.salted
+            if salted == "auto":
+                # measurement-driven dispatch (engine/autoskew.py): both
+                # paths are bit-identical, so the decision never enters a
+                # fingerprint — only cost is at stake. Reported per run.
+                from .autoskew import choose_salted
+
+                salted, st = choose_salted(inp, **self.auto_salt_opts)
+                scans["salt_auto"] = (
+                    f"{'salted' if salted else 'plain'}"
+                    f" ratio={st['ratio']:.1f} hot_est={st['hot_est']}"
+                )
             roll = (
                 rollup_hourly_salted(
                     inp,
@@ -1171,7 +1189,7 @@ class TierPipeline:
                     freq_cols=self.freq_cols,
                     hh_cols=self.hh_cols,
                 )
-                if self.salted
+                if salted
                 else rollup_hourly(
                     inp,
                     sketch_cols=self.sketch_cols,

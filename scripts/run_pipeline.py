@@ -28,7 +28,14 @@ def main():
     ap.add_argument("--synthetic", type=int, default=None,
                     help="generate ~N synthetic turns instead of --input")
     ap.add_argument("--root", required=True, help="tier-store root")
-    ap.add_argument("--salted", action="store_true", default=True)
+    ap.add_argument(
+        "--salted",
+        nargs="?",
+        const=True,
+        default=True,
+        type=lambda v: v if v == "auto" else v.lower() in ("1", "true", "yes"),
+        help="true | false | auto (auto = per-run skew probe decides)",
+    )
     ap.add_argument("--fill-method", default="locf", choices=["locf", "linear"])
     ap.add_argument("--master", default=None)
     ap.add_argument("--retention-before", default=None,

@@ -356,6 +356,36 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         merge_trial() for _ in range(BENCH_STAGE_TRIALS)
     )
 
+    # point lookup (L11): per-file min/max+Bloom index over the forget-bench
+    # root's built hourly tier. `fileindex_build` is the one-pass distributed
+    # build; the timed pair proves the drill-down reads candidate files only
+    # vs the full-scan filter counterfactual. Pruning counts land in the
+    # JSON so a candidate-explosion regression surfaces numerically.
+    from engine.fileindex import FileIndex
+
+    tier_dir = seed.tier_data_path("hourly")
+    pidx_root = os.path.join(base, "bench_pointidx")
+    shutil.rmtree(pidx_root, ignore_errors=True)
+    fi = FileIndex(spark, tier_dir, pidx_root, key="conv_id")
+    timings["fileindex_build"] = _timed(fi.refresh)[0]
+    probe = "conv-00002500"
+    point_stats = {
+        "files": fi.stats()["files"],
+        "candidates": len(fi.candidates(probe)),
+    }
+    timings["point_lookup_indexed"] = min(
+        _timed(lambda: fi.read_point(probe).count())[0]
+        for _ in range(BENCH_STAGE_TRIALS)
+    )
+    timings["point_lookup_scan"] = min(
+        _timed(
+            lambda: seed.read_tier("hourly")
+            .filter(F.col("conv_id") == probe)
+            .count()
+        )[0]
+        for _ in range(BENCH_STAGE_TRIALS)
+    )
+
     total = sum(timings.values())
     return {
         "metric": "headline_queries_total_wall",
@@ -367,6 +397,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "turns_per_sec_rollup": round(n_turns / timings["pipeline_rollup_monthly"]),
         "cpus": cpus,
         "neardup_stress": stress_stats,
+        "point_lookup": point_stats,
     }
 
 

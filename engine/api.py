@@ -204,6 +204,32 @@ class TierEngine:
 
     # -- cross-root replication (engine/replicate.py) ---------------------------
 
+    def point_index(self, tier: str = "hourly", key: str = "conv_id", **kw):
+        """File-skipping index (engine/fileindex.py) over a tier's current
+        files, persisted under the root; call .refresh() after runs (cheap:
+        only new/rewritten files index — snapshot hardlinks keep unchanged
+        partitions' identity)."""
+        from .fileindex import FileIndex
+
+        return FileIndex(
+            self.spark,
+            self.pipeline.tier_data_path(tier),
+            f"{self.root}/_pointidx/{tier}-{key}",
+            key,
+            **kw,
+        )
+
+    def conversation(
+        self, conv_id: str, tier: str = "hourly", refresh: bool = True
+    ) -> DataFrame:
+        """One conversation's tier series WITHOUT scanning the tier: the
+        point index prunes to candidate files (min/max + Bloom), the exact
+        predicate re-applies on read — the needle-in-100TB drill-down."""
+        idx = self.point_index(tier)
+        if refresh:
+            idx.refresh()
+        return idx.read_point(conv_id)
+
     def replica(self, root: str):
         """A pull-based replica of this (snapshot-mode) engine's tables at
         `root`: `.sync()` ships partition diffs only, `.read(table)` serves

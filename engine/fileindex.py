@@ -318,13 +318,12 @@ class FileIndex:
         The final filter re-applies the predicate, so the result is exact
         regardless of Bloom false positives."""
         cands = self.candidates(value)
-        full = self.spark.read.parquet(self.table_path)
         if not cands:
-            return full.where(F.lit(False))
+            # only the empty case pays a full-table schema listing
+            return self.spark.read.parquet(self.table_path).where(F.lit(False))
         return (
             self.spark.read.option("basePath", self._base)
             .parquet(*[os.path.join(self._base, c) for c in cands])
-            .select(*full.columns)
             .filter(F.col(self.key) == F.lit(value))
         )
 
@@ -334,13 +333,11 @@ class FileIndex:
         idx_cands: set[str] = set()
         for v in values:
             idx_cands.update(self.candidates(v))
-        full = self.spark.read.parquet(self.table_path)
         if not idx_cands:
-            return full.where(F.lit(False))
+            return self.spark.read.parquet(self.table_path).where(F.lit(False))
         return (
             self.spark.read.option("basePath", self._base)
             .parquet(*[os.path.join(self._base, c) for c in sorted(idx_cands)])
-            .select(*full.columns)
             .filter(F.col(self.key).isin(values))
         )
 

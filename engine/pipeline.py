@@ -337,6 +337,23 @@ class TierPipeline:
         """Snapshot-aware read of any pipeline table by logical name."""
         return self._read_path(self.table_path(name))
 
+    def tier_data_path(self, tier: str) -> str:
+        """The concrete directory holding the tier's CURRENT files — the
+        published snapshot dir in snapshot mode, the tier dir otherwise.
+        This is the anchor a FileIndex (engine/fileindex.py) indexes:
+        snapshot flips keep relpaths and hardlinked (size, mtime) identity,
+        so unchanged partitions' index rows survive pointer advances."""
+        p = self.tier_path(tier)
+        if not self.snapshots:
+            return p
+        store = self._store(p)
+        cur = store.current_id()
+        if cur is None:
+            from .snapstore import SnapshotError
+
+            raise SnapshotError(f"{p}: no published snapshot to index")
+        return store.snapshot_path(cur)
+
     def read_tier(self, tier: str) -> DataFrame:
         if self.snapshots:
             # snapshot commits are atomic pointer flips — nothing to heal

@@ -185,3 +185,48 @@ def test_integer_key_minmax_pruning(spark, tmp_path):
         )
         assert got == want and len(got) == 10
     assert len(idx.candidates(9)) < idx.stats()["files"]
+
+
+def test_engine_conversation_drilldown(spark, tmp_path):
+    """Facade integration: eng.conversation() serves one conv's hourly
+    series through the point index, exactly matching the tier filter; a
+    second run's snapshot flip reuses unchanged partitions' index rows
+    (hardlink identity survives the pointer advance)."""
+    from engine.api import TierEngine
+    from engine.rollup import observed_state
+
+    eng = TierEngine(spark, str(tmp_path / "root"), snapshots=True, lease=False)
+    t0 = synth_transcripts(spark, n_convs=40, hot_turns=150)
+    eng.run(t0)
+    conv = t0.select("conv_id").first()[0]
+    got = sorted(map(tuple, eng.conversation(conv).collect()))
+    want = sorted(
+        map(
+            tuple,
+            eng.tier("hourly").filter(F.col("conv_id") == conv).collect(),
+        )
+    )
+    assert got == want and got
+
+    # a second batch (new day) flips the snapshot; refresh must reuse the
+    # untouched partitions' rows and the drill-down stays exact
+    idx0 = eng.point_index()
+    idx0.refresh()
+    extra = synth_transcripts(spark, n_convs=6, hot_turns=60).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 400 DAYS")
+    )
+    eng.run(t0.unionByName(extra))
+    idx1 = eng.point_index()
+    st = idx1.refresh()
+    assert st["reused"] > 0  # hardlinked old partitions kept their identity
+    got2 = sorted(map(tuple, eng.conversation(conv, refresh=False).collect()))
+    want2 = sorted(
+        map(
+            tuple,
+            eng.tier("hourly").filter(F.col("conv_id") == conv).collect(),
+        )
+    )
+    assert got2 == want2
+    # pruning across the whole store: candidates ≪ files for a tail conv
+    tail = extra.select("conv_id").first()[0]
+    assert len(idx1.candidates(tail)) < idx1.stats()["files"]

@@ -1055,3 +1055,113 @@ def holt_linear_user_values(spark, sf_dir):
             " level double, trend double, forecast_next double",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M41: lead-lag detection — lagged cross-correlation from the hourly tier
+# ---------------------------------------------------------------------------
+
+
+def lagged_cross_corr(
+    hourly, key_cols: list[str], hidx_col: str, a_col: str, b_col: str,
+    lags: list[int],
+):
+    """Pearson correlation between a(t) and b(t+lag) per candidate lag —
+    "does metric a LEAD metric b, and by how many hours?".
+
+    Scale shape: the input is the HOURLY AGGREGATE (tier-sized, |keys|×
+    hours rows — never raw turns); each lag is one equi-join of that
+    aggregate with itself on (key, hidx+lag), fanned out by exploding the
+    small literal lag set on the left side (|lags| copies of tier rows,
+    one shuffle). State per lag is 6 exact integers (n, Σa, Σb, Σa², Σb²,
+    Σab) so the finalize is ONE float expression with the engine's
+    standard IEEE op order; zero-variance lags are excluded by the same
+    expression both sides (the tier_corr convention)."""
+    left = hourly.select(
+        *key_cols,
+        F.col(hidx_col).alias("_h"),
+        F.col(a_col).cast("long").alias("_a"),
+    ).withColumn("lag", F.explode(F.array(*[F.lit(int(x)) for x in lags])))
+    right = hourly.select(
+        *key_cols,
+        F.col(hidx_col).alias("_hr"),
+        F.col(b_col).cast("long").alias("_b"),
+    )
+    j = left.withColumn("_hr", F.col("_h") + F.col("lag")).join(
+        right, [*key_cols, "_hr"]
+    )
+    st = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_a").alias("sx"),
+        F.sum("_b").alias("sy"),
+        F.sum(F.col("_a") * F.col("_a")).alias("sxx"),
+        F.sum(F.col("_b") * F.col("_b")).alias("syy"),
+        F.sum(F.col("_a") * F.col("_b")).alias("sxy"),
+    )
+    n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxx, syy, sxy = [F.col(c).cast("double") for c in ("sxx", "syy", "sxy")]
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return (
+        st.filter((vx > 0) & (vy > 0))
+        .select(
+            "lag",
+            F.col("n").alias("n_pairs"),
+            ((n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))).alias("corr"),
+        )
+    )
+
+
+_LAGCORR_SQL = """
+WITH h AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hidx,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(round(value * 100)) AS BIGINT) AS v_cents
+  FROM events GROUP BY 1, 2),
+j AS (
+  SELECT l.lag AS lag, a._l AS _a, b.v_cents AS _b
+  FROM (SELECT unnest([0, 1, 2, 3]) AS lag) l
+  CROSS JOIN (SELECT user_id, hidx, n_events AS _l FROM h) a
+  JOIN h b ON b.user_id = a.user_id AND b.hidx = a.hidx + l.lag),
+st AS (
+  SELECT lag, COUNT(*) AS n,
+         CAST(SUM(_a) AS BIGINT) AS sx, CAST(SUM(_b) AS BIGINT) AS sy,
+         CAST(SUM(_a * _a) AS BIGINT) AS sxx,
+         CAST(SUM(_b * _b) AS BIGINT) AS syy,
+         CAST(SUM(_a * _b) AS BIGINT) AS sxy
+  FROM j GROUP BY lag)
+SELECT lag, n AS n_pairs,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+FROM st
+WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+  AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+"""
+
+
+@register("lagged_corr_activity_value", _LAGCORR_SQL)
+def lagged_corr_activity_value(spark, sf_dir):
+    """M41 lead-lag detection: does hourly event COUNT lead hourly spend?
+    Correlates n_events(t) with value_cents(t+lag) for lag 0..3h over the
+    per-(user, hour) aggregate — tier-sized self-join, exact integer
+    state, one float finalize (full-hash oracle)."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")) / 3_600_000_000
+        ).alias("hidx"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents(F.col("value"))).alias("v_cents"),
+    )
+    return lagged_cross_corr(
+        hourly, ["user_id"], "hidx", "n_events", "v_cents", [0, 1, 2, 3]
+    )

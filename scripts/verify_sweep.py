@@ -1,7 +1,8 @@
 """Fresh-process driver-contract verification (the /verify recipe):
 entry() smoke + every queries() entry vs its DuckDB oracle at sf0.01.
 
-Usage: python scripts/verify_sweep.py [sf_dir]
+Usage: python scripts/verify_sweep.py [sf_dir] [name_substr ...]
+With name_substr args, only queries whose name contains any substring run.
 Prints one line per query and a final SUMMARY line; exit 1 on any failure.
 """
 
@@ -36,6 +37,9 @@ def main() -> int:
 
     queries = m.queries()
     oracles = m.oracle_sql()
+    if len(sys.argv) > 2:
+        pats = sys.argv[2:]
+        queries = {k: v for k, v in queries.items() if any(p in k for p in pats)}
     full = rows_only = failed = 0
     for name in sorted(queries):
         try:

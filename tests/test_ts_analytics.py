@@ -205,3 +205,46 @@ def test_m4_and_wow_oracle_parity(spark):
         assert len(spark_pdf) > 0
         duck_pdf = duck_run(SF_DIR, ORACLE_SQL[name])
         assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+def test_lagged_cross_corr_finds_planted_lead(spark):
+    """b(t) = a(t-2) exactly: the lag-2 correlation must be ~1.0 and
+    dominate every other lag; n_pairs shrinks by the overlap."""
+    from pyspark.sql import functions as F
+
+    from engine.ts_analytics import lagged_cross_corr
+
+    import hashlib
+
+    rows = []
+    for k in ("s1", "s2"):
+        # md5 noise: negligible autocorrelation at every nonzero lag
+        a = [
+            int(hashlib.md5(f"{k}|{t}".encode()).hexdigest()[:6], 16) % 997
+            for t in range(200)
+        ]
+        for t in range(200):
+            rows.append((k, t, a[t], a[t - 2] if t >= 2 else 0))
+    df = spark.createDataFrame(rows, "k string, hidx long, a long, b long")
+    df = df.filter(F.col("hidx") >= 2)  # drop the undefined warm-up rows
+    out = {
+        r["lag"]: (r["n_pairs"], r["corr"])
+        for r in lagged_cross_corr(df, ["k"], "hidx", "a", "b", [0, 1, 2, 3]).collect()
+    }
+    assert out[2][1] > 0.999
+    assert all(abs(out[lag][1]) < 0.3 for lag in (0, 1, 3))
+    # pair counts: lag L aligns (198-L) buckets per series
+    assert out[0][0] == 2 * 198 and out[3][0] == 2 * 195
+
+    # brute-force parity at lag 1 (numpy Pearson on the aligned vectors)
+    import numpy as np
+
+    pdf = df.toPandas()
+    xs, ys = [], []
+    for k in ("s1", "s2"):
+        g = pdf[pdf.k == k].set_index("hidx").sort_index()
+        for t in g.index:
+            if t + 1 in g.index:
+                xs.append(g.a[t]); ys.append(g.b[t + 1])
+    want = np.corrcoef(xs, ys)[0, 1]
+    assert abs(out[1][1] - want) < 1e-9

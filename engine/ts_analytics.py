@@ -1165,3 +1165,192 @@ def lagged_corr_activity_value(spark, sf_dir):
     return lagged_cross_corr(
         hourly, ["user_id"], "hidx", "n_events", "v_cents", [0, 1, 2, 3]
     )
+
+
+# ---------------------------------------------------------------------------
+# M42: cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+_COHORT_SQL = """
+WITH act AS (
+  SELECT DISTINCT o_custkey AS cust,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS midx
+  FROM orders),
+coh AS (SELECT cust, MIN(midx) AS cohort_midx FROM act GROUP BY 1),
+j AS (SELECT a.cust, c.cohort_midx, a.midx - c.cohort_midx AS month_offset
+      FROM act a JOIN coh c ON a.cust = c.cust),
+m AS (SELECT cohort_midx, month_offset, COUNT(*) AS active_custs
+      FROM j GROUP BY 1, 2),
+s AS (SELECT cohort_midx, COUNT(*) AS cohort_size FROM coh GROUP BY 1)
+SELECT CAST(m.cohort_midx // 12 AS BIGINT) AS cohort_year,
+       CAST((m.cohort_midx % 12) + 1 AS BIGINT) AS cohort_month,
+       m.month_offset, m.active_custs, s.cohort_size,
+       CAST(m.active_custs AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+         AS retention_pct
+FROM m JOIN s ON m.cohort_midx = s.cohort_midx
+"""
+
+
+@register("cohort_retention_monthly", _COHORT_SQL)
+def cohort_retention_monthly(spark, sf_dir):
+    """M42 cohort retention matrix: customers grouped by first-active
+    month; for each (cohort, months-since) the count and share still
+    active. The classic product-analytics rollup a timeseries engine
+    serves from its event store.
+
+    Scale shape: activity is collapsed to DISTINCT (customer, month-index)
+    first (one shuffle, partial-agg'd), the cohort map is a customer-
+    dimension-sized MIN agg reusing that shuffle key, and the only
+    fact-sized join is the equi-join back on customer (at 100 TB: bucket
+    both sides on customer, or broadcast the cohort map when the user
+    dimension fits). The matrix and size tables are (months x offsets) —
+    metadata-scale; the size join is broadcast. Month index = y*12+m-1 so
+    offsets are exact integer arithmetic, never calendar interval math;
+    retention_pct is the single final float division."""
+    o = _t(spark, sf_dir, "orders")
+    midx = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast(
+        "long"
+    )
+    act = o.select(
+        F.col("o_custkey").alias("cust"), midx.alias("midx")
+    ).distinct()
+    coh = act.groupBy("cust").agg(F.min("midx").alias("cohort_midx"))
+    j = act.join(coh, "cust").select(
+        "cohort_midx", (F.col("midx") - F.col("cohort_midx")).alias("month_offset")
+    )
+    m = j.groupBy("cohort_midx", "month_offset").agg(
+        F.count(F.lit(1)).alias("active_custs")
+    )
+    s = coh.groupBy("cohort_midx").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return m.join(F.broadcast(s), "cohort_midx").select(
+        F.floor(F.col("cohort_midx") / 12).cast("long").alias("cohort_year"),
+        (F.col("cohort_midx") % 12 + 1).cast("long").alias("cohort_month"),
+        "month_offset",
+        "active_custs",
+        "cohort_size",
+        (
+            F.col("active_custs").cast("double")
+            / F.col("cohort_size").cast("double")
+        ).alias("retention_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M43: autocorrelation function (ACF) of the hourly activity series
+# ---------------------------------------------------------------------------
+
+
+_ACF_SQL = """
+WITH h AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hidx,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+j AS (
+  SELECT l.lag AS lag, a.n_events AS _a, b.n_events AS _b
+  FROM (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag) l
+  CROSS JOIN h a
+  JOIN h b ON b.user_id = a.user_id AND b.hidx = a.hidx + l.lag),
+st AS (
+  SELECT lag, COUNT(*) AS n,
+         CAST(SUM(_a) AS BIGINT) AS sx, CAST(SUM(_b) AS BIGINT) AS sy,
+         CAST(SUM(_a * _a) AS BIGINT) AS sxx,
+         CAST(SUM(_b * _b) AS BIGINT) AS syy,
+         CAST(SUM(_a * _b) AS BIGINT) AS sxy
+  FROM j GROUP BY lag)
+SELECT lag, n AS n_pairs,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+FROM st
+WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+  AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+"""
+
+
+@register("acf_hourly_activity", _ACF_SQL)
+def acf_hourly_activity(spark, sf_dir):
+    """M43 autocorrelation function: the series correlated with ITSELF at
+    lags 1/2/3/6/12/24h — periodicity detection (a daily-cycle series
+    peaks at lag 24). Pure reuse of the M41 lagged-cross-correlation
+    kernel with a == b; same tier-sized self-join + exact integer state
+    shape, so the ACF inherits the full-hash gate."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")) / 3_600_000_000
+        ).alias("hidx"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return lagged_cross_corr(
+        hourly, ["user_id"], "hidx", "n_events", "n_events", [1, 2, 3, 6, 12, 24]
+    )
+
+
+# ---------------------------------------------------------------------------
+# M44: robust anomaly detection — median/MAD z-score
+# ---------------------------------------------------------------------------
+
+
+_MAD_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(round(value * 100)) AS BIGINT) AS v_c
+  FROM events GROUP BY 1, 2),
+med AS (SELECT user_id, quantile_cont(v_c, 0.5) AS med FROM daily GROUP BY 1),
+dv AS (SELECT d.user_id, d.day, d.v_c, m.med,
+              abs(CAST(d.v_c AS DOUBLE) - m.med) AS dev
+       FROM daily d JOIN med m USING (user_id)),
+mad AS (SELECT user_id, quantile_cont(dev, 0.5) AS mad FROM dv GROUP BY 1)
+SELECT dv.user_id, dv.day, dv.v_c AS value_cents, dv.med, md.mad, dv.dev
+FROM dv JOIN mad md USING (user_id)
+WHERE md.mad > 0 AND dv.dev > 3 * md.mad
+"""
+
+
+@register("mad_anomaly_daily", _MAD_SQL)
+def mad_anomaly_daily(spark, sf_dir):
+    """M44 robust anomaly detection: flag (user, day) totals more than
+    3 MADs from the user's median. Median/MAD (not mean/stddev) so the
+    anomalies themselves cannot drag the threshold — the robust-statistics
+    answer to self-masking outliers.
+
+    Exactness: daily totals are integer cents; the interpolated median of
+    integers is an exact x.0/x.5 double, deviations are exact halves, MAD
+    is an exact quarter — every comparison is bit-deterministic with no
+    rounding step. Scale: exact percentile() is a per-user sort-agg
+    (fine: group = one user's days, bounded); at 100 TB swap
+    percentile_approx's mergeable KLL sketch into the same shape — the
+    D6 exact/approx pairing. Two user-keyed aggs + two user-keyed joins
+    reuse one shuffle key end-to-end."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(cents(F.col("value"))).alias("v_c"))
+    med = daily.groupBy("user_id").agg(
+        F.percentile("v_c", F.lit(0.5)).alias("med")
+    )
+    dv = daily.join(med, "user_id").withColumn(
+        "dev", F.abs(F.col("v_c").cast("double") - F.col("med"))
+    )
+    mad = dv.groupBy("user_id").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dv.join(mad, "user_id")
+        .filter((F.col("mad") > 0) & (F.col("dev") > 3 * F.col("mad")))
+        .select(
+            "user_id",
+            "day",
+            F.col("v_c").alias("value_cents"),
+            "med",
+            "mad",
+            "dev",
+        )
+    )

@@ -7,6 +7,7 @@ import os
 import sys
 
 import numpy as np
+import pandas as pd
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -248,3 +249,96 @@ def test_lagged_cross_corr_finds_planted_lead(spark):
                 xs.append(g.a[t]); ys.append(g.b[t + 1])
     want = np.corrcoef(xs, ys)[0, 1]
     assert abs(out[1][1] - want) < 1e-9
+
+
+def test_acf_detects_planted_period(spark):
+    """A period-3 series autocorrelates at lags 3 and 6, not 1/2."""
+    from engine.ts_analytics import lagged_cross_corr
+
+    rows = []
+    for k in ("u1", "u2"):
+        for t in range(300):
+            # period-3 pattern + tiny per-t dither so variance is nonzero
+            rows.append((k, t, [5, 90, 40][t % 3] + (t * 7) % 2))
+    df = spark.createDataFrame(rows, "k string, hidx long, a long")
+    out = {
+        r["lag"]: r["corr"]
+        for r in lagged_cross_corr(
+            df, ["k"], "hidx", "a", "a", [1, 2, 3, 6]
+        ).collect()
+    }
+    assert out[3] > 0.99 and out[6] > 0.99
+    assert out[1] < 0 and out[2] < 0  # period-3 anti-correlates off-phase
+
+
+def test_mad_anomaly_planted_outlier(spark, tmp_path):
+    """One 100x day in an otherwise flat series is the ONLY flag; a
+    mean/stddev detector's threshold would have been dragged by it."""
+    import numpy as np
+
+    rows = []
+    base = np.datetime64("2024-01-01T06:00:00")
+    for u in (1, 2):
+        for d in range(30):
+            # jittered base so MAD > 0 (a perfectly flat series has
+            # MAD = 0 and the detector correctly refuses to score it)
+            v = 10.0 + (d % 5) * 0.5 if d != 17 or u != 1 else 1000.0
+            # two events per day so the daily sum path is exercised
+            rows.append((int(u * 1000 + d * 2), base + np.timedelta64(d, "D"), u, "x", v / 2, "{}"))
+            rows.append((int(u * 1000 + d * 2 + 1), base + np.timedelta64(d, "D") + np.timedelta64(1, "h"), u, "x", v / 2, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tmp_path / "mad"
+    d.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(d / "events.parquet"))
+    from engine.ts_analytics import mad_anomaly_daily
+
+    out = mad_anomaly_daily(spark, str(d)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["user_id"] == 1 and r["value_cents"] == 100000
+    assert r["mad"] > 0
+    # user 2's jitter stays within 2 MADs -> no flags
+    assert all(x["user_id"] != 2 for x in out)
+
+
+def test_cohort_retention_planted_churn(spark, tmp_path):
+    """3 customers joining month 0, one churning after month 0: the
+    matrix reports exact per-offset counts and shares."""
+    import numpy as np
+
+    rows = []
+    # custs 1,2,3 first order 1995-01; 1 and 2 order again in 1995-03;
+    # cust 4 joins 1995-02 only.
+    orders = [
+        (1, "1995-01-10"), (2, "1995-01-20"), (3, "1995-01-05"),
+        (1, "1995-03-02"), (2, "1995-03-30"), (4, "1995-02-14"),
+        (1, "1995-01-11"),  # duplicate month must not double-count
+    ]
+    pdf = pd.DataFrame(
+        [
+            (i, c, np.datetime64(dt), "O", 1.0, 1, "p", "c", 0.0)
+            for i, (c, dt) in enumerate(orders)
+        ],
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus",
+            "o_totalprice", "o_shippriority", "o_orderpriority", "o_clerk",
+            "o_tax",
+        ],
+    )
+    d = tmp_path / "coh"
+    d.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(d / "orders.parquet"))
+    from engine.ts_analytics import cohort_retention_monthly
+
+    out = {
+        (r["cohort_year"], r["cohort_month"], r["month_offset"]): (
+            r["active_custs"], r["cohort_size"], r["retention_pct"]
+        )
+        for r in cohort_retention_monthly(spark, str(d)).collect()
+    }
+    assert out[(1995, 1, 0)] == (3, 3, 1.0)
+    assert out[(1995, 1, 2)][0] == 2 and abs(out[(1995, 1, 2)][2] - 2 / 3) < 1e-15
+    assert out[(1995, 2, 0)] == (1, 1, 1.0)
+    assert (1995, 1, 1) not in out  # nobody active in offset-1 month

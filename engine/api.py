@@ -110,6 +110,23 @@ class TierEngine:
             raise ValueError(f"hh_cols has no cap for column {col!r}")
         return _rw.rewrite_range_hh(self._tiers(), lo, hi, col, cap, k=k)
 
+    def serve_range_overlap(
+        self,
+        col: str,
+        lo_a: datetime,
+        hi_a: datetime,
+        lo_b: datetime,
+        hi_b: datetime,
+    ) -> DataFrame:
+        """Distinct-value SET OVERLAP (|A∩B|, Jaccard) between two ranges
+        from KMV sketch state (needs kmv_cols={col: k}) — exact while the
+        union sketch is unsaturated, Beyer-et-al estimates beyond."""
+        if col not in self.pipeline.kmv_cols:
+            raise ValueError(f"kmv_cols has no k for column {col!r}")
+        return _rw.rewrite_range_kmv_overlap(
+            self._tiers(), col, lo_a, hi_a, lo_b, hi_b
+        )
+
     def serve_realtime(
         self, lo: datetime, hi: datetime, watermark: datetime, t0: DataFrame
     ) -> DataFrame:

@@ -84,6 +84,7 @@ class TierPipeline:
         sumprod_cols: list | None = None,
         freq_cols: list[str] | None = None,
         hh_cols: dict[str, int] | None = None,
+        kmv_cols: dict[str, int] | None = None,
         wap: bool = False,
         wap_audit=None,
         hourly_layout: int = 1,
@@ -162,6 +163,16 @@ class TierPipeline:
         #: hashes the sorted entry array as JSON like freq; migration story
         #: identical to hist_cols.
         self.hh_cols = {c: int(k) for c, k in sorted((hh_cols or {}).items())}
+        #: KMV distinct sketches per raw column ({col: k}, `<col>_kmv{k}`
+        #: sorted bottom-k distinct-hash arrays, engine/kmv.py): the
+        #: set-algebra member of the tier algebra — supports intersection /
+        #: Jaccard / overlap between buckets, which the HLL columns cannot.
+        #: Merge is exact-deterministic (sorted-union-truncate), so tier
+        #: composition and the salted leaf are bit-identical to a direct
+        #: build; exact below k distincts per bucket. Fingerprint hashes
+        #: the canonical array as JSON (empty arrays must stay visible);
+        #: migration story identical to hist_cols.
+        self.kmv_cols = {c: int(k) for c, k in sorted((kmv_cols or {}).items())}
         #: write-audit-publish (requires snapshots): a run writes every
         #: stage into STAGED (unpublished) snapshots with manifest commits
         #: deferred; at the seal, `wap_audit(pipe)` (if given) inspects the
@@ -238,6 +249,10 @@ class TierPipeline:
             parts.append(
                 "hh:" + ";".join(f"{c}={k}" for c, k in self.hh_cols.items())
             )
+        if self.kmv_cols:
+            parts.append(
+                "kmv:" + ";".join(f"{c}={k}" for c, k in self.kmv_cols.items())
+            )
         if self.hourly_layout != 1:
             parts.append(f"layout:{self.hourly_layout}")
         return "|".join(p for p in parts if p)
@@ -295,6 +310,13 @@ class TierPipeline:
                     F.to_json(F.sort_array(F.map_entries(f"{c}_hh{k}"))),
                     F.col(f"{c}_hhn{k}"),
                 )
+            ]
+            # KMV arrays are sorted + exact-deterministic — but hash them
+            # AS JSON, not raw: xxhash64 skips empty arrays (the freq
+            # lesson), and an all-null bucket's state is exactly []
+            + [
+                F.to_json(F.col(f"{c}_kmv{k}"))
+                for c, k in self.kmv_cols.items()
             ]
         )
 
@@ -1205,6 +1227,7 @@ class TierPipeline:
                     sumprod_cols=self.sumprod_cols,
                     freq_cols=self.freq_cols,
                     hh_cols=self.hh_cols,
+                    kmv_cols=self.kmv_cols,
                 )
                 if salted
                 else rollup_hourly(
@@ -1216,6 +1239,7 @@ class TierPipeline:
                     sumprod_cols=self.sumprod_cols,
                     freq_cols=self.freq_cols,
                     hh_cols=self.hh_cols,
+                    kmv_cols=self.kmv_cols,
                 )
             )
             if self.fill_tiers:

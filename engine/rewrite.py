@@ -477,3 +477,101 @@ def rewrite_range_hist(
             F.max("total").cast("long").alias("n"),
         )
     )
+
+
+def _range_kmv_sketch(
+    tiers: dict[str, DataFrame], lo: datetime, hi: datetime, col: str
+):
+    """Compose ONE KMV sketch per conversation over [lo, hi) from
+    span-matched tier `<col>_kmv{k}` columns. Because the KMV merge
+    (sorted-union-truncate, engine/kmv.py) is EXACT-deterministic, the
+    composed sketch is bit-identical to a sketch built directly over the
+    range's raw rows — stronger than the HLL path's estimate-identity.
+    Returns (DataFrame[conv_id, <state col>], k)."""
+    from .kmv import kmv_is_state_col, kmv_cap, kmv_merge_aggs
+
+    spans = split_range(lo, hi)
+    if not spans:
+        raise ValueError("empty range")
+    sk = None
+    parts = []
+    for tier, a, b in spans:
+        st = observed_state(tiers[tier])
+        if sk is None:
+            cands = [
+                c
+                for c in st.columns
+                if kmv_is_state_col(c) and c.rsplit("_kmv", 1)[0] == col
+            ]
+            if not cands:
+                raise ValueError(f"{tier} tier has no KMV column for {col!r}")
+            sk = cands[0]
+        if sk not in st.columns:
+            raise ValueError(f"{tier} tier has no KMV column {sk!r}")
+        parts.append(
+            st.filter(
+                (F.col("bucket_start") >= F.lit(a))
+                & (F.col("bucket_start") < F.lit(b))
+            ).select("conv_id", sk)
+        )
+    u = reduce(lambda x, y: x.unionByName(y), parts)
+    return u.groupBy("conv_id").agg(*kmv_merge_aggs([sk])), kmv_cap(sk)
+
+
+def rewrite_range_kmv_overlap(
+    tiers: dict[str, DataFrame],
+    col: str,
+    lo_a: datetime,
+    hi_a: datetime,
+    lo_b: datetime,
+    hi_b: datetime,
+) -> DataFrame:
+    """§4.3 × M45: per-conversation SET OVERLAP of distinct `col` values
+    between two arbitrary hour-aligned ranges, composed entirely from tier
+    KMV sketches (`TierPipeline(kmv_cols={col: k})`) — raw data is never
+    read. The question HLL state cannot answer: "how many distinct texts
+    did this conversation use in BOTH range A and range B?"
+
+    Each range's sketch is the bit-exact bottom-k of the range's distinct
+    hash set (exact-deterministic merge), so while the UNION stays below
+    k the returned n_common / jaccard are EXACT (`exact` flag true);
+    saturated unions fall back to the Beyer et al. SIGMOD 2007 estimators
+    (`n_common_est` / `jaccard_est` — also emitted in the exact regime,
+    where they agree with the exact columns up to float rounding).
+    O(tier rows in the two ranges) per conversation, never O(raw)."""
+    from .kmv import kmv_estimate, kmv_union
+
+    a, k = _range_kmv_sketch(tiers, lo_a, hi_a, col)
+    b, k2 = _range_kmv_sketch(tiers, lo_b, hi_b, col)
+    assert k == k2, (k, k2)
+    sk = [c for c in a.columns if c != "conv_id"][0]
+    a = a.withColumnRenamed(sk, "_ska")
+    b = b.withColumnRenamed(sk, "_skb")
+    j = a.join(b, "conv_id")
+    x = kmv_union(F.col("_ska"), F.col("_skb"), k)
+    n_x = F.size(x)
+    n_common = F.size(F.array_intersect("_ska", "_skb")).cast("long")
+    rho = F.when(
+        n_x > 0,
+        F.size(F.array_intersect(F.array_intersect(x, F.col("_ska")), F.col("_skb")))
+        .cast("double")
+        / n_x.cast("double"),
+    ).otherwise(F.lit(0.0))
+    n_union_est = kmv_estimate(x, k)
+    return j.select(
+        "conv_id",
+        F.size("_ska").cast("long").alias("n_a"),
+        F.size("_skb").cast("long").alias("n_b"),
+        (n_x < k).alias("exact"),
+        n_common.alias("n_common"),
+        F.when(
+            n_x > 0,
+            n_common.cast("double")
+            / (F.size("_ska") + F.size("_skb") - n_common).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+        n_union_est.alias("n_union_est"),
+        rho.alias("jaccard_est"),
+        (rho * n_union_est).alias("n_common_est"),
+    )

@@ -252,6 +252,7 @@ def rollup_hourly(
     sumprod_cols: list | None = None,
     freq_cols: list[str] | None = None,
     hh_cols: dict[str, int] | None = None,
+    kmv_cols: dict[str, int] | None = None,
 ) -> DataFrame:
     """Leaf rollup D1: raw turns → hourly tier state.
 
@@ -340,6 +341,23 @@ def rollup_hourly(
         hourly = hh_coalesce_empty(
             hourly.join(hm, ["conv_id", "bucket_start"], "left"), hh_cols
         )
+    if kmv_cols:
+        from .kmv import empty_kmv_array, kmv_arrays, kmv_state_col
+
+        km = kmv_arrays(
+            df.withColumn(
+                "bucket_start",
+                F.date_trunc("hour", "ts").cast("timestamp_ntz"),
+            ),
+            ["conv_id", "bucket_start"],
+            kmv_cols,
+        )
+        hourly = hourly.join(km, ["conv_id", "bucket_start"], "left")
+        for c, k in sorted(kmv_cols.items()):
+            hourly = hourly.withColumn(
+                kmv_state_col(c, k),
+                F.coalesce(kmv_state_col(c, k), empty_kmv_array()),
+            )
     return hourly.withColumn("tier", F.lit("hourly"))
 
 
@@ -394,6 +412,7 @@ def densify_hourly_locf(hourly: DataFrame) -> DataFrame:
         or c.endswith("_sumprod")
         or c.endswith("_freq")
         or _is_hh(c)
+        or _is_kmv(c)
     ]
     return dense.select(
         "conv_id",
@@ -421,6 +440,21 @@ def _hh_merges(colnames) -> list:
 
     hh = [c for c in colnames if hh_is_state_col(c)]
     return hh_merge_aggs(hh) if hh else []
+
+
+def _is_kmv(name: str) -> bool:
+    from .kmv import kmv_is_state_col
+
+    return kmv_is_state_col(name)
+
+
+def _kmv_merges(colnames) -> list:
+    """KMV distinct-sketch merges (`<col>_kmv{k}`, engine/kmv.py):
+    sorted-union-truncate — exact-deterministic under any grouping, so
+    tier composition is bit-identical to a direct build."""
+    from .kmv import kmv_merge_aggs
+
+    return kmv_merge_aggs(colnames)
 
 
 def rollup_up(lower: DataFrame, to_tier: str) -> DataFrame:
@@ -453,6 +487,7 @@ def rollup_up(lower: DataFrame, to_tier: str) -> DataFrame:
         )
         + freq_merge_aggs([c for c in lower.columns if c.endswith("_freq")])
         + _hh_merges(lower.columns)
+        + _kmv_merges(lower.columns)
     )
     return (
         observed_state(lower).groupBy(
@@ -487,6 +522,7 @@ def build_tiers(
     sumprod_cols: list | None = None,
     freq_cols: list[str] | None = None,
     hh_cols: dict[str, int] | None = None,
+    kmv_cols: dict[str, int] | None = None,
 ) -> dict[str, DataFrame]:
     """raw → {hourly, daily, monthly} tier-state DataFrames."""
     hourly = rollup_hourly(
@@ -498,6 +534,7 @@ def build_tiers(
         sumprod_cols=sumprod_cols,
         freq_cols=freq_cols,
         hh_cols=hh_cols,
+        kmv_cols=kmv_cols,
     )
     daily = rollup_up(hourly, "daily")
     monthly = rollup_up(daily, "monthly")

@@ -68,6 +68,7 @@ def rollup_hourly_salted(
     sumprod_cols: list | None = None,
     freq_cols: list[str] | None = None,
     hh_cols: dict[str, int] | None = None,
+    kmv_cols: dict[str, int] | None = None,
 ) -> DataFrame:
     """F6: two-phase salted leaf rollup.
 
@@ -194,6 +195,27 @@ def rollup_hourly_salted(
         merged = hh_coalesce_empty(
             merged.join(hm, ["conv_id", "bucket_start"], "left"), hh_cols
         )
+    # KMV distinct sketches: same argument again — the fine-keyed
+    # (conv, bucket, hash) pre-distinct inside kmv_arrays is salt-proof,
+    # so the bottom-k state joins the merged rows directly and is
+    # BIT-IDENTICAL to the unsalted path (engine/kmv.py)
+    if kmv_cols:
+        from .kmv import empty_kmv_array, kmv_arrays, kmv_state_col
+
+        km = kmv_arrays(
+            df.withColumn(
+                "bucket_start",
+                F.date_trunc("hour", "ts").cast("timestamp_ntz"),
+            ),
+            ["conv_id", "bucket_start"],
+            kmv_cols,
+        )
+        merged = merged.join(km, ["conv_id", "bucket_start"], "left")
+        for c, k in sorted(kmv_cols.items()):
+            merged = merged.withColumn(
+                kmv_state_col(c, k),
+                F.coalesce(kmv_state_col(c, k), empty_kmv_array()),
+            )
     return merged.withColumns(
         {
             "hours_count": F.lit(1).cast("long"),

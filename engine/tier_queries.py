@@ -1263,3 +1263,82 @@ def cagg_weekly_cohort(spark, sf_dir):
     pipe.run(t0, stages=("hourly",))
     cagg.refresh()
     return cagg.read()
+
+
+@register(
+    "tier_kmv_text_overlap_daily",
+    """
+    WITH cm AS (
+      SELECT DISTINCT
+             concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, props
+      FROM events),
+    s AS (SELECT conv_id, d, CAST(COUNT(*) AS BIGINT) AS n
+          FROM cm GROUP BY 1, 2),
+    c AS (SELECT a.conv_id, a.d AS da, CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM cm a JOIN cm b
+            ON a.conv_id = b.conv_id AND a.props = b.props
+           AND b.d = a.d + INTERVAL 1 DAY
+          GROUP BY 1, 2)
+    SELECT sa.conv_id,
+           sa.d AS day_a, sb.d AS day_b,
+           sa.n AS n_texts_a, sb.n AS n_texts_b,
+           COALESCE(c.n_common, 0) AS n_common,
+           CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+             / CAST(sa.n + sb.n - COALESCE(c.n_common, 0) AS DOUBLE)
+             AS jaccard
+    FROM s sa
+    JOIN s sb ON sa.conv_id = sb.conv_id
+             AND sb.d = sa.d + INTERVAL 1 DAY
+    LEFT JOIN c ON c.conv_id = sa.conv_id AND c.da = sa.d
+    """,
+)
+def tier_kmv_text_overlap_daily(spark, sf_dir):
+    """M45 KMV distinct sketches with SET ALGEBRA (engine/kmv.py): the
+    daily tier carries `text_kmv256` — the 256 smallest xxhash64 values
+    of the day's distinct texts — merged hourly→daily by
+    sorted-union-truncate (exact-deterministic, bit-identical to a direct
+    build; the salted leaf and every tier composition produce the same
+    array). Day-over-day overlap per conversation is then pure array
+    algebra over TWO TIER ROWS: |A|, |B|, |A∩B|, Jaccard — the set
+    question HLL union state cannot answer (register-max union only
+    estimates |A∪B|). The driver fixture's per-day cardinality sits far
+    below k=256, so every sketch is in the EXACT regime and the
+    full-hash oracle recomputes the true set overlap from raw (the
+    Misra–Gries cap≥cardinality trick). At 10^12 turns the same query
+    runs on O(days) tier rows per conversation; saturated sketches
+    degrade to the Beyer et al. SIGMOD 2007 estimators (error bounds
+    pytest'd in tests/test_kmv.py)."""
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0, kmv_cols={"text": 256})
+    m = tiers["daily"]
+    a = m.select(
+        "conv_id",
+        F.col("bucket_start").alias("day_a"),
+        # next-day join key: date_add returns DATE; daily buckets sit at
+        # midnight so the NTZ round-trip is lossless
+        F.date_add(F.col("bucket_start"), 1)
+        .cast("timestamp_ntz")
+        .alias("day_b"),
+        F.col("text_kmv256").alias("_ska"),
+    )
+    b = m.select(
+        "conv_id",
+        F.col("bucket_start").alias("day_b"),
+        F.col("text_kmv256").alias("_skb"),
+    )
+    j = a.join(b, ["conv_id", "day_b"])
+    n_a = F.size("_ska").cast("long")
+    n_b = F.size("_skb").cast("long")
+    n_common = F.size(F.array_intersect("_ska", "_skb")).cast("long")
+    return j.select(
+        "conv_id",
+        "day_a",
+        "day_b",
+        n_a.alias("n_texts_a"),
+        n_b.alias("n_texts_b"),
+        n_common.alias("n_common"),
+        (
+            n_common.cast("double") / (n_a + n_b - n_common).cast("double")
+        ).alias("jaccard"),
+    )

@@ -71,6 +71,12 @@ def main():
                     help="comma list of col:cap pairs to carry BOUNDED "
                          "Misra-Gries heavy-hitter tier state for "
                          "(e.g. tool:64,role:16)")
+    ap.add_argument("--kmv-cols", default=None,
+                    help="comma list of col:k pairs to carry KMV "
+                         "distinct-sketch tier state for (bottom-k "
+                         "distinct-hash arrays with set algebra — "
+                         "intersection/Jaccard across buckets; e.g. "
+                         "tool:256,text:4096)")
     ap.add_argument("--no-lease", action="store_true",
                     help="skip the single-writer run lease (concurrent "
                          "runs on one root can then double-write)")
@@ -139,6 +145,15 @@ def main():
                 if s
             }
             if args.hh_cols
+            else None
+        ),
+        kmv_cols=(
+            {
+                s.split(":")[0]: int(s.split(":")[1])
+                for s in args.kmv_cols.split(",")
+                if s
+            }
+            if args.kmv_cols
             else None
         ),
         lease=not args.no_lease,

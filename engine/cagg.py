@@ -20,15 +20,21 @@ days. That is only correct for aggregates that DECOMPOSE into
     min/max(x)        min/max                min/max          id
     avg(x)            (sum, count)           (sum, sum)       s / c
     approx_distinct(x) HLL sketch            hll_union_agg    estimate
+    distinct_kmv(x,k) bottom-k hash array    union-truncate   size | (k-1)/U_k
     first(v, o)       min(struct(o, v))      min              .v
     last(v, o)        max(struct(o, v))      max              .v
 
 first/last carry their order key in a struct so the lexicographic
 (o, v) min/max is deterministic even under order-key ties — the same
 carrier idea as the pipeline's firstlast tier state (engine/rollup.py
-firstlast_partial_aggs), but per user-defined view. Exact COUNT DISTINCT
-is deliberately NOT in the algebra (it does not merge across days);
-`approx_distinct` is its mergeable HLL stand-in.
+firstlast_partial_aggs), but per user-defined view. Exact unbounded
+COUNT DISTINCT is deliberately NOT in the algebra (it does not merge
+across days); `approx_distinct` is its mergeable HLL stand-in, and
+`distinct_kmv(x, k)` (engine/kmv.py) is the stand-in that stays EXACT
+while a group's cardinality is below k — the bottom-k distinct-hash
+array merges across days by sorted-union-truncate, bit-deterministically
+under any day grouping, and finalizes to the exact size below
+saturation or the (k−1)/U_(k) estimate beyond.
 
 Refresh protocol (identical consume-pointer discipline as
 IncrementalConvSummary, plus spec versioning):
@@ -67,7 +73,17 @@ from pyspark.sql import functions as F
 from .rollup import HLL_LGK, observed_state
 from .snapstore import SnapshotError, SnapStore
 
-KINDS = ("sum", "count", "min", "max", "avg", "approx_distinct", "first", "last")
+KINDS = (
+    "sum",
+    "count",
+    "min",
+    "max",
+    "avg",
+    "approx_distinct",
+    "distinct_kmv",
+    "first",
+    "last",
+)
 
 
 class ContinuousAggregate:
@@ -107,7 +123,12 @@ class ContinuousAggregate:
             kind = spec[0]
             if kind not in KINDS:
                 raise ValueError(f"{name}: unknown agg kind {kind!r} (valid: {KINDS})")
-            need = {"count": (1, 2), "first": (3, 3), "last": (3, 3)}.get(kind, (2, 2))
+            need = {
+                "count": (1, 2),
+                "first": (3, 3),
+                "last": (3, 3),
+                "distinct_kmv": (3, 3),
+            }.get(kind, (2, 2))
             if not (need[0] <= len(spec) <= need[1]):
                 raise ValueError(f"{name}: {kind} expects {need} spec fields, got {len(spec)}")
 
@@ -156,6 +177,23 @@ class ContinuousAggregate:
                 out.append(
                     F.hll_sketch_agg(F.expr(spec[1]), F.lit(HLL_LGK)).alias(name)
                 )
+            elif kind == "distinct_kmv":
+                # bottom-k of the day's distinct value hashes (engine/kmv.py):
+                # the mergeable COUNT DISTINCT stand-in that is EXACT while a
+                # group's per-view cardinality stays below k. The when-guard
+                # yields NULL on null values (collect_set drops them) —
+                # xxhash64(NULL) would otherwise hash the seed and count
+                # nulls as a value.
+                e = F.expr(spec[1])
+                out.append(
+                    F.slice(
+                        F.array_sort(
+                            F.collect_set(F.when(e.isNotNull(), F.xxhash64(e)))
+                        ),
+                        1,
+                        int(spec[2]),
+                    ).alias(name)
+                )
             else:  # first / last: lexicographic (order, value) carrier struct
                 carrier = F.struct(
                     F.expr(spec[2]).alias("o"), F.expr(spec[1]).alias("v")
@@ -177,6 +215,18 @@ class ContinuousAggregate:
             elif kind == "avg":
                 out.append(F.sum(f"{name}__s").alias(f"{name}__s"))
                 out.append(F.sum(f"{name}__c").alias(f"{name}__c"))
+            elif kind == "distinct_kmv":
+                # sorted-union-truncate: exact-deterministic under any
+                # day grouping (engine/kmv.py)
+                out.append(
+                    F.slice(
+                        F.array_sort(
+                            F.array_distinct(F.flatten(F.collect_list(name)))
+                        ),
+                        1,
+                        int(spec[2]),
+                    ).alias(name)
+                )
             else:  # approx_distinct
                 out.append(F.hll_union_agg(name).alias(name))
         return out
@@ -192,6 +242,10 @@ class ContinuousAggregate:
                 )
             elif kind == "approx_distinct":
                 cols.append(F.hll_sketch_estimate(name).alias(name))
+            elif kind == "distinct_kmv":
+                from .kmv import kmv_estimate
+
+                cols.append(kmv_estimate(F.col(name), int(spec[2])).alias(name))
             elif kind in ("first", "last"):
                 cols.append(F.col(name)["v"].alias(name))
             else:

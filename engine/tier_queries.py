@@ -1342,3 +1342,53 @@ def tier_kmv_text_overlap_daily(spark, sf_dir):
             n_common.cast("double") / (n_a + n_b - n_common).cast("double")
         ).alias("jaccard"),
     )
+
+
+_CAGG_KMV_SQL = """
+SELECT CAST(date_trunc('week', bucket_start) AS TIMESTAMP) AS week,
+       substr(conv_id, length(conv_id), 1) AS cohort,
+       CAST(COUNT(DISTINCT bucket_start) AS DOUBLE) AS ubuckets,
+       CAST(SUM(n_turns) AS BIGINT) AS turns
+FROM hourly
+GROUP BY 1, 2
+"""
+
+
+@register("cagg_distinct_kmv_weekly", _TIER_CTE + _CAGG_KMV_SQL)
+def cagg_distinct_kmv_weekly(spark, sf_dir):
+    """distinct_kmv in the continuous-aggregate algebra (engine/cagg.py ×
+    engine/kmv.py) under the hash gate: a (week, cohort) view whose
+    distinct-bucket count is carried as bottom-k KMV state in the day
+    partials (k=512, far above the fixture's per-group cardinality →
+    EXACT regime), built INCREMENTALLY across two ingest batches — the
+    union-truncate merge across day partials must reproduce the oracle's
+    one-pass COUNT(DISTINCT) exactly. This is the mergeable exact-COUNT-
+    DISTINCT stand-in the algebra documented as impossible for plain
+    counts: KMV makes it exact below k and a bounded estimate beyond."""
+    import tempfile
+
+    from .cagg import ContinuousAggregate
+    from .pipeline import TierPipeline
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    pipe = TierPipeline(
+        spark, tempfile.mkdtemp(prefix="tier-caggkmv-"),
+        snapshots=True, fill_tiers=False,
+    )
+    pipe.run(
+        t0.filter("substr(conv_id, length(conv_id), 1) < '5'"),
+        stages=("hourly",),
+    )
+    cagg = ContinuousAggregate(
+        pipe, tempfile.mkdtemp(prefix="caggkmv-view-"),
+        keys={"week": "date_trunc('week', bucket_start)",
+              "cohort": "substr(conv_id, length(conv_id), 1)"},
+        aggs={
+            "ubuckets": ("distinct_kmv", "bucket_start", 512),
+            "turns": ("sum", "n_turns"),
+        },
+    )
+    cagg.refresh()
+    pipe.run(t0, stages=("hourly",))
+    cagg.refresh()
+    return cagg.read()

@@ -110,6 +110,14 @@ class TierEngine:
             raise ValueError(f"hh_cols has no cap for column {col!r}")
         return _rw.rewrite_range_hh(self._tiers(), lo, hi, col, cap, k=k)
 
+    def serve_grain(self, grain_hours: int) -> DataFrame:
+        """Arbitrary N-hour downsample served from the cheapest tier
+        (daily for whole-day grains, else hourly) — exact tier-algebra
+        regrouping, bit-identical to a raw rollup at that grain."""
+        from .rollup import rollup_grain
+
+        return rollup_grain(self._tiers(), grain_hours)
+
     def serve_range_overlap(
         self,
         col: str,

@@ -468,48 +468,91 @@ def rollup_up(lower: DataFrame, to_tier: str) -> DataFrame:
     """
     assert to_tier in TIER_ORDER[1:], to_tier
     unit = TIER_UNIT[to_tier]
+    bucket = (
+        F.date_trunc(unit, "bucket_start")
+        .cast("timestamp_ntz")
+        .alias("bucket_start")
+    )
+    return (
+        observed_state(lower)
+        .groupBy("conv_id", bucket)
+        .agg(*state_merge_aggs(lower.columns))
+        .withColumn("tier", F.lit(to_tier))
+    )
+
+
+def state_merge_aggs(columns) -> list:
+    """The FULL tier-state composition list: algebraic metric aggregates
+    (sum←sum, min←min, max←max) plus every optional state family's merge,
+    keyed on the self-describing column suffixes. Any grouping of tier
+    rows composed with these aggregates equals recomputing from raw —
+    rollup_up (calendar tiers) and rollup_grain (arbitrary N-hour grains)
+    are the same operation over different bucket keys."""
     # any HLL sketch columns in the lower tier merge upward by register-max
     # union — same one-shuffle partial+final shape as the algebraic aggs
     sketch_merges = (
-        [
-            F.hll_union_agg(c).alias(c)
-            for c in lower.columns
-            if c.endswith("_hll")
-        ]
-        + hist_merge_aggs([c for c in lower.columns if c.endswith("_hist")])
-        + firstlast_merge_aggs(lower.columns)
+        [F.hll_union_agg(c).alias(c) for c in columns if c.endswith("_hll")]
+        + hist_merge_aggs([c for c in columns if c.endswith("_hist")])
+        + firstlast_merge_aggs(columns)
         + sumsq_merge_aggs(
             [
                 c
-                for c in lower.columns
+                for c in columns
                 if c.endswith("_sumsq") or c.endswith("_sumprod")
             ]
         )
-        + freq_merge_aggs([c for c in lower.columns if c.endswith("_freq")])
-        + _hh_merges(lower.columns)
-        + _kmv_merges(lower.columns)
+        + freq_merge_aggs([c for c in columns if c.endswith("_freq")])
+        + _hh_merges(columns)
+        + _kmv_merges(columns)
     )
+    return [
+        F.sum("n_turns").alias("n_turns"),
+        F.sum("token_sum").alias("token_sum"),
+        F.min("token_min").alias("token_min"),
+        F.max("token_max").alias("token_max"),
+        F.sum("tool_sum").alias("tool_sum"),
+        F.min("tool_min").alias("tool_min"),
+        F.max("tool_max").alias("tool_max"),
+        F.sum("hours_count").alias("hours_count"),
+        F.min("hturns_min").alias("hturns_min"),
+        F.max("hturns_max").alias("hturns_max"),
+        *sketch_merges,
+    ]
+
+
+def rollup_grain(
+    tiers: dict[str, DataFrame], grain_hours: int
+) -> DataFrame:
+    """M46: arbitrary-grain downsample SERVING — regroup tier state into
+    N-hour buckets (the TimescaleDB `time_bucket` regrouping), composed
+    with the exact tier algebra so the result is bit-identical to a
+    direct rollup of raw at that grain.
+
+    Source-tier planning: a grain that is a whole number of UTC days
+    (grain_hours % 24 == 0) regroups the DAILY tier — ~24× fewer input
+    rows — because epoch-floor day-multiple buckets always start at UTC
+    midnight, so each daily row falls wholly inside one grain bucket.
+    Any other grain regroups hourly (every tier bucket must nest inside a
+    grain bucket; hours always do, days only under day-multiples).
+    Monthly never qualifies (calendar months are not fixed-width).
+
+    Gap-filled rows are excluded (copied state must not inflate counts);
+    bucket arithmetic is integer epoch-floor on unix micros — no float,
+    no timezone: buckets align to the 1970-01-01 00:00 UTC origin."""
+    if grain_hours <= 0:
+        raise ValueError(f"grain_hours must be positive: {grain_hours}")
+    source = "daily" if grain_hours % 24 == 0 else "hourly"
+    lower = tiers[source]
+    span = int(grain_hours) * 3_600_000_000  # micros
+    micros = F.unix_micros(F.col("bucket_start").cast("timestamp_ltz"))
+    bucket = F.timestamp_micros(
+        (micros - ((micros % span) + span) % span)  # floor for any sign
+    ).cast("timestamp_ntz")
     return (
-        observed_state(lower).groupBy(
-            "conv_id",
-            F.date_trunc(unit, "bucket_start")
-            .cast("timestamp_ntz")
-            .alias("bucket_start"),
-        )
-        .agg(
-            F.sum("n_turns").alias("n_turns"),
-            F.sum("token_sum").alias("token_sum"),
-            F.min("token_min").alias("token_min"),
-            F.max("token_max").alias("token_max"),
-            F.sum("tool_sum").alias("tool_sum"),
-            F.min("tool_min").alias("tool_min"),
-            F.max("tool_max").alias("tool_max"),
-            F.sum("hours_count").alias("hours_count"),
-            F.min("hturns_min").alias("hturns_min"),
-            F.max("hturns_max").alias("hturns_max"),
-            *sketch_merges,
-        )
-        .withColumn("tier", F.lit(to_tier))
+        observed_state(lower)
+        .groupBy("conv_id", bucket.alias("bucket_start"))
+        .agg(*state_merge_aggs(lower.columns))
+        .withColumn("tier", F.lit(f"grain_{int(grain_hours)}h"))
     )
 
 

@@ -1392,3 +1392,48 @@ def cagg_distinct_kmv_weekly(spark, sf_dir):
     pipe.run(t0, stages=("hourly",))
     cagg.refresh()
     return cagg.read()
+
+
+@register(
+    "tier_grain_6h",
+    _TIER_CTE
+    + """
+    SELECT conv_id,
+           TIMESTAMP '1970-01-01 00:00:00'
+             + (CAST(floor(epoch(bucket_start) / 21600) AS BIGINT) * 21600)
+               * INTERVAL 1 SECOND AS bucket_start,
+           CAST(SUM(n_turns) AS BIGINT) AS n_turns,
+           CAST(SUM(token_sum) AS BIGINT) AS token_sum,
+           MIN(token_min) AS token_min, MAX(token_max) AS token_max,
+           CAST(SUM(tool_sum) AS BIGINT) AS tool_sum,
+           CAST(SUM(token_sum) AS DOUBLE) / CAST(SUM(n_turns) AS DOUBLE)
+             AS token_mean
+    FROM hourly
+    GROUP BY 1, 2
+    """,
+)
+def tier_grain_6h(spark, sf_dir):
+    """M46 arbitrary-grain downsample serving (engine/rollup.py
+    rollup_grain): 6-hour buckets REGROUPED FROM THE HOURLY TIER with the
+    exact composition algebra — the TimescaleDB `time_bucket` regrouping,
+    never re-reading raw. Buckets are integer epoch-floor on unix micros
+    (origin 1970-01-01 UTC), so the oracle's epoch arithmetic over its
+    own hourly CTE reproduces them exactly; whole-day grains
+    automatically regroup the ~24x smaller DAILY tier instead (pytest'd
+    equal). At 10^12 turns this serves any dashboard zoom level from
+    O(tier) rows with one shuffle."""
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0)
+    g = erollup.rollup_grain(tiers, 6)
+    return g.select(
+        "conv_id",
+        "bucket_start",
+        "n_turns",
+        "token_sum",
+        "token_min",
+        "token_max",
+        "tool_sum",
+        (
+            F.col("token_sum").cast("double") / F.col("n_turns").cast("double")
+        ).alias("token_mean"),
+    )

@@ -85,6 +85,7 @@ class TierPipeline:
         freq_cols: list[str] | None = None,
         hh_cols: dict[str, int] | None = None,
         kmv_cols: dict[str, int] | None = None,
+        session_gaps: list[int] | None = None,
         wap: bool = False,
         wap_audit=None,
         hourly_layout: int = 1,
@@ -173,6 +174,13 @@ class TierPipeline:
         #: the canonical array as JSON (empty arrays must stay visible);
         #: migration story identical to hist_cols.
         self.kmv_cols = {c: int(k) for c, k in sorted((kmv_cols or {}).items())}
+        #: mergeable sessionization state per gap threshold in minutes
+        #: (`sessions_g{G}` structs, engine/sessionstate.py): per-bucket
+        #: island counts + boundary timestamps composing hourly→daily→
+        #: monthly by time-ordered monoid fold — session counts served
+        #: from any tier equal a fresh gaps-and-islands scan of raw.
+        #: Fingerprint hashes the struct as JSON; migration like hist_cols.
+        self.session_gaps = sorted({int(g) for g in (session_gaps or [])})
         #: write-audit-publish (requires snapshots): a run writes every
         #: stage into STAGED (unpublished) snapshots with manifest commits
         #: deferred; at the seal, `wap_audit(pipe)` (if given) inspects the
@@ -253,6 +261,10 @@ class TierPipeline:
             parts.append(
                 "kmv:" + ";".join(f"{c}={k}" for c, k in self.kmv_cols.items())
             )
+        if self.session_gaps:
+            parts.append(
+                "sess:" + ";".join(str(g) for g in self.session_gaps)
+            )
         if self.hourly_layout != 1:
             parts.append(f"layout:{self.hourly_layout}")
         return "|".join(p for p in parts if p)
@@ -317,6 +329,12 @@ class TierPipeline:
             + [
                 F.to_json(F.col(f"{c}_kmv{k}"))
                 for c, k in self.kmv_cols.items()
+            ]
+            # session structs are deterministic (the merge fold is ordered)
+            # — JSON for the same empty-visibility reason as the others
+            + [
+                F.to_json(F.col(f"sessions_g{g}"))
+                for g in self.session_gaps
             ]
         )
 
@@ -1228,6 +1246,7 @@ class TierPipeline:
                     freq_cols=self.freq_cols,
                     hh_cols=self.hh_cols,
                     kmv_cols=self.kmv_cols,
+                    session_gaps=self.session_gaps,
                 )
                 if salted
                 else rollup_hourly(
@@ -1240,6 +1259,7 @@ class TierPipeline:
                     freq_cols=self.freq_cols,
                     hh_cols=self.hh_cols,
                     kmv_cols=self.kmv_cols,
+                    session_gaps=self.session_gaps,
                 )
             )
             if self.fill_tiers:

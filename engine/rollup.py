@@ -253,6 +253,7 @@ def rollup_hourly(
     freq_cols: list[str] | None = None,
     hh_cols: dict[str, int] | None = None,
     kmv_cols: dict[str, int] | None = None,
+    session_gaps: list[int] | None = None,
 ) -> DataFrame:
     """Leaf rollup D1: raw turns → hourly tier state.
 
@@ -358,6 +359,20 @@ def rollup_hourly(
                 kmv_state_col(c, k),
                 F.coalesce(kmv_state_col(c, k), empty_kmv_array()),
             )
+    if session_gaps:
+        from .sessionstate import sess_leaf_states
+
+        ss = sess_leaf_states(
+            df.withColumn(
+                "bucket_start",
+                F.date_trunc("hour", "ts").cast("timestamp_ntz"),
+            ),
+            ["conv_id", "bucket_start"],
+            session_gaps,
+        )
+        # inner-join semantics are safe: every observed hourly row has at
+        # least one turn, so the session pass emits a state for every key
+        hourly = hourly.join(ss, ["conv_id", "bucket_start"], "left")
     return hourly.withColumn("tier", F.lit("hourly"))
 
 
@@ -413,6 +428,7 @@ def densify_hourly_locf(hourly: DataFrame) -> DataFrame:
         or c.endswith("_freq")
         or _is_hh(c)
         or _is_kmv(c)
+        or _is_sess(c)
     ]
     return dense.select(
         "conv_id",
@@ -455,6 +471,21 @@ def _kmv_merges(colnames) -> list:
     from .kmv import kmv_merge_aggs
 
     return kmv_merge_aggs(colnames)
+
+
+def _is_sess(name: str) -> bool:
+    from .sessionstate import sess_is_state_col
+
+    return sess_is_state_col(name)
+
+
+def _sess_merges(colnames) -> list:
+    """Sessionization state merges (`sessions_g{G}`,
+    engine/sessionstate.py): time-ordered monoid fold — session counts
+    compose across buckets exactly (boundary islands re-merge)."""
+    from .sessionstate import sess_merge_aggs
+
+    return sess_merge_aggs(colnames)
 
 
 def rollup_up(lower: DataFrame, to_tier: str) -> DataFrame:
@@ -504,6 +535,7 @@ def state_merge_aggs(columns) -> list:
         + freq_merge_aggs([c for c in columns if c.endswith("_freq")])
         + _hh_merges(columns)
         + _kmv_merges(columns)
+        + _sess_merges(columns)
     )
     return [
         F.sum("n_turns").alias("n_turns"),
@@ -566,6 +598,7 @@ def build_tiers(
     freq_cols: list[str] | None = None,
     hh_cols: dict[str, int] | None = None,
     kmv_cols: dict[str, int] | None = None,
+    session_gaps: list[int] | None = None,
 ) -> dict[str, DataFrame]:
     """raw → {hourly, daily, monthly} tier-state DataFrames."""
     hourly = rollup_hourly(
@@ -578,6 +611,7 @@ def build_tiers(
         freq_cols=freq_cols,
         hh_cols=hh_cols,
         kmv_cols=kmv_cols,
+        session_gaps=session_gaps,
     )
     daily = rollup_up(hourly, "daily")
     monthly = rollup_up(daily, "monthly")

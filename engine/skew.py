@@ -69,6 +69,7 @@ def rollup_hourly_salted(
     freq_cols: list[str] | None = None,
     hh_cols: dict[str, int] | None = None,
     kmv_cols: dict[str, int] | None = None,
+    session_gaps: list[int] | None = None,
 ) -> DataFrame:
     """F6: two-phase salted leaf rollup.
 
@@ -216,6 +217,22 @@ def rollup_hourly_salted(
                 kmv_state_col(c, k),
                 F.coalesce(kmv_state_col(c, k), empty_kmv_array()),
             )
+    # sessionization state: the leaf window is partitioned by
+    # (conv_id, hour bucket) — per-task work is bounded by one
+    # conversation-hour regardless of key heat, so like freq/hh/kmv it
+    # joins the merged rows directly, bit-identical to the unsalted path
+    if session_gaps:
+        from .sessionstate import sess_leaf_states
+
+        ss = sess_leaf_states(
+            df.withColumn(
+                "bucket_start",
+                F.date_trunc("hour", "ts").cast("timestamp_ntz"),
+            ),
+            ["conv_id", "bucket_start"],
+            session_gaps,
+        )
+        merged = merged.join(ss, ["conv_id", "bucket_start"], "left")
     return merged.withColumns(
         {
             "hours_count": F.lit(1).cast("long"),

@@ -1437,3 +1437,55 @@ def tier_grain_6h(spark, sf_dir):
             F.col("token_sum").cast("double") / F.col("n_turns").cast("double")
         ).alias("token_mean"),
     )
+
+
+@register(
+    "tier_sessions_monthly",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS turn_idx
+      FROM events),
+    flagged AS (
+      SELECT conv_id,
+             CAST(date_trunc('month', ts) AS TIMESTAMP) AS m,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM t0
+      WINDOW w AS (PARTITION BY conv_id, date_trunc('month', ts)
+                   ORDER BY ts, turn_idx))
+    SELECT conv_id, m AS bucket_start,
+           CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+    FROM flagged GROUP BY 1, 2
+    """,
+)
+def tier_sessions_monthly(spark, sf_dir):
+    """M47 mergeable SESSIONIZATION tier state (engine/sessionstate.py)
+    through the REAL pipeline on the SALTED path: per-hour island counts
+    plus boundary timestamps form a time-ordered monoid, so
+    `TierPipeline(session_gaps=[30])` composes session counts
+    hourly→daily→monthly exactly — the oracle re-runs gaps-and-islands
+    (30-min inactivity gap, strictly-greater convention) over raw and
+    hash equality proves two tier compositions lose nothing. The
+    operator that looks inherently sequential becomes an O(tier-rows)
+    fold: at 10^12 turns, monthly session counts come from ≤31 daily
+    structs per conversation, never a raw scan."""
+    import tempfile
+
+    from .pipeline import TierPipeline
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    pipe = TierPipeline(
+        spark, tempfile.mkdtemp(prefix="tier-sess-"),
+        salted=True, session_gaps=[30], fill_tiers=False,
+    )
+    pipe.run(t0, stages=("hourly", "daily", "monthly"))
+    m = pipe.read_tier("monthly")
+    return m.select(
+        "conv_id",
+        "bucket_start",
+        F.col("sessions_g30")["n"].alias("n_sessions"),
+    )

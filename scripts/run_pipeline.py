@@ -77,6 +77,10 @@ def main():
                          "distinct-hash arrays with set algebra — "
                          "intersection/Jaccard across buckets; e.g. "
                          "tool:256,text:4096)")
+    ap.add_argument("--session-gaps", default=None,
+                    help="comma list of inactivity-gap thresholds in "
+                         "minutes to carry mergeable sessionization tier "
+                         "state for (e.g. 30,120)")
     ap.add_argument("--no-lease", action="store_true",
                     help="skip the single-writer run lease (concurrent "
                          "runs on one root can then double-write)")
@@ -154,6 +158,11 @@ def main():
                 if s
             }
             if args.kmv_cols
+            else None
+        ),
+        session_gaps=(
+            [int(s) for s in args.session_gaps.split(",") if s]
+            if args.session_gaps
             else None
         ),
         lease=not args.no_lease,

@@ -86,6 +86,7 @@ class TierPipeline:
         hh_cols: dict[str, int] | None = None,
         kmv_cols: dict[str, int] | None = None,
         session_gaps: list[int] | None = None,
+        statedur_cols: list[str] | None = None,
         wap: bool = False,
         wap_audit=None,
         hourly_layout: int = 1,
@@ -181,6 +182,12 @@ class TierPipeline:
         #: from any tier equal a fresh gaps-and-islands scan of raw.
         #: Fingerprint hashes the struct as JSON; migration like hist_cols.
         self.session_gaps = sorted({int(g) for g in (session_gaps or [])})
+        #: duration-in-state structs per categorical column
+        #: (`statedur_{col}`, engine/statedur.py): the TimescaleDB
+        #: state_agg — time-in-state maps composing across tiers by the
+        #: same ordered-monoid fold as sessions. Fingerprint hashes the
+        #: struct with its entries canonicalized; migration like hist_cols.
+        self.statedur_cols = sorted(set(statedur_cols or []))
         #: write-audit-publish (requires snapshots): a run writes every
         #: stage into STAGED (unpublished) snapshots with manifest commits
         #: deferred; at the seal, `wap_audit(pipe)` (if given) inspects the
@@ -265,6 +272,8 @@ class TierPipeline:
             parts.append(
                 "sess:" + ";".join(str(g) for g in self.session_gaps)
             )
+        if self.statedur_cols:
+            parts.append("sd:" + ";".join(self.statedur_cols))
         if self.hourly_layout != 1:
             parts.append(f"layout:{self.hourly_layout}")
         return "|".join(p for p in parts if p)
@@ -335,6 +344,23 @@ class TierPipeline:
             + [
                 F.to_json(F.col(f"sessions_g{g}"))
                 for g in self.session_gaps
+            ]
+            # statedur structs: canonicalize the internal map to sorted
+            # entries before hashing (merge-order-independent multiset,
+            # the freq lesson applies to the nested map too)
+            + [
+                e
+                for c in self.statedur_cols
+                for e in (
+                    F.col(f"statedur_{c}")["first_us"],
+                    F.col(f"statedur_{c}")["last_us"],
+                    F.col(f"statedur_{c}")["last_state"],
+                    F.to_json(
+                        F.sort_array(
+                            F.map_entries(F.col(f"statedur_{c}")["durs"])
+                        )
+                    ),
+                )
             ]
         )
 
@@ -1247,6 +1273,7 @@ class TierPipeline:
                     hh_cols=self.hh_cols,
                     kmv_cols=self.kmv_cols,
                     session_gaps=self.session_gaps,
+                    statedur_cols=self.statedur_cols,
                 )
                 if salted
                 else rollup_hourly(
@@ -1260,6 +1287,7 @@ class TierPipeline:
                     hh_cols=self.hh_cols,
                     kmv_cols=self.kmv_cols,
                     session_gaps=self.session_gaps,
+                    statedur_cols=self.statedur_cols,
                 )
             )
             if self.fill_tiers:

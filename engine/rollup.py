@@ -254,6 +254,7 @@ def rollup_hourly(
     hh_cols: dict[str, int] | None = None,
     kmv_cols: dict[str, int] | None = None,
     session_gaps: list[int] | None = None,
+    statedur_cols: list[str] | None = None,
 ) -> DataFrame:
     """Leaf rollup D1: raw turns → hourly tier state.
 
@@ -373,6 +374,18 @@ def rollup_hourly(
         # inner-join semantics are safe: every observed hourly row has at
         # least one turn, so the session pass emits a state for every key
         hourly = hourly.join(ss, ["conv_id", "bucket_start"], "left")
+    if statedur_cols:
+        from .statedur import sd_leaf_states
+
+        sd = sd_leaf_states(
+            df.withColumn(
+                "bucket_start",
+                F.date_trunc("hour", "ts").cast("timestamp_ntz"),
+            ),
+            ["conv_id", "bucket_start"],
+            statedur_cols,
+        )
+        hourly = hourly.join(sd, ["conv_id", "bucket_start"], "left")
     return hourly.withColumn("tier", F.lit("hourly"))
 
 
@@ -429,6 +442,7 @@ def densify_hourly_locf(hourly: DataFrame) -> DataFrame:
         or _is_hh(c)
         or _is_kmv(c)
         or _is_sess(c)
+        or _is_sd(c)
     ]
     return dense.select(
         "conv_id",
@@ -471,6 +485,21 @@ def _kmv_merges(colnames) -> list:
     from .kmv import kmv_merge_aggs
 
     return kmv_merge_aggs(colnames)
+
+
+def _is_sd(name: str) -> bool:
+    from .statedur import sd_is_state_col
+
+    return sd_is_state_col(name)
+
+
+def _sd_merges(colnames) -> list:
+    """Duration-in-state merges (`statedur_{col}`, engine/statedur.py):
+    time-ordered monoid fold attributing boundary intervals to the
+    earlier span's last state."""
+    from .statedur import sd_merge_aggs
+
+    return sd_merge_aggs(colnames)
 
 
 def _is_sess(name: str) -> bool:
@@ -536,6 +565,7 @@ def state_merge_aggs(columns) -> list:
         + _hh_merges(columns)
         + _kmv_merges(columns)
         + _sess_merges(columns)
+        + _sd_merges(columns)
     )
     return [
         F.sum("n_turns").alias("n_turns"),
@@ -599,6 +629,7 @@ def build_tiers(
     hh_cols: dict[str, int] | None = None,
     kmv_cols: dict[str, int] | None = None,
     session_gaps: list[int] | None = None,
+    statedur_cols: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """raw → {hourly, daily, monthly} tier-state DataFrames."""
     hourly = rollup_hourly(
@@ -612,6 +643,7 @@ def build_tiers(
         hh_cols=hh_cols,
         kmv_cols=kmv_cols,
         session_gaps=session_gaps,
+        statedur_cols=statedur_cols,
     )
     daily = rollup_up(hourly, "daily")
     monthly = rollup_up(daily, "monthly")

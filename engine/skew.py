@@ -70,6 +70,7 @@ def rollup_hourly_salted(
     hh_cols: dict[str, int] | None = None,
     kmv_cols: dict[str, int] | None = None,
     session_gaps: list[int] | None = None,
+    statedur_cols: list[str] | None = None,
 ) -> DataFrame:
     """F6: two-phase salted leaf rollup.
 
@@ -233,6 +234,20 @@ def rollup_hourly_salted(
             session_gaps,
         )
         merged = merged.join(ss, ["conv_id", "bucket_start"], "left")
+    # duration-in-state: identical boundedness argument — the leaf window
+    # is keyed (conv, hour); joins the merged rows, bit-identical unsalted
+    if statedur_cols:
+        from .statedur import sd_leaf_states
+
+        sd = sd_leaf_states(
+            df.withColumn(
+                "bucket_start",
+                F.date_trunc("hour", "ts").cast("timestamp_ntz"),
+            ),
+            ["conv_id", "bucket_start"],
+            statedur_cols,
+        )
+        merged = merged.join(sd, ["conv_id", "bucket_start"], "left")
     return merged.withColumns(
         {
             "hours_count": F.lit(1).cast("long"),

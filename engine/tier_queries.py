@@ -1489,3 +1489,54 @@ def tier_sessions_monthly(spark, sf_dir):
         "bucket_start",
         F.col("sessions_g30")["n"].alias("n_sessions"),
     )
+
+
+@register(
+    "tier_statedur_monthly",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts, event_type AS role,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS turn_idx
+      FROM events),
+    d AS (
+      SELECT conv_id,
+             CAST(date_trunc('month', ts) AS TIMESTAMP) AS m, role,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur
+      FROM t0
+      WINDOW w AS (PARTITION BY conv_id, date_trunc('month', ts)
+                   ORDER BY ts, turn_idx))
+    SELECT conv_id, m AS bucket_start, role,
+           CAST(SUM(dur) AS BIGINT) AS micros
+    FROM d WHERE dur IS NOT NULL GROUP BY 1, 2, 3
+    """,
+)
+def tier_statedur_monthly(spark, sf_dir):
+    """M48 duration-in-state tier state (engine/statedur.py — the
+    TimescaleDB toolkit state_agg) through the REAL pipeline on the
+    SALTED path: each hourly bucket stores a (first_us, last_us,
+    last_state, state→micros map) struct where [t_i, t_{i+1}) between
+    consecutive turns is attributed to the state at t_i; the merge fold
+    adds each BOUNDARY interval to the earlier bucket's last_state, so
+    monthly time-in-state composed from hourly structs equals a fresh
+    lead()-attribution scan over the month's raw turns — the oracle
+    recomputes exactly that and hash equality pins it, exact integer
+    micros end to end. At 10^12 turns "how long in tool-use vs chatting
+    this month" reads ≤31 daily structs per conversation, never raw."""
+    import tempfile
+
+    from .pipeline import TierPipeline
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    pipe = TierPipeline(
+        spark, tempfile.mkdtemp(prefix="tier-sd-"),
+        salted=True, statedur_cols=["role"], fill_tiers=False,
+    )
+    pipe.run(t0, stages=("hourly", "daily", "monthly"))
+    m = pipe.read_tier("monthly")
+    return m.select(
+        "conv_id",
+        "bucket_start",
+        F.explode(F.col("statedur_role")["durs"]).alias("role", "micros"),
+    )

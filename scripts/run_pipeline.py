@@ -81,6 +81,10 @@ def main():
                     help="comma list of inactivity-gap thresholds in "
                          "minutes to carry mergeable sessionization tier "
                          "state for (e.g. 30,120)")
+    ap.add_argument("--statedur-cols", default=None,
+                    help="comma list of categorical columns to carry "
+                         "duration-in-state tier structs for (state_agg; "
+                         "e.g. role)")
     ap.add_argument("--no-lease", action="store_true",
                     help="skip the single-writer run lease (concurrent "
                          "runs on one root can then double-write)")
@@ -163,6 +167,11 @@ def main():
         session_gaps=(
             [int(s) for s in args.session_gaps.split(",") if s]
             if args.session_gaps
+            else None
+        ),
+        statedur_cols=(
+            [c for c in args.statedur_cols.split(",") if c]
+            if args.statedur_cols
             else None
         ),
         lease=not args.no_lease,

@@ -169,3 +169,47 @@ def test_pipeline_migration_and_parity(spark, t0, tmp_path):
     )
     r3 = TierPipeline(spark, root, statedur_cols=["role"]).run(t0)
     assert all(v == 0 for v in r3["stages"].values()), r3
+
+
+def test_new_state_families_compose_with_modes(spark, t0, tmp_path):
+    """kmv + sessions + statedur together, through a salted snapshot-mode
+    pipeline: every family's monthly state equals its in-memory twin, and
+    a re-run is a no-op (fingerprints stable across all three JSONs)."""
+    from engine.kmv import kmv_state_col
+    from engine.sessionstate import sess_state_col
+
+    opts = dict(
+        salted=True,
+        snapshots=True,
+        kmv_cols={"text": 64},
+        session_gaps=[30],
+        statedur_cols=["role"],
+        fill_tiers=False,
+    )
+    root = str(tmp_path / "modes")
+    pipe = TierPipeline(spark, root, **opts)
+    pipe.run(t0)
+    want = build_tiers(
+        t0, kmv_cols={"text": 64}, session_gaps=[30], statedur_cols=["role"]
+    )["monthly"]
+    got = pipe.read_tier("monthly")
+    kc, sc = kmv_state_col("text", 64), sess_state_col(30)
+
+    def snap(df):
+        return {
+            (r["conv_id"], r["bucket_start"]): (
+                tuple(r[kc]),
+                (r[sc]["first_us"], r[sc]["last_us"], r[sc]["n"]),
+                (
+                    r[COL]["first_us"],
+                    r[COL]["last_us"],
+                    r[COL]["last_state"],
+                    tuple(sorted(r[COL]["durs"].items())),
+                ),
+            )
+            for r in df.collect()
+        }
+
+    assert snap(got) == snap(want)
+    r2 = TierPipeline(spark, root, **opts).run(t0)
+    assert all(v == 0 for v in r2["stages"].values()), r2

@@ -135,6 +135,29 @@ class TierEngine:
             self._tiers(), col, lo_a, hi_a, lo_b, hi_b
         )
 
+    def serve_range_sessions(
+        self, lo: datetime, hi: datetime, gap_minutes: int | None = None
+    ) -> DataFrame:
+        """Session count over a range from M47 monoid state (needs
+        session_gaps=[G]); defaults to the pipeline's only gap."""
+        gaps = self.pipeline.session_gaps
+        if gap_minutes is None:
+            if len(gaps) != 1:
+                raise ValueError(f"specify gap_minutes (configured: {gaps})")
+            gap_minutes = gaps[0]
+        if gap_minutes not in gaps:
+            raise ValueError(f"session_gaps has no {gap_minutes} (got {gaps})")
+        return _rw.rewrite_range_sessions(self._tiers(), lo, hi, gap_minutes)
+
+    def serve_range_statedur(
+        self, lo: datetime, hi: datetime, col: str
+    ) -> DataFrame:
+        """Time-in-state over a range from M48 state_agg structs (needs
+        statedur_cols=[col]) — exact integer micros."""
+        if col not in self.pipeline.statedur_cols:
+            raise ValueError(f"statedur_cols has no column {col!r}")
+        return _rw.rewrite_range_statedur(self._tiers(), lo, hi, col)
+
     def serve_realtime(
         self, lo: datetime, hi: datetime, watermark: datetime, t0: DataFrame
     ) -> DataFrame:

@@ -575,3 +575,61 @@ def rewrite_range_kmv_overlap(
         rho.alias("jaccard_est"),
         (rho * n_union_est).alias("n_common_est"),
     )
+
+
+def _range_state_rows(
+    tiers: dict[str, DataFrame], lo: datetime, hi: datetime, col: str
+) -> DataFrame:
+    """Span-matched tier rows carrying one ordered-monoid state column
+    (sessions_g{G} / statedur_{c}) for [lo, hi)."""
+    spans = split_range(lo, hi)
+    if not spans:
+        raise ValueError("empty range")
+    parts = []
+    for tier, a, b in spans:
+        st = observed_state(tiers[tier])
+        if col not in st.columns:
+            raise ValueError(f"{tier} tier has no state column {col!r}")
+        parts.append(
+            st.filter(
+                (F.col("bucket_start") >= F.lit(a))
+                & (F.col("bucket_start") < F.lit(b))
+            ).select("conv_id", col)
+        )
+    return reduce(lambda x, y: x.unionByName(y), parts)
+
+
+def rewrite_range_sessions(
+    tiers: dict[str, DataFrame], lo: datetime, hi: datetime, gap_minutes: int
+) -> DataFrame:
+    """§4.3 × M47: per-conversation SESSION COUNT over an arbitrary
+    hour-aligned range, folded from span-matched tier `sessions_g{G}`
+    structs (`TierPipeline(session_gaps=[G])`) — the ordered monoid
+    composes across mixed hourly/daily/monthly spans exactly like it
+    composes up the tiers, so the count equals a gaps-and-islands scan
+    of the range's raw turns. O(tier rows in range), never O(raw)."""
+    from .sessionstate import sess_merge_aggs, sess_state_col
+
+    col = sess_state_col(gap_minutes)
+    u = _range_state_rows(tiers, lo, hi, col)
+    return u.groupBy("conv_id").agg(*sess_merge_aggs([col])).select(
+        "conv_id", F.col(col)["n"].alias("n_sessions")
+    )
+
+
+def rewrite_range_statedur(
+    tiers: dict[str, DataFrame], lo: datetime, hi: datetime, col: str
+) -> DataFrame:
+    """§4.3 × M48: per-conversation TIME-IN-STATE over an arbitrary
+    hour-aligned range from span-matched `statedur_{col}` structs —
+    exact integer micros, identical to lead()-attribution over the
+    range's raw turns (intervals crossing span seams are re-attributed
+    by the boundary rule during the fold)."""
+    from .statedur import sd_merge_aggs, sd_state_col
+
+    c = sd_state_col(col)
+    u = _range_state_rows(tiers, lo, hi, c)
+    folded = u.groupBy("conv_id").agg(*sd_merge_aggs([c]))
+    return folded.select(
+        "conv_id", F.explode(F.col(c)["durs"]).alias("state", "micros")
+    )

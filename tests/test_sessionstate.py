@@ -180,3 +180,34 @@ def test_pipeline_migration_and_parity(spark, t0, tmp_path):
     r4 = TierPipeline(spark, root).run(t0)
     assert r4["stages"]["hourly"] == n_days
     assert COL not in TierPipeline(spark, root).read_tier("hourly").columns
+
+
+def test_range_rewrite_sessions_vs_raw(spark, t0):
+    """rewrite_range_sessions across mixed tier spans == gaps-and-islands
+    on the range's raw turns."""
+    from datetime import datetime
+
+    from engine.rewrite import rewrite_range_sessions, split_range
+
+    tiers = build_tiers(t0, session_gaps=[G])
+    lo, hi = datetime(2026, 1, 3, 7), datetime(2026, 3, 18, 12)
+    assert len(split_range(lo, hi)) > 2
+    got = {
+        r["conv_id"]: r["n_sessions"]
+        for r in rewrite_range_sessions(tiers, lo, hi, G).collect()
+    }
+    ntz = F.col("ts").cast("timestamp_ntz")
+    raw = t0.filter((ntz >= F.lit(lo)) & (ntz < F.lit(hi)))
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    new = (
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > G * 60_000_000)
+    ).cast("long")
+    want = {
+        r["conv_id"]: r["n"]
+        for r in raw.withColumn("_n", new)
+        .groupBy("conv_id")
+        .agg(F.sum("_n").alias("n"))
+        .collect()
+    }
+    assert got and got == want

@@ -213,3 +213,31 @@ def test_new_state_families_compose_with_modes(spark, t0, tmp_path):
     assert snap(got) == snap(want)
     r2 = TierPipeline(spark, root, **opts).run(t0)
     assert all(v == 0 for v in r2["stages"].values()), r2
+
+
+def test_range_rewrite_statedur_vs_raw(spark, t0):
+    """rewrite_range_statedur across mixed tier spans == lead attribution
+    over the range's raw turns (exact micros)."""
+    from engine.rewrite import rewrite_range_statedur, split_range
+
+    tiers = build_tiers(t0, statedur_cols=["role"])
+    lo, hi = datetime(2026, 1, 3, 7), datetime(2026, 3, 18, 12)
+    assert len(split_range(lo, hi)) > 2
+    got = {}
+    for r in rewrite_range_statedur(tiers, lo, hi, "role").collect():
+        got.setdefault(r["conv_id"], {})[r["state"]] = r["micros"]
+    ntz = F.col("ts").cast("timestamp_ntz")
+    raw = t0.filter((ntz >= F.lit(lo)) & (ntz < F.lit(hi)))
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    dur = F.lead(us).over(w) - us
+    want = {}
+    for r in (
+        raw.withColumn("_d", dur)
+        .filter(F.col("_d").isNotNull())
+        .groupBy("conv_id", "role")
+        .agg(F.sum("_d").alias("d"))
+        .collect()
+    ):
+        want.setdefault(r["conv_id"], {})[r["role"]] = r["d"]
+    assert got and got == want

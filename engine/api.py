@@ -158,6 +158,28 @@ class TierEngine:
             raise ValueError(f"statedur_cols has no column {col!r}")
         return _rw.rewrite_range_statedur(self._tiers(), lo, hi, col)
 
+    def serve_range_twa(
+        self, lo: datetime, hi: datetime, col: str
+    ) -> DataFrame:
+        """Time-weighted average / gauge delta / rate over a range from
+        M49 LOCF-monoid structs (needs twa_cols=[col]) — exact integer
+        area, one float division."""
+        if col not in self.pipeline.twa_cols:
+            raise ValueError(f"twa_cols has no column {col!r}")
+        return _rw.rewrite_range_twa(self._tiers(), lo, hi, col)
+
+    def serve_range_percentiles(
+        self, lo: datetime, hi: datetime, col: str, qs: list[float]
+    ) -> DataFrame:
+        """Quantiles over a range from M50 log-bucket sketch maps (needs
+        qsk_cols=[col]) — exact ranks, values within 1/32 relative
+        error."""
+        if col not in self.pipeline.qsk_cols:
+            raise ValueError(f"qsk_cols has no column {col!r}")
+        return _rw.rewrite_range_qsk_percentiles(
+            self._tiers(), lo, hi, col, qs
+        )
+
     def serve_realtime(
         self, lo: datetime, hi: datetime, watermark: datetime, t0: DataFrame
     ) -> DataFrame:

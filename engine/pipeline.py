@@ -87,6 +87,8 @@ class TierPipeline:
         kmv_cols: dict[str, int] | None = None,
         session_gaps: list[int] | None = None,
         statedur_cols: list[str] | None = None,
+        twa_cols: list[str] | None = None,
+        qsk_cols: list[str] | None = None,
         wap: bool = False,
         wap_audit=None,
         hourly_layout: int = 1,
@@ -188,6 +190,21 @@ class TierPipeline:
         #: same ordered-monoid fold as sessions. Fingerprint hashes the
         #: struct with its entries canonicalized; migration like hist_cols.
         self.statedur_cols = sorted(set(statedur_cols or []))
+        #: time-weighted-average structs per numeric column (`twa_{col}`,
+        #: engine/twa.py): the TimescaleDB time_weight('locf')/gauge_agg
+        #: pair — exact integer LOCF integrals composing across tiers by
+        #: the ordered-monoid fold (boundary gaps weighted by the earlier
+        #: span's last value). Fingerprint hashes the struct as JSON;
+        #: migration like hist_cols.
+        self.twa_cols = sorted(set(twa_cols or []))
+        #: integer log-bucket quantile-sketch maps per numeric column
+        #: (`{col}_qsk`, engine/qsketch.py): DDSketch-style mergeable
+        #: quantile state with a hard ≤1/32 relative-error bound, exact
+        #: below 32; merge is key-union count addition (the freq fold),
+        #: so composition is exact as a multiset. Fingerprint hashes the
+        #: canonical sorted entry array as JSON (the freq lesson);
+        #: migration like hist_cols.
+        self.qsk_cols = sorted(set(qsk_cols or []))
         #: write-audit-publish (requires snapshots): a run writes every
         #: stage into STAGED (unpublished) snapshots with manifest commits
         #: deferred; at the seal, `wap_audit(pipe)` (if given) inspects the
@@ -274,6 +291,10 @@ class TierPipeline:
             )
         if self.statedur_cols:
             parts.append("sd:" + ";".join(self.statedur_cols))
+        if self.twa_cols:
+            parts.append("twa:" + ";".join(self.twa_cols))
+        if self.qsk_cols:
+            parts.append("qsk:" + ";".join(self.qsk_cols))
         if self.hourly_layout != 1:
             parts.append(f"layout:{self.hourly_layout}")
         return "|".join(p for p in parts if p)
@@ -361,6 +382,17 @@ class TierPipeline:
                         )
                     ),
                 )
+            ]
+            # twa structs are flat + deterministic (unique order keys at
+            # the leaf, ordered fold upward) — JSON so an all-null
+            # bucket's NULL struct stays hash-visible
+            + [F.to_json(F.col(f"twa_{c}")) for c in self.twa_cols]
+            # qsk maps: canonical sorted entries AS JSON (the freq lesson
+            # — xxhash64 skips raw empty arrays, and all-null buckets
+            # carry exactly an empty map)
+            + [
+                F.to_json(F.sort_array(F.map_entries(f"{c}_qsk")))
+                for c in self.qsk_cols
             ]
         )
 
@@ -1274,6 +1306,8 @@ class TierPipeline:
                     kmv_cols=self.kmv_cols,
                     session_gaps=self.session_gaps,
                     statedur_cols=self.statedur_cols,
+                    twa_cols=self.twa_cols,
+                    qsk_cols=self.qsk_cols,
                 )
                 if salted
                 else rollup_hourly(
@@ -1288,6 +1322,8 @@ class TierPipeline:
                     kmv_cols=self.kmv_cols,
                     session_gaps=self.session_gaps,
                     statedur_cols=self.statedur_cols,
+                    twa_cols=self.twa_cols,
+                    qsk_cols=self.qsk_cols,
                 )
             )
             if self.fill_tiers:

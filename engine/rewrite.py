@@ -633,3 +633,48 @@ def rewrite_range_statedur(
     return folded.select(
         "conv_id", F.explode(F.col(c)["durs"]).alias("state", "micros")
     )
+
+
+def rewrite_range_twa(
+    tiers: dict[str, DataFrame], lo: datetime, hi: datetime, col: str
+) -> DataFrame:
+    """§4.3 × M49: per-conversation TIME-WEIGHTED AVERAGE (plus gauge
+    delta / per-second rate) over an arbitrary hour-aligned range from
+    span-matched `twa_{col}` structs — the ordered-monoid fold closes
+    span seams with the LOCF boundary term, so the integer area equals a
+    fresh lead()-attribution scan of the range's raw turns; the only
+    float is the final area/span division. O(tier rows), never O(raw)."""
+    from .twa import twa_merge_aggs, twa_serve_cols, twa_state_col
+
+    c = twa_state_col(col)
+    u = _range_state_rows(tiers, lo, hi, c)
+    folded = u.groupBy("conv_id").agg(*twa_merge_aggs([c]))
+    serve = twa_serve_cols(F.col(c))
+    return folded.select(
+        "conv_id",
+        F.col(c)["area"].alias("area"),
+        (F.col(c)["last_us"] - F.col(c)["first_us"]).alias("span_us"),
+        serve["twa"].alias("twa"),
+        serve["delta"].alias("delta"),
+        serve["rate_per_s"].alias("rate_per_s"),
+    )
+
+
+def rewrite_range_qsk_percentiles(
+    tiers: dict[str, DataFrame],
+    lo: datetime,
+    hi: datetime,
+    col: str,
+    qs: list[float],
+) -> DataFrame:
+    """§4.3 × M50: per-conversation QUANTILES over an arbitrary
+    hour-aligned range from span-matched `{col}_qsk` maps — counts
+    compose exactly (key-union addition), so the served value is the
+    deterministic bucket representative of the range's true rank-target
+    element: rank exact, value within 1/32 relative error, and the whole
+    answer a pure function of the raw multiset (full-hash gateable)."""
+    from .qsketch import qsk_percentiles, qsk_state_col
+
+    c = qsk_state_col(col)
+    u = _range_state_rows(tiers, lo, hi, c)
+    return qsk_percentiles(u, ["conv_id"], c, qs)

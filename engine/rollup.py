@@ -255,6 +255,8 @@ def rollup_hourly(
     kmv_cols: dict[str, int] | None = None,
     session_gaps: list[int] | None = None,
     statedur_cols: list[str] | None = None,
+    twa_cols: list[str] | None = None,
+    qsk_cols: list[str] | None = None,
 ) -> DataFrame:
     """Leaf rollup D1: raw turns → hourly tier state.
 
@@ -386,6 +388,40 @@ def rollup_hourly(
             statedur_cols,
         )
         hourly = hourly.join(sd, ["conv_id", "bucket_start"], "left")
+    if twa_cols:
+        from .twa import empty_twa_struct, twa_leaf_states, twa_state_col
+
+        tw = twa_leaf_states(
+            df.withColumn(
+                "bucket_start",
+                F.date_trunc("hour", "ts").cast("timestamp_ntz"),
+            ),
+            ["conv_id", "bucket_start"],
+            twa_cols,
+        )
+        hourly = hourly.join(tw, ["conv_id", "bucket_start"], "left")
+        for c in sorted(set(twa_cols)):
+            hourly = hourly.withColumn(
+                twa_state_col(c),
+                F.coalesce(twa_state_col(c), empty_twa_struct()),
+            )
+    if qsk_cols:
+        from .qsketch import empty_qsk_map, qsk_maps, qsk_state_col
+
+        qm = qsk_maps(
+            df.withColumn(
+                "bucket_start",
+                F.date_trunc("hour", "ts").cast("timestamp_ntz"),
+            ),
+            ["conv_id", "bucket_start"],
+            qsk_cols,
+        )
+        hourly = hourly.join(qm, ["conv_id", "bucket_start"], "left")
+        for c in sorted(set(qsk_cols)):
+            hourly = hourly.withColumn(
+                qsk_state_col(c),
+                F.coalesce(qsk_state_col(c), empty_qsk_map()),
+            )
     return hourly.withColumn("tier", F.lit("hourly"))
 
 
@@ -443,6 +479,8 @@ def densify_hourly_locf(hourly: DataFrame) -> DataFrame:
         or _is_kmv(c)
         or _is_sess(c)
         or _is_sd(c)
+        or _is_twa(c)
+        or _is_qsk(c)
     ]
     return dense.select(
         "conv_id",
@@ -508,6 +546,36 @@ def _is_sess(name: str) -> bool:
     return sess_is_state_col(name)
 
 
+def _is_twa(name: str) -> bool:
+    from .twa import twa_is_state_col
+
+    return twa_is_state_col(name)
+
+
+def _twa_merges(colnames) -> list:
+    """Time-weighted-average state merges (`twa_{col}`, engine/twa.py):
+    time-ordered monoid fold — boundary gaps weighted by the earlier
+    span's last value (LOCF), exact integer value·micros."""
+    from .twa import twa_merge_aggs
+
+    return twa_merge_aggs(colnames)
+
+
+def _is_qsk(name: str) -> bool:
+    from .qsketch import qsk_is_state_col
+
+    return qsk_is_state_col(name)
+
+
+def _qsk_merges(colnames) -> list:
+    """Quantile-sketch state merges (`{col}_qsk`, engine/qsketch.py):
+    key-union count addition — exact multiset composition, so tier
+    quantiles == a direct sketch of raw."""
+    from .qsketch import qsk_merge_aggs
+
+    return qsk_merge_aggs(colnames)
+
+
 def _sess_merges(colnames) -> list:
     """Sessionization state merges (`sessions_g{G}`,
     engine/sessionstate.py): time-ordered monoid fold — session counts
@@ -566,6 +634,8 @@ def state_merge_aggs(columns) -> list:
         + _kmv_merges(columns)
         + _sess_merges(columns)
         + _sd_merges(columns)
+        + _twa_merges(columns)
+        + _qsk_merges(columns)
     )
     return [
         F.sum("n_turns").alias("n_turns"),
@@ -630,6 +700,8 @@ def build_tiers(
     kmv_cols: dict[str, int] | None = None,
     session_gaps: list[int] | None = None,
     statedur_cols: list[str] | None = None,
+    twa_cols: list[str] | None = None,
+    qsk_cols: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """raw → {hourly, daily, monthly} tier-state DataFrames."""
     hourly = rollup_hourly(
@@ -644,6 +716,8 @@ def build_tiers(
         kmv_cols=kmv_cols,
         session_gaps=session_gaps,
         statedur_cols=statedur_cols,
+        twa_cols=twa_cols,
+        qsk_cols=qsk_cols,
     )
     daily = rollup_up(hourly, "daily")
     monthly = rollup_up(daily, "monthly")

@@ -71,6 +71,8 @@ def rollup_hourly_salted(
     kmv_cols: dict[str, int] | None = None,
     session_gaps: list[int] | None = None,
     statedur_cols: list[str] | None = None,
+    twa_cols: list[str] | None = None,
+    qsk_cols: list[str] | None = None,
 ) -> DataFrame:
     """F6: two-phase salted leaf rollup.
 
@@ -248,6 +250,45 @@ def rollup_hourly_salted(
             statedur_cols,
         )
         merged = merged.join(sd, ["conv_id", "bucket_start"], "left")
+    # time-weighted-average state: leaf window keyed (conv, hour) —
+    # skew-bounded per conversation-hour, joins directly (statedur's
+    # argument), bit-identical to the unsalted path
+    if twa_cols:
+        from .twa import empty_twa_struct, twa_leaf_states, twa_state_col
+
+        tw = twa_leaf_states(
+            df.withColumn(
+                "bucket_start",
+                F.date_trunc("hour", "ts").cast("timestamp_ntz"),
+            ),
+            ["conv_id", "bucket_start"],
+            twa_cols,
+        )
+        merged = merged.join(tw, ["conv_id", "bucket_start"], "left")
+        for c in sorted(set(twa_cols)):
+            merged = merged.withColumn(
+                twa_state_col(c),
+                F.coalesce(twa_state_col(c), empty_twa_struct()),
+            )
+    # quantile-sketch maps: fine-keyed (conv, hour, bucket-key) pre-agg
+    # inside qsk_maps is salt-proof (the freq argument), joins directly
+    if qsk_cols:
+        from .qsketch import empty_qsk_map, qsk_maps, qsk_state_col
+
+        qm = qsk_maps(
+            df.withColumn(
+                "bucket_start",
+                F.date_trunc("hour", "ts").cast("timestamp_ntz"),
+            ),
+            ["conv_id", "bucket_start"],
+            qsk_cols,
+        )
+        merged = merged.join(qm, ["conv_id", "bucket_start"], "left")
+        for c in sorted(set(qsk_cols)):
+            merged = merged.withColumn(
+                qsk_state_col(c),
+                F.coalesce(qsk_state_col(c), empty_qsk_map()),
+            )
     return merged.withColumns(
         {
             "hours_count": F.lit(1).cast("long"),

@@ -1540,3 +1540,168 @@ def tier_statedur_monthly(spark, sf_dir):
         "bucket_start",
         F.explode(F.col("statedur_role")["durs"]).alias("role", "micros"),
     )
+
+
+@register(
+    "tier_twa_monthly",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts, CAST(length(props) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS turn_idx
+      FROM events),
+    d AS (
+      SELECT conv_id,
+             CAST(date_trunc('month', ts) AS TIMESTAMP) AS m,
+             v, turn_idx, epoch_us(ts) AS u,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur
+      FROM t0 WHERE v IS NOT NULL
+      WINDOW w AS (PARTITION BY conv_id, date_trunc('month', ts)
+                   ORDER BY ts, turn_idx))
+    SELECT conv_id, m AS bucket_start,
+           CAST(COALESCE(SUM(v * dur), 0) AS BIGINT) AS area,
+           CAST(max(u) - min(u) AS BIGINT) AS span_us,
+           CASE WHEN max(u) > min(u)
+                THEN CAST(COALESCE(SUM(v * dur), 0) AS DOUBLE)
+                     / CAST(max(u) - min(u) AS DOUBLE) END AS twa,
+           CAST(last(v ORDER BY u, turn_idx)
+                - first(v ORDER BY u, turn_idx) AS BIGINT) AS delta
+    FROM d GROUP BY 1, 2
+    """,
+)
+def tier_twa_monthly(spark, sf_dir):
+    """M49 time-weighted-average tier state (engine/twa.py — the
+    TimescaleDB time_weight('locf') / gauge_agg pair) through the REAL
+    pipeline on the SALTED path: each hourly bucket stores (first_us,
+    first_val, last_us, last_val, area) where area = Σ v_i·(t_{i+1}−t_i)
+    is the LOCF integral; the merge fold adds each BOUNDARY gap weighted
+    by the earlier bucket's last value, so the monthly integral composed
+    from hourly equals a fresh lead()-attribution scan of raw — exact
+    integer value·micros, one float division at serve time (the oracle
+    runs the identical IEEE op order). At 10^12 turns the monthly TWA
+    reads ≤31 daily structs per conversation, never raw."""
+    import tempfile
+
+    from .pipeline import TierPipeline
+    from .twa import twa_serve_cols, twa_state_col
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    pipe = TierPipeline(
+        spark, tempfile.mkdtemp(prefix="tier-twa-"),
+        salted=True, twa_cols=["token_count"], fill_tiers=False,
+    )
+    pipe.run(t0, stages=("hourly", "daily", "monthly"))
+    m = pipe.read_tier("monthly")
+    st = F.col(twa_state_col("token_count"))
+    serve = twa_serve_cols(st)
+    return m.select(
+        "conv_id",
+        "bucket_start",
+        st["area"].alias("area"),
+        (st["last_us"] - st["first_us"]).alias("span_us"),
+        serve["twa"].alias("twa"),
+        serve["delta"].alias("delta"),
+    )
+
+
+from .qsketch import QSK_KEY_SQL, QSK_REP_SQL  # noqa: E402
+
+_QSK_REP_OF_V = QSK_REP_SQL.format(k="(" + QSK_KEY_SQL.format(v="v") + ")")
+
+@register(
+    "tier_qsk_percentiles_monthly",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts, CAST(length(props) AS BIGINT) AS v
+      FROM events),
+    ranked AS (
+      SELECT conv_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS m, v,
+             row_number() OVER (PARTITION BY conv_id, date_trunc('month', ts)
+                                ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY conv_id, date_trunc('month', ts)) AS n
+      FROM t0 WHERE v IS NOT NULL),
+    hits AS (
+      SELECT conv_id, m, CAST(q AS DOUBLE) AS q, v
+      FROM ranked CROSS JOIN (SELECT unnest([0.5, 0.95]) AS q) qs
+      WHERE rn = CAST(floor(CAST(q AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                      AS BIGINT) + 1)
+    SELECT conv_id, m AS bucket_start, q,
+           """ + _QSK_REP_OF_V + """ AS value
+    FROM hits
+    """,
+)
+def tier_qsk_percentiles_monthly(spark, sf_dir):
+    """M50 integer log-bucket quantile sketch (engine/qsketch.py — the
+    DDSketch idea on exact integer bucket math): monthly `{col}_qsk`
+    maps composed hourly→daily→monthly by key-union addition serve
+    p50/p95 as the bucket representative of the month's true rank-target
+    element. The whole answer — an APPROXIMATE quantile with a hard
+    ≤1/32 relative-error bound — is a deterministic pure function of the
+    raw multiset, so the oracle (which looks up the true rank-target
+    value and applies the same key→rep mapping, bit-identical in DuckDB)
+    gates it at FULL HASH. At 10^12 turns a monthly p95 reads ≤31
+    bounded maps per conversation, never raw."""
+    from .qsketch import qsk_percentiles, qsk_state_col
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0, qsk_cols=["token_count"])
+    return qsk_percentiles(
+        tiers["monthly"],
+        ["conv_id", "bucket_start"],
+        qsk_state_col("token_count"),
+        [0.5, 0.95],
+    )
+
+
+@register(
+    "tier_rewrite_range_twa",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts, CAST(length(props) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS turn_idx
+      FROM events),
+    d AS (
+      SELECT conv_id, v, turn_idx, epoch_us(ts) AS u,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur
+      FROM t0
+      WHERE v IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-03 07:00:00'
+        AND ts <  TIMESTAMP '2024-01-28 19:00:00'
+      WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx))
+    SELECT conv_id,
+           CAST(COALESCE(SUM(v * dur), 0) AS BIGINT) AS area,
+           CAST(max(u) - min(u) AS BIGINT) AS span_us,
+           CASE WHEN max(u) > min(u)
+                THEN CAST(COALESCE(SUM(v * dur), 0) AS DOUBLE)
+                     / CAST(max(u) - min(u) AS DOUBLE) END AS twa,
+           CAST(last(v ORDER BY u, turn_idx)
+                - first(v ORDER BY u, turn_idx) AS BIGINT) AS delta,
+           CASE WHEN max(u) > min(u)
+                THEN CAST(last(v ORDER BY u, turn_idx)
+                          - first(v ORDER BY u, turn_idx) AS DOUBLE)
+                     * 1000000.0 / CAST(max(u) - min(u) AS DOUBLE)
+           END AS rate_per_s
+    FROM d GROUP BY 1
+    """,
+)
+def tier_rewrite_range_twa(spark, sf_dir):
+    """§4.3 × M49: the time-weighted average over an arbitrary
+    hour-aligned range served from span-matched tier structs (leading
+    hours → whole days → trailing hours), folded by the LOCF ordered
+    monoid — exact integer area vs the oracle's raw-range lead()
+    integral, float twa/rate by the identical single division.
+    O(tier rows in range) per conversation, never O(raw)."""
+    from datetime import datetime
+
+    from .rewrite import rewrite_range_twa
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0, twa_cols=["token_count"])
+    return rewrite_range_twa(
+        tiers, datetime(2024, 1, 3, 7), datetime(2024, 1, 28, 19),
+        "token_count",
+    )

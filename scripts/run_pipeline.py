@@ -85,6 +85,15 @@ def main():
                     help="comma list of categorical columns to carry "
                          "duration-in-state tier structs for (state_agg; "
                          "e.g. role)")
+    ap.add_argument("--twa-cols", default=None,
+                    help="comma list of numeric columns to carry "
+                         "time-weighted-average (LOCF integral) tier "
+                         "structs for (e.g. token_count)")
+    ap.add_argument("--qsk-cols", default=None,
+                    help="comma list of numeric columns to carry "
+                         "log-bucket quantile-sketch tier maps for "
+                         "(mergeable percentiles, rel err <= 1/32; "
+                         "e.g. token_count)")
     ap.add_argument("--no-lease", action="store_true",
                     help="skip the single-writer run lease (concurrent "
                          "runs on one root can then double-write)")
@@ -172,6 +181,16 @@ def main():
         statedur_cols=(
             [c for c in args.statedur_cols.split(",") if c]
             if args.statedur_cols
+            else None
+        ),
+        twa_cols=(
+            [c for c in args.twa_cols.split(",") if c]
+            if args.twa_cols
+            else None
+        ),
+        qsk_cols=(
+            [c for c in args.qsk_cols.split(",") if c]
+            if args.qsk_cols
             else None
         ),
         lease=not args.no_lease,

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import rewrite as _rw
 from .pipeline import TierPipeline
@@ -179,6 +179,48 @@ class TierEngine:
         return _rw.rewrite_range_qsk_percentiles(
             self._tiers(), lo, hi, col, qs
         )
+
+    def serve_range_extremes(
+        self,
+        lo: datetime,
+        hi: datetime,
+        col: str,
+        n: int | None = None,
+        direction: str = "top",
+    ) -> DataFrame:
+        """The n extreme values (with timestamps) over a range from M52
+        top/bot-N arrays (needs topn_cols/botn_cols) — bit-exact."""
+        spec = (
+            self.pipeline.topn_cols
+            if direction == "top"
+            else self.pipeline.botn_cols
+        )
+        if col not in spec:
+            raise ValueError(f"{direction}n_cols has no column {col!r}")
+        n = spec[col] if n is None else n
+        if n > spec[col]:
+            raise ValueError(f"{col} carries only {spec[col]} extremes")
+        return _rw.rewrite_range_topn(
+            self._tiers(), lo, hi, col, spec[col], direction
+        ).filter(F.col("rank") <= n)
+
+    def serve_interpolated_twa(self, tier: str, col: str) -> DataFrame:
+        """M51: per-bucket TWA covering the full bucket window via
+        cross-bucket boundary carry (needs twa_cols=[col])."""
+        from .interp_serve import interpolated_twa
+
+        if col not in self.pipeline.twa_cols:
+            raise ValueError(f"twa_cols has no column {col!r}")
+        return interpolated_twa(self.tier(tier), tier, col)
+
+    def serve_interpolated_statedur(self, tier: str, col: str) -> DataFrame:
+        """M51: per-bucket time-in-state incl. boundary-carry intervals
+        (needs statedur_cols=[col])."""
+        from .interp_serve import interpolated_statedur
+
+        if col not in self.pipeline.statedur_cols:
+            raise ValueError(f"statedur_cols has no column {col!r}")
+        return interpolated_statedur(self.tier(tier), tier, col)
 
     def serve_realtime(
         self, lo: datetime, hi: datetime, watermark: datetime, t0: DataFrame

@@ -1705,3 +1705,116 @@ def tier_rewrite_range_twa(spark, sf_dir):
         tiers, datetime(2024, 1, 3, 7), datetime(2024, 1, 28, 19),
         "token_count",
     )
+
+
+@register(
+    "tier_interp_twa_daily",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts, CAST(length(props) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS turn_idx
+      FROM events),
+    obs AS (
+      SELECT conv_id, epoch_us(ts) AS u, v, turn_idx
+      FROM t0 WHERE v IS NOT NULL),
+    seg AS (
+      SELECT conv_id, v, u AS s,
+             lead(u) OVER (PARTITION BY conv_id ORDER BY u, turn_idx) AS e
+      FROM obs),
+    bounds AS (SELECT conv_id, min(u) AS lo, max(u) AS hi FROM obs GROUP BY 1),
+    days AS (
+      SELECT conv_id, (u // 86400000000) * 86400000000 AS d,
+             min(u) AS fu, max(u) AS lu
+      FROM obs GROUP BY 1, 2),
+    integ AS (
+      SELECT days.conv_id, days.d,
+             CAST(COALESCE(SUM(seg.v * (LEAST(seg.e, days.d + 86400000000)
+                                        - GREATEST(seg.s, days.d))), 0)
+                  AS BIGINT) AS integral
+      FROM days LEFT JOIN seg
+        ON seg.conv_id = days.conv_id
+       AND seg.e > days.d AND seg.s < days.d + 86400000000
+      GROUP BY 1, 2)
+    SELECT i.conv_id, make_timestamp(i.d) AS bucket_start, i.integral,
+           CAST((CASE WHEN b.hi >= i.d + 86400000000
+                      THEN i.d + 86400000000 ELSE dy.lu END)
+                - (CASE WHEN b.lo < i.d THEN i.d ELSE dy.fu END)
+                AS BIGINT) AS covered_us,
+           CASE WHEN (CASE WHEN b.hi >= i.d + 86400000000
+                           THEN i.d + 86400000000 ELSE dy.lu END)
+                     - (CASE WHEN b.lo < i.d THEN i.d ELSE dy.fu END) > 0
+                THEN CAST(i.integral AS DOUBLE)
+                     / CAST((CASE WHEN b.hi >= i.d + 86400000000
+                                  THEN i.d + 86400000000 ELSE dy.lu END)
+                            - (CASE WHEN b.lo < i.d THEN i.d ELSE dy.fu END)
+                            AS DOUBLE)
+           END AS itwa
+    FROM integ i
+    JOIN bounds b ON b.conv_id = i.conv_id
+    JOIN days dy ON dy.conv_id = i.conv_id AND dy.d = i.d
+    """,
+)
+def tier_interp_twa_daily(spark, sf_dir):
+    """M51 interpolated bucket serving (engine/interp_serve.py — the
+    TimescaleDB toolkit interpolated_average): per-day time-weighted
+    average covering the FULL day window via cross-bucket boundary carry
+    (previous observed bucket's last value over [day, first_obs), own
+    last value extended to day end when a later observation exists),
+    computed from M49 tier structs with one lag()/lead() over tier rows.
+    The oracle recomputes the LOCF step function's clipped
+    segment-overlap integral over raw — hash equality proves the
+    tier-struct decomposition (carry-in + own area + carry-out) IS the
+    clipped integral, exact integer micros, float by one division. At
+    10^12 turns an interpolated daily dashboard reads O(days) structs,
+    never raw."""
+    from .interp_serve import interpolated_twa
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0, twa_cols=["token_count"])
+    return interpolated_twa(tiers["daily"], "daily", "token_count")
+
+
+@register(
+    "tier_interp_statedur_hourly",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts, event_type AS role,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS turn_idx
+      FROM events),
+    seg AS (
+      SELECT conv_id, coalesce(role, '<null>') AS st, epoch_us(ts) AS s,
+             lead(epoch_us(ts)) OVER (PARTITION BY conv_id
+                                      ORDER BY ts, turn_idx) AS e
+      FROM t0),
+    hrs AS (
+      SELECT DISTINCT conv_id,
+             (epoch_us(ts) // 3600000000) * 3600000000 AS h
+      FROM t0)
+    SELECT hrs.conv_id, make_timestamp(hrs.h) AS bucket_start, seg.st AS state,
+           CAST(SUM(LEAST(seg.e, hrs.h + 3600000000)
+                    - GREATEST(seg.s, hrs.h)) AS BIGINT) AS micros
+    FROM hrs JOIN seg
+      ON seg.conv_id = hrs.conv_id
+     AND seg.s < hrs.h + 3600000000
+     AND (seg.e > hrs.h OR (seg.s = seg.e AND seg.s >= hrs.h))
+    GROUP BY 1, 2, 3
+    """,
+)
+def tier_interp_statedur_hourly(spark, sf_dir):
+    """M51 × M48: per-hour interpolated time-in-state — each hour's durs
+    map plus the carry-in interval (previous observed bucket's last_state
+    over [hour, first_obs)) and the carry-out (own last_state to hour end
+    when a later observation exists). The oracle clips every raw
+    lead()-segment against every observed hour window; equality proves
+    the tier-struct carry decomposition covers each bucket window exactly
+    once (zero-length segments attributed by left edge, the leaf's
+    convention). Exact integer micros, O(tier rows) serving."""
+    from .interp_serve import interpolated_statedur
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0, statedur_cols=["role"])
+    return interpolated_statedur(tiers["hourly"], "hourly", "role")

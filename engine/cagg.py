@@ -83,6 +83,8 @@ KINDS = (
     "distinct_kmv",
     "first",
     "last",
+    "twa",
+    "percentile_qsk",
 )
 
 
@@ -128,6 +130,7 @@ class ContinuousAggregate:
                 "first": (3, 3),
                 "last": (3, 3),
                 "distinct_kmv": (3, 3),
+                "percentile_qsk": (3, 3),
             }.get(kind, (2, 2))
             if not (need[0] <= len(spec) <= need[1]):
                 raise ValueError(f"{name}: {kind} expects {need} spec fields, got {len(spec)}")
@@ -177,6 +180,22 @@ class ContinuousAggregate:
                 out.append(
                     F.hll_sketch_agg(F.expr(spec[1]), F.lit(HLL_LGK)).alias(name)
                 )
+            elif kind == "percentile_qsk":
+                # key-union-add the day's hourly sketch maps
+                # (engine/qsketch.py); exact multiset composition, the
+                # quantile is finalized from the merged map
+                from .qsketch import qsk_fold_agg
+
+                out.append(qsk_fold_agg(spec[1]).alias(name))
+            elif kind == "twa":
+                # fold the day's hourly twa structs (engine/twa.py): the
+                # ordered-monoid day partial composes across days by the
+                # SAME fold, so the view's time-weighted average equals a
+                # raw lead()-integral over the whole group span. Requires
+                # the pipeline to carry twa_cols for the named state col.
+                from .twa import twa_fold_agg
+
+                out.append(twa_fold_agg(spec[1]).alias(name))
             elif kind == "distinct_kmv":
                 # bottom-k of the day's distinct value hashes (engine/kmv.py):
                 # the mergeable COUNT DISTINCT stand-in that is EXACT while a
@@ -215,6 +234,14 @@ class ContinuousAggregate:
             elif kind == "avg":
                 out.append(F.sum(f"{name}__s").alias(f"{name}__s"))
                 out.append(F.sum(f"{name}__c").alias(f"{name}__c"))
+            elif kind == "twa":
+                from .twa import twa_fold_agg
+
+                out.append(twa_fold_agg(name).alias(name))
+            elif kind == "percentile_qsk":
+                from .qsketch import qsk_fold_agg
+
+                out.append(qsk_fold_agg(name).alias(name))
             elif kind == "distinct_kmv":
                 # sorted-union-truncate: exact-deterministic under any
                 # day grouping (engine/kmv.py)
@@ -233,8 +260,20 @@ class ContinuousAggregate:
 
     def _finalize(self, merged: DataFrame) -> DataFrame:
         cols = [F.col(k) for k in self.keys]
+        rep_pass: list[str] = []
         for name, spec in self.aggs.items():
             kind = spec[0]
+            if kind == "percentile_qsk":
+                # two steps: the rank walk yields the BUCKET KEY (a pure
+                # column fold), the representative-value mapping needs the
+                # key under a name — applied in a second projection
+                from .qsketch import qsk_percentile_key_expr
+
+                cols.append(
+                    qsk_percentile_key_expr(name, float(spec[2])).alias(name)
+                )
+                rep_pass.append(name)
+                continue
             if kind == "avg":
                 cols.append(
                     (F.col(f"{name}__s").cast("double") / F.col(f"{name}__c").cast("double"))
@@ -246,11 +285,22 @@ class ContinuousAggregate:
                 from .kmv import kmv_estimate
 
                 cols.append(kmv_estimate(F.col(name), int(spec[2])).alias(name))
+            elif kind == "twa":
+                from .twa import twa_serve_cols
+
+                cols.append(twa_serve_cols(F.col(name))["twa"].alias(name))
             elif kind in ("first", "last"):
                 cols.append(F.col(name)["v"].alias(name))
             else:
                 cols.append(F.col(name))
-        return merged.select(*cols)
+        out = merged.select(*cols)
+        if rep_pass:
+            from .qsketch import qsk_rep_expr
+
+            out = out.withColumns(
+                {name: qsk_rep_expr(name) for name in rep_pass}
+            )
+        return out
 
     # -- refresh ---------------------------------------------------------
     def _source(self, store: SnapStore, sid: str) -> DataFrame:

@@ -89,6 +89,8 @@ class TierPipeline:
         statedur_cols: list[str] | None = None,
         twa_cols: list[str] | None = None,
         qsk_cols: list[str] | None = None,
+        topn_cols: dict[str, int] | None = None,
+        botn_cols: dict[str, int] | None = None,
         wap: bool = False,
         wap_audit=None,
         hourly_layout: int = 1,
@@ -205,6 +207,18 @@ class TierPipeline:
         #: canonical sorted entry array as JSON (the freq lesson);
         #: migration like hist_cols.
         self.qsk_cols = sorted(set(qsk_cols or []))
+        #: exact top/bottom-N value state per numeric column
+        #: (`{col}_top{n}`/`{col}_bot{n}` arrays of (v, u, i) structs,
+        #: engine/topn.py): the n extremes with their timestamps, merge =
+        #: flatten+sort+truncate — bit-exact composition (the KMV
+        #: argument order-reversed). Fingerprint hashes the canonical
+        #: array as JSON; migration like hist_cols.
+        self.topn_cols = {
+            c: int(n) for c, n in sorted((topn_cols or {}).items())
+        }
+        self.botn_cols = {
+            c: int(n) for c, n in sorted((botn_cols or {}).items())
+        }
         #: write-audit-publish (requires snapshots): a run writes every
         #: stage into STAGED (unpublished) snapshots with manifest commits
         #: deferred; at the seal, `wap_audit(pipe)` (if given) inspects the
@@ -295,6 +309,16 @@ class TierPipeline:
             parts.append("twa:" + ";".join(self.twa_cols))
         if self.qsk_cols:
             parts.append("qsk:" + ";".join(self.qsk_cols))
+        if self.topn_cols:
+            parts.append(
+                "topn:"
+                + ";".join(f"{c}={n}" for c, n in self.topn_cols.items())
+            )
+        if self.botn_cols:
+            parts.append(
+                "botn:"
+                + ";".join(f"{c}={n}" for c, n in self.botn_cols.items())
+            )
         if self.hourly_layout != 1:
             parts.append(f"layout:{self.hourly_layout}")
         return "|".join(p for p in parts if p)
@@ -393,6 +417,16 @@ class TierPipeline:
             + [
                 F.to_json(F.sort_array(F.map_entries(f"{c}_qsk")))
                 for c in self.qsk_cols
+            ]
+            # top/bot-N arrays are already canonically ordered — JSON so
+            # empty arrays stay hash-visible
+            + [
+                F.to_json(F.col(f"{c}_top{n}"))
+                for c, n in self.topn_cols.items()
+            ]
+            + [
+                F.to_json(F.col(f"{c}_bot{n}"))
+                for c, n in self.botn_cols.items()
             ]
         )
 
@@ -1308,6 +1342,8 @@ class TierPipeline:
                     statedur_cols=self.statedur_cols,
                     twa_cols=self.twa_cols,
                     qsk_cols=self.qsk_cols,
+                    topn_cols=self.topn_cols,
+                    botn_cols=self.botn_cols,
                 )
                 if salted
                 else rollup_hourly(
@@ -1324,6 +1360,8 @@ class TierPipeline:
                     statedur_cols=self.statedur_cols,
                     twa_cols=self.twa_cols,
                     qsk_cols=self.qsk_cols,
+                    topn_cols=self.topn_cols,
+                    botn_cols=self.botn_cols,
                 )
             )
             if self.fill_tiers:

@@ -143,28 +143,63 @@ def empty_qsk_map() -> Column:
     )
 
 
+def qsk_fold_agg(col: str) -> Column:
+    """Key-union count addition folded over the group's map list, as an
+    unaliased aggregate expression — exact under any merge order (as a
+    multiset of entries; canonicalize via sort_array(map_entries) when
+    hashing). Shared by the tier merges and the continuous-aggregate
+    'percentile_qsk' kind."""
+    return F.aggregate(
+        F.collect_list(col),
+        empty_qsk_map(),
+        lambda acc, m: F.map_zip_with(
+            acc,
+            m,
+            lambda k, a, b: F.coalesce(a, F.lit(0).cast("long"))
+            + F.coalesce(b, F.lit(0).cast("long")),
+        ),
+    )
+
+
 def qsk_merge_aggs(colnames) -> list[Column]:
-    """Merge aggregates for `{col}_qsk` maps: key-union count addition
-    folded over the tier-bounded map list — exact under any merge order
-    (as a multiset of entries; canonicalize via sort_array(map_entries)
-    when hashing), so tier composition == direct build."""
-    out = []
-    for c in colnames:
-        if not qsk_is_state_col(c):
-            continue
-        out.append(
-            F.aggregate(
-                F.collect_list(c),
-                empty_qsk_map(),
-                lambda acc, m: F.map_zip_with(
-                    acc,
-                    m,
-                    lambda k, a, b: F.coalesce(a, F.lit(0).cast("long"))
-                    + F.coalesce(b, F.lit(0).cast("long")),
-                ),
-            ).alias(c)
-        )
-    return out
+    """Merge aggregates for every `{col}_qsk` map (see qsk_fold_agg)."""
+    return [
+        qsk_fold_agg(c).alias(c) for c in colnames if qsk_is_state_col(c)
+    ]
+
+
+def qsk_percentile_key_expr(state_col: str, q: float) -> Column:
+    """Scalar expression: the BUCKET KEY at quantile q of one sketch map
+    (the lower-rank rule of qsk_percentiles, as a pure column fold — no
+    explode/window, so it can finalize a continuous-aggregate row).
+    Returns NULL on an empty map. Apply qsk_rep_expr to the aliased
+    result to obtain the served value."""
+    m = F.col(state_col)
+    entries = F.sort_array(F.map_entries(m))
+    total = F.aggregate(
+        F.map_values(m), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    target = (
+        F.floor(F.lit(float(q)) * (total - 1).cast("double")).cast("long")
+        + 1
+    )
+    pick = F.aggregate(
+        entries,
+        F.struct(
+            F.lit(0).cast("long").alias("c"),
+            F.lit(None).cast("long").alias("k"),
+        ),
+        lambda acc, e: F.struct(
+            (acc["c"] + e["value"]).alias("c"),
+            F.when(
+                acc["k"].isNull() & (acc["c"] + e["value"] >= target),
+                e["key"],
+            )
+            .otherwise(acc["k"])
+            .alias("k"),
+        ),
+    )["k"]
+    return F.when(total > 0, pick)
 
 
 def qsk_percentiles(

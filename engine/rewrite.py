@@ -678,3 +678,24 @@ def rewrite_range_qsk_percentiles(
     c = qsk_state_col(col)
     u = _range_state_rows(tiers, lo, hi, c)
     return qsk_percentiles(u, ["conv_id"], c, qs)
+
+
+def rewrite_range_topn(
+    tiers: dict[str, DataFrame],
+    lo: datetime,
+    hi: datetime,
+    col: str,
+    n: int,
+    direction: str = "top",
+) -> DataFrame:
+    """§4.3 × M52: the n extreme values (with timestamps) over an
+    arbitrary hour-aligned range, folded from span-matched
+    `{col}_top{n}`/`{col}_bot{n}` arrays — bit-exact (the union's n
+    extremes are a pure function of each span's n extremes). Returns
+    one row per rank: (conv_id, rank, value, ts, turn_idx)."""
+    from .topn import topn_explode, topn_merge_aggs, topn_state_col
+
+    c = topn_state_col(col, n, direction)
+    u = _range_state_rows(tiers, lo, hi, c)
+    folded = u.groupBy("conv_id").agg(*topn_merge_aggs([c]))
+    return topn_explode(folded, c)

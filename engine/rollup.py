@@ -257,6 +257,8 @@ def rollup_hourly(
     statedur_cols: list[str] | None = None,
     twa_cols: list[str] | None = None,
     qsk_cols: list[str] | None = None,
+    topn_cols: dict[str, int] | None = None,
+    botn_cols: dict[str, int] | None = None,
 ) -> DataFrame:
     """Leaf rollup D1: raw turns → hourly tier state.
 
@@ -422,6 +424,28 @@ def rollup_hourly(
                 qsk_state_col(c),
                 F.coalesce(qsk_state_col(c), empty_qsk_map()),
             )
+    for spec, direction in ((topn_cols, "top"), (botn_cols, "bot")):
+        if not spec:
+            continue
+        from .topn import empty_topn_array, topn_leaf_states, topn_state_col
+
+        tn = topn_leaf_states(
+            df.withColumn(
+                "bucket_start",
+                F.date_trunc("hour", "ts").cast("timestamp_ntz"),
+            ),
+            ["conv_id", "bucket_start"],
+            spec,
+            direction,
+        )
+        hourly = hourly.join(tn, ["conv_id", "bucket_start"], "left")
+        for c, n in sorted(spec.items()):
+            hourly = hourly.withColumn(
+                topn_state_col(c, n, direction),
+                F.coalesce(
+                    topn_state_col(c, n, direction), empty_topn_array()
+                ),
+            )
     return hourly.withColumn("tier", F.lit("hourly"))
 
 
@@ -481,6 +505,7 @@ def densify_hourly_locf(hourly: DataFrame) -> DataFrame:
         or _is_sd(c)
         or _is_twa(c)
         or _is_qsk(c)
+        or _is_topn(c)
     ]
     return dense.select(
         "conv_id",
@@ -567,6 +592,22 @@ def _is_qsk(name: str) -> bool:
     return qsk_is_state_col(name)
 
 
+def _is_topn(name: str) -> bool:
+    from .topn import topn_is_state_col
+
+    return topn_is_state_col(name)
+
+
+def _topn_merges(colnames) -> list:
+    """Top/bottom-N value-state merges (`{col}_top{n}`/`{col}_bot{n}`,
+    engine/topn.py): flatten + comparator-sort + truncate — the n
+    extremes of a union are a pure function of each part's n extremes,
+    so composition is bit-exact."""
+    from .topn import topn_merge_aggs
+
+    return topn_merge_aggs(colnames)
+
+
 def _qsk_merges(colnames) -> list:
     """Quantile-sketch state merges (`{col}_qsk`, engine/qsketch.py):
     key-union count addition — exact multiset composition, so tier
@@ -636,6 +677,7 @@ def state_merge_aggs(columns) -> list:
         + _sd_merges(columns)
         + _twa_merges(columns)
         + _qsk_merges(columns)
+        + _topn_merges(columns)
     )
     return [
         F.sum("n_turns").alias("n_turns"),
@@ -702,6 +744,8 @@ def build_tiers(
     statedur_cols: list[str] | None = None,
     twa_cols: list[str] | None = None,
     qsk_cols: list[str] | None = None,
+    topn_cols: dict[str, int] | None = None,
+    botn_cols: dict[str, int] | None = None,
 ) -> dict[str, DataFrame]:
     """raw → {hourly, daily, monthly} tier-state DataFrames."""
     hourly = rollup_hourly(
@@ -718,6 +762,8 @@ def build_tiers(
         statedur_cols=statedur_cols,
         twa_cols=twa_cols,
         qsk_cols=qsk_cols,
+        topn_cols=topn_cols,
+        botn_cols=botn_cols,
     )
     daily = rollup_up(hourly, "daily")
     monthly = rollup_up(daily, "monthly")

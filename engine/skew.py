@@ -73,6 +73,8 @@ def rollup_hourly_salted(
     statedur_cols: list[str] | None = None,
     twa_cols: list[str] | None = None,
     qsk_cols: list[str] | None = None,
+    topn_cols: dict[str, int] | None = None,
+    botn_cols: dict[str, int] | None = None,
 ) -> DataFrame:
     """F6: two-phase salted leaf rollup.
 
@@ -288,6 +290,30 @@ def rollup_hourly_salted(
             merged = merged.withColumn(
                 qsk_state_col(c),
                 F.coalesce(qsk_state_col(c), empty_qsk_map()),
+            )
+    # top/bottom-N value state: leaf window keyed (conv, hour) —
+    # skew-bounded, joins directly, bit-identical to the unsalted path
+    for spec, direction in ((topn_cols, "top"), (botn_cols, "bot")):
+        if not spec:
+            continue
+        from .topn import empty_topn_array, topn_leaf_states, topn_state_col
+
+        tn = topn_leaf_states(
+            df.withColumn(
+                "bucket_start",
+                F.date_trunc("hour", "ts").cast("timestamp_ntz"),
+            ),
+            ["conv_id", "bucket_start"],
+            spec,
+            direction,
+        )
+        merged = merged.join(tn, ["conv_id", "bucket_start"], "left")
+        for c, n in sorted(spec.items()):
+            merged = merged.withColumn(
+                topn_state_col(c, n, direction),
+                F.coalesce(
+                    topn_state_col(c, n, direction), empty_topn_array()
+                ),
             )
     return merged.withColumns(
         {

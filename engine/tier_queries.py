@@ -1818,3 +1818,179 @@ def tier_interp_statedur_hourly(spark, sf_dir):
     t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
     tiers = erollup.build_tiers(t0, statedur_cols=["role"])
     return interpolated_statedur(tiers["hourly"], "hourly", "role")
+
+
+@register(
+    "tier_topn_tokens_monthly",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts, CAST(length(props) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS turn_idx
+      FROM events),
+    ranked AS (
+      SELECT conv_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS m,
+             v, ts, turn_idx,
+             row_number() OVER (PARTITION BY conv_id, date_trunc('month', ts)
+                                ORDER BY v DESC, ts, turn_idx) AS rn
+      FROM t0 WHERE v IS NOT NULL)
+    SELECT conv_id, m AS bucket_start, CAST(rn AS BIGINT) AS rank,
+           v AS value, ts, CAST(turn_idx AS BIGINT) AS turn_idx
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def tier_topn_tokens_monthly(spark, sf_dir):
+    """M52 exact top-N value tier state (engine/topn.py — TimescaleDB
+    max_n_by) through the REAL pipeline on the SALTED path: each hourly
+    bucket keeps its 3 largest token counts WITH their timestamps as a
+    totally-ordered struct array; the flatten-sort-truncate merge is
+    bit-exact (the union's n extremes are a pure function of each part's
+    n extremes — the KMV argument order-reversed), so the monthly
+    top-3-with-timestamps equals a fresh ranking of raw, full hash. At
+    10^12 turns 'the three longest turns this month and when they
+    happened' reads ≤31 daily arrays per conversation, never raw."""
+    import tempfile
+
+    from .pipeline import TierPipeline
+    from .topn import topn_explode, topn_state_col
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    pipe = TierPipeline(
+        spark, tempfile.mkdtemp(prefix="tier-topn-"),
+        salted=True, topn_cols={"token_count": 3}, fill_tiers=False,
+    )
+    pipe.run(t0, stages=("hourly", "daily", "monthly"))
+    m = pipe.read_tier("monthly").select(
+        "conv_id", "bucket_start", topn_state_col("token_count", 3, "top")
+    )
+    e = topn_explode(m, topn_state_col("token_count", 3, "top"))
+    return e.select(
+        "conv_id",
+        "bucket_start",
+        F.col("rank").cast("long").alias("rank"),
+        "value",
+        "ts",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+    )
+
+
+@register(
+    "cagg_twa_weekly",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts, CAST(length(props) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS turn_idx
+      FROM events),
+    d AS (
+      SELECT conv_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+             v, turn_idx, epoch_us(ts) AS u,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur
+      FROM t0 WHERE v IS NOT NULL
+      WINDOW w AS (PARTITION BY conv_id, date_trunc('week', ts)
+                   ORDER BY ts, turn_idx))
+    SELECT week, conv_id,
+           CASE WHEN max(u) > min(u)
+                THEN CAST(COALESCE(SUM(v * dur), 0) AS DOUBLE)
+                     / CAST(max(u) - min(u) AS DOUBLE) END AS twa_tokens,
+           CAST(COUNT(*) AS BIGINT) AS turns
+    FROM d GROUP BY 1, 2
+    """,
+)
+def cagg_twa_weekly(spark, sf_dir):
+    """'twa' in the continuous-aggregate algebra (engine/cagg.py ×
+    engine/twa.py) under the hash gate: a (week, conv) view whose day
+    partials carry the LOCF-integral monoid struct, built INCREMENTALLY
+    across two ingest batches — the ordered fold across day partials must
+    reproduce a raw week-span lead() integral exactly (the group key
+    includes the series key, keeping grouped spans time-disjoint, which
+    is the twa kind's contract)."""
+    import tempfile
+
+    from .cagg import ContinuousAggregate
+    from .pipeline import TierPipeline
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    pipe = TierPipeline(
+        spark, tempfile.mkdtemp(prefix="tier-caggtwa-"),
+        snapshots=True, fill_tiers=False, twa_cols=["token_count"],
+    )
+    pipe.run(
+        t0.filter("substr(conv_id, length(conv_id), 1) < '5'"),
+        stages=("hourly",),
+    )
+    cagg = ContinuousAggregate(
+        pipe, tempfile.mkdtemp(prefix="caggtwa-view-"),
+        keys={"week": "date_trunc('week', bucket_start)",
+              "conv_id": "conv_id"},
+        aggs={
+            "twa_tokens": ("twa", "twa_token_count"),
+            "turns": ("sum", "n_turns"),
+        },
+    )
+    cagg.refresh()
+    pipe.run(t0, stages=("hourly",))
+    cagg.refresh()
+    return cagg.read()
+
+
+@register(
+    "cagg_qsk_p90_weekly",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts, CAST(length(props) AS BIGINT) AS v
+      FROM events),
+    ranked AS (
+      SELECT conv_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, v,
+             row_number() OVER (PARTITION BY conv_id, date_trunc('week', ts)
+                                ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY conv_id, date_trunc('week', ts)) AS n
+      FROM t0 WHERE v IS NOT NULL)
+    SELECT week, conv_id,
+           """ + _QSK_REP_OF_V + """ AS p90_tokens,
+           CAST(n AS BIGINT) AS turns
+    FROM ranked
+    WHERE rn = CAST(floor(CAST(0.9 AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                    AS BIGINT) + 1
+    """,
+)
+def cagg_qsk_p90_weekly(spark, sf_dir):
+    """'percentile_qsk' in the continuous-aggregate algebra (engine/
+    cagg.py × engine/qsketch.py) under the hash gate: a (week, conv)
+    view whose day partials carry the log-bucket sketch map, key-union-
+    added across days and finalized to the p90 bucket representative by
+    a pure column fold (no explode/window) — two-batch incremental build
+    must equal the oracle's one-pass rank lookup exactly. A mergeable,
+    incrementally-maintained percentile materialized view: the thing
+    percentile_approx state cannot give you."""
+    import tempfile
+
+    from .cagg import ContinuousAggregate
+    from .pipeline import TierPipeline
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    pipe = TierPipeline(
+        spark, tempfile.mkdtemp(prefix="tier-caggqsk-"),
+        snapshots=True, fill_tiers=False, qsk_cols=["token_count"],
+    )
+    pipe.run(
+        t0.filter("substr(conv_id, length(conv_id), 1) < '5'"),
+        stages=("hourly",),
+    )
+    cagg = ContinuousAggregate(
+        pipe, tempfile.mkdtemp(prefix="caggqsk-view-"),
+        keys={"week": "date_trunc('week', bucket_start)",
+              "conv_id": "conv_id"},
+        aggs={
+            "p90_tokens": ("percentile_qsk", "token_count_qsk", 0.9),
+            "turns": ("sum", "n_turns"),
+        },
+    )
+    cagg.refresh()
+    pipe.run(t0, stages=("hourly",))
+    cagg.refresh()
+    return cagg.read()

@@ -125,45 +125,42 @@ def twa_leaf_states(
     return out
 
 
+def twa_fold_agg(col: str) -> Column:
+    """The ordered-monoid fold as an unaliased aggregate expression: sort
+    the group's struct list by first_us, fold adjacent spans adding each
+    boundary interval's last_val × gap to the running area. Sentinel
+    structs (all-null buckets) are filtered out first; an all-sentinel
+    group folds back to the sentinel. Shared by the tier merges and the
+    continuous-aggregate 'twa' kind."""
+    lst = F.array_sort(
+        F.filter(F.collect_list(col), lambda s: s["first_us"].isNotNull()),
+        lambda l, r: F.when(l["first_us"] < r["first_us"], -1)
+        .when(l["first_us"] > r["first_us"], 1)
+        .otherwise(0),
+    )
+    fold = F.aggregate(
+        F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
+        F.element_at(lst, 1),
+        lambda acc, s: F.struct(
+            acc["first_us"].alias("first_us"),
+            acc["first_val"].alias("first_val"),
+            s["last_us"].alias("last_us"),
+            s["last_val"].alias("last_val"),
+            (
+                acc["area"]
+                + acc["last_val"] * (s["first_us"] - acc["last_us"])
+                + s["area"]
+            ).alias("area"),
+        ),
+    )
+    return F.when(F.size(lst) > 0, fold).otherwise(empty_twa_struct())
+
+
 def twa_merge_aggs(colnames) -> list[Column]:
-    """Ordered-monoid fold: sort the tier-bounded struct list by first_us,
-    then fold adjacent spans, adding each boundary interval's
-    last_val × gap to the running area. Sentinel structs (all-null
-    buckets) are filtered out first; an all-sentinel group folds back to
-    the sentinel."""
-    out = []
-    for c in colnames:
-        if not twa_is_state_col(c):
-            continue
-        lst = F.array_sort(
-            F.filter(
-                F.collect_list(c), lambda s: s["first_us"].isNotNull()
-            ),
-            lambda l, r: F.when(l["first_us"] < r["first_us"], -1)
-            .when(l["first_us"] > r["first_us"], 1)
-            .otherwise(0),
-        )
-        fold = F.aggregate(
-            F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
-            F.element_at(lst, 1),
-            lambda acc, s: F.struct(
-                acc["first_us"].alias("first_us"),
-                acc["first_val"].alias("first_val"),
-                s["last_us"].alias("last_us"),
-                s["last_val"].alias("last_val"),
-                (
-                    acc["area"]
-                    + acc["last_val"] * (s["first_us"] - acc["last_us"])
-                    + s["area"]
-                ).alias("area"),
-            ),
-        )
-        out.append(
-            F.when(F.size(lst) > 0, fold)
-            .otherwise(empty_twa_struct())
-            .alias(c)
-        )
-    return out
+    """Merge aggregates for every `twa_{col}` column (see twa_fold_agg)."""
+    return [
+        twa_fold_agg(c).alias(c) for c in colnames if twa_is_state_col(c)
+    ]
 
 
 def twa_serve_cols(state: Column) -> dict[str, Column]:

@@ -94,6 +94,13 @@ def main():
                          "log-bucket quantile-sketch tier maps for "
                          "(mergeable percentiles, rel err <= 1/32; "
                          "e.g. token_count)")
+    ap.add_argument("--topn-cols", default=None,
+                    help="comma list of col:n pairs to carry exact "
+                         "top-N value state for (the n largest values "
+                         "with timestamps; e.g. token_count:5)")
+    ap.add_argument("--botn-cols", default=None,
+                    help="comma list of col:n pairs to carry exact "
+                         "bottom-N value state for")
     ap.add_argument("--no-lease", action="store_true",
                     help="skip the single-writer run lease (concurrent "
                          "runs on one root can then double-write)")
@@ -191,6 +198,24 @@ def main():
         qsk_cols=(
             [c for c in args.qsk_cols.split(",") if c]
             if args.qsk_cols
+            else None
+        ),
+        topn_cols=(
+            {
+                s.split(":")[0]: int(s.split(":")[1])
+                for s in args.topn_cols.split(",")
+                if s
+            }
+            if args.topn_cols
+            else None
+        ),
+        botn_cols=(
+            {
+                s.split(":")[0]: int(s.split(":")[1])
+                for s in args.botn_cols.split(",")
+                if s
+            }
+            if args.botn_cols
             else None
         ),
         lease=not args.no_lease,

@@ -534,3 +534,50 @@ def test_stream_stream_left_outer_join_equals_batch(spark, t0_path, tmp_path):
         f"stream {len(got)} rows vs batch {len(exp)} "
         f"({n_unmatched} unmatched expected)"
     )
+
+
+def test_stream_into_pipeline_carries_new_state_families(spark, tmp_path):
+    """Streaming ingest × the M49/M50/M52 tier states: per-trigger
+    fingerprint re-rolls must rebuild the ordered-monoid / sketch / top-N
+    state of exactly the touched days, so the final monthly state equals
+    a one-shot batch run bit-for-bit — a day split across triggers would
+    expose any partial-state merge bug."""
+    from engine.pipeline import TierPipeline
+    from engine.streaming import run_stream_into_pipeline
+    from engine.synth import synth_transcripts
+
+    t0 = synth_transcripts(spark, n_convs=20, hot_turns=150)
+    src = str(tmp_path / "src")
+    t0.orderBy("ts").coalesce(1).write.parquet(src + "_one")
+    spark.read.parquet(src + "_one").repartitionByRange(8, "ts").write.parquet(src)
+
+    opts = dict(
+        twa_cols=["token_count"],
+        qsk_cols=["token_count"],
+        topn_cols={"token_count": 3},
+        fill_tiers=False,
+    )
+    pipe = TierPipeline(spark, str(tmp_path / "sp"), **opts)
+    out = run_stream_into_pipeline(
+        spark, src, pipe, raw_path=str(tmp_path / "raw")
+    )
+    assert out["batches"] >= 2, out
+    ref = TierPipeline(spark, str(tmp_path / "ref"), **opts)
+    ref.run(t0)
+
+    def snap(df):
+        return sorted(
+            (
+                r["conv_id"],
+                str(r["bucket_start"]),
+                tuple(r["twa_token_count"]),
+                tuple(sorted(r["token_count_qsk"].items())),
+                tuple(tuple(s) for s in r["token_count_top3"]),
+            )
+            for r in df.select(
+                "conv_id", "bucket_start", "twa_token_count",
+                "token_count_qsk", "token_count_top3",
+            ).collect()
+        )
+
+    assert snap(pipe.read_tier("monthly")) == snap(ref.read_tier("monthly"))

@@ -125,6 +125,25 @@ def pipeline_queries(spark, t0):
             hourly_cached,
             lambda: make_chunks(hourly_series(hourly_cached()), tier="hourly"),
         ),
+        # seventh round-4 session: the monoid/sketch state-family stack's
+        # leaf cost — salted hourly rollup carrying TWA integrals, quantile
+        # sketch maps, top/bottom-N arrays, and session islands in ONE pass
+        # (one bounded window + three fine-keyed pre-agg joins on the same
+        # (conv, hour) key). Priced separately so state-family regressions
+        # surface as a bench delta without touching the primary
+        # pipeline_rollup_monthly metric.
+        "state_stack_hourly": (
+            None,
+            lambda: rollup_hourly_salted(
+                t0,
+                16,
+                twa_cols=["token_count"],
+                qsk_cols=["token_count"],
+                topn_cols={"token_count": 3},
+                botn_cols={"token_count": 3},
+                session_gaps=[30],
+            ),
+        ),
     }
 
 
@@ -152,6 +171,9 @@ RELATIONAL = [
     # prefix-form double window stack and the chained-join funnel
     "cusum_alerts_user",
     "funnel_conversion_steps",
+    # seventh round-4 session: interpolated bucket serving — tier-struct
+    # build + the lag()/lead() carry decoration over tier rows
+    "tier_interp_twa_daily",
 ]
 
 

@@ -45,11 +45,25 @@ class TierEngine:
 
     # -- ingest / lifecycle ---------------------------------------------------
 
-    def run(self, t0: DataFrame, run_id: str | None = None, stages=None) -> dict:
+    def run(
+        self,
+        t0: DataFrame,
+        run_id: str | None = None,
+        stages=None,
+        budget: int | None = None,
+    ) -> dict:
         """One batch run: dedup/mask → hourly → daily → monthly → gapfill →
         compress, manifest-gated per partition (only changed work re-rolls),
-        serialized by the root's writer lease."""
-        return self.pipeline.run(t0, run_id=run_id, stages=stages)
+        serialized by the root's writer lease. `budget` bounds each stage
+        to its N oldest pending partitions (bounded-increment backfill);
+        deferred work is reported in the result's `left` map."""
+        return self.pipeline.run(t0, run_id=run_id, stages=stages, budget=budget)
+
+    def backfill(self, t0: DataFrame, budget: int, max_runs: int = 1000) -> list[dict]:
+        """Budgeted runs until nothing is pending — the bounded historical
+        backfill loop (each increment is crash-recoverable and publishes a
+        consistent prefix)."""
+        return self.pipeline.run_until_complete(t0, budget, max_runs=max_runs)
 
     def tier(self, name: str) -> DataFrame:
         return self.pipeline.read_tier(name)

@@ -618,7 +618,11 @@ class TierPipeline:
         self._wap_active = False
 
     def _finish_run(
-        self, run_id: str, done: dict, scans: dict | None = None
+        self,
+        run_id: str,
+        done: dict,
+        scans: dict | None = None,
+        left: dict | None = None,
     ) -> dict:
         """Seal a run. In snapshot mode, record each table's published
         snapshot id under stage='snapshot' — the cross-table consistency
@@ -663,7 +667,12 @@ class TierPipeline:
                     )
             if rows:
                 self.manifest.commit(rows)
-        return {"run_id": run_id, "stages": done, "scans": scans or {}}
+        return {
+            "run_id": run_id,
+            "stages": done,
+            "scans": scans or {},
+            "left": left or {},
+        }
 
     def run_snapshots(self, run_id: str | None = None) -> dict[str, str]:
         """table name -> snapshot id pinned at the end of `run_id` (default:
@@ -857,6 +866,8 @@ class TierPipeline:
         lineage: str,
         protect: set[str] | None = None,
         inventory: list[str] | None = None,
+        budget: int | None = None,
+        left: dict | None = None,
     ) -> int:
         """Run one stage exactly once per pending partition.
 
@@ -867,6 +878,14 @@ class TierPipeline:
         footer-only read-back of the partitions just written (the count
         references no data columns, so parquet row-group metadata answers
         it). Nothing collects the transformed data to the driver.
+
+        `budget` bounds the pending batch: at most `budget` keys (sorted by
+        partition_key — oldest-first for date-keyed stages, deterministic
+        for conv-bucket stages) are built this run; the remainder stays
+        PENDING in the manifest and `left[stage]` reports the deferral so
+        the caller knows to run again. Stale-input drops are never budgeted
+        (they are metadata-priced and deferring a deletion is a correctness
+        hazard, not a cost saving).
         """
         t0 = time.monotonic()
         self._drop_stale(
@@ -876,6 +895,12 @@ class TierPipeline:
         pending = pending_partitions(work, self.manifest, stage).collect()
         if not pending:
             return 0
+        if budget is not None:
+            pending.sort(key=lambda r: r["partition_key"])
+            if len(pending) > budget:
+                if left is not None:
+                    left[stage] = len(pending) - budget
+                pending = pending[:budget]
         keys = [r["partition_key"] for r in pending]
         out = build(keys)
         self._write_table(out, out_path, partition_cols)
@@ -1244,7 +1269,11 @@ class TierPipeline:
     ALL_STAGES = ("hourly", "daily", "monthly", "gapfill", "compress")
 
     def run(
-        self, t0: DataFrame, run_id: str | None = None, stages=None
+        self,
+        t0: DataFrame,
+        run_id: str | None = None,
+        stages=None,
+        budget: int | None = None,
     ) -> dict:
         """Run the batch job. `stages` limits execution to a prefix of
         ALL_STAGES (used by tests to simulate a kill between stages; a later
@@ -1253,13 +1282,44 @@ class TierPipeline:
         including an audit veto — aborts with published tables and the
         manifest untouched.
 
+        `budget` caps how many pending partitions EACH stage builds this
+        run (oldest-first); the rest stays pending and is reported in the
+        result's `left` map. This is how a 10^12-turn historical backfill
+        runs: bounded, checkpointed increments that each publish a
+        consistent prefix, instead of one job that must survive to the end.
+        Repeated budgeted runs converge to the exact state of one unbudgeted
+        run (fingerprints, not budget bookkeeping, decide what is pending).
+
         A run lease (engine/lease.py) serializes writers per root: a second
         concurrent run raises LeaseHeldError instead of double-writing the
         same pending partitions; crashed holders are broken as stale."""
+        if budget is not None and budget < 1:
+            raise ValueError("budget must be >= 1 partition per stage")
         if self.use_lease:
             with self.lease():
-                return self._run_locked(t0, run_id, stages)
-        return self._run_locked(t0, run_id, stages)
+                return self._run_locked(t0, run_id, stages, budget)
+        return self._run_locked(t0, run_id, stages, budget)
+
+    def run_until_complete(
+        self,
+        t0: DataFrame,
+        budget: int,
+        max_runs: int = 1000,
+        run_id: str | None = None,
+    ) -> list[dict]:
+        """Drive budgeted runs until nothing is left pending (a bounded
+        backfill orchestrator: each iteration is one crash-recoverable
+        increment). Returns every run's result dict, in order."""
+        results = []
+        for i in range(max_runs):
+            rid = f"{run_id}-{i:04d}" if run_id else None
+            res = self.run(t0, run_id=rid, budget=budget)
+            results.append(res)
+            if not res["left"]:
+                return results
+        raise RuntimeError(
+            f"backfill did not converge within {max_runs} budgeted runs"
+        )
 
     def lease(self):
         """The root's writer lease — lifecycle operations running OUTSIDE
@@ -1270,19 +1330,27 @@ class TierPipeline:
         return RunLease(self.root, ttl_s=self.lease_ttl_s)
 
     def _run_locked(
-        self, t0: DataFrame, run_id: str | None = None, stages=None
+        self,
+        t0: DataFrame,
+        run_id: str | None = None,
+        stages=None,
+        budget: int | None = None,
     ) -> dict:
         if self.wap:
             self._begin_wap()
             try:
-                return self._run_impl(t0, run_id, stages)
+                return self._run_impl(t0, run_id, stages, budget)
             except Exception:
                 self._abort_wap()
                 raise
-        return self._run_impl(t0, run_id, stages)
+        return self._run_impl(t0, run_id, stages, budget)
 
     def _run_impl(
-        self, t0: DataFrame, run_id: str | None = None, stages=None
+        self,
+        t0: DataFrame,
+        run_id: str | None = None,
+        stages=None,
+        budget: int | None = None,
     ) -> dict:
         stages = tuple(stages or self.ALL_STAGES)
         run_id = run_id or new_run_id()
@@ -1300,6 +1368,13 @@ class TierPipeline:
         t0 = t0.withColumn("bucket_date", F.to_date("ts"))
         done = {}
         scans: dict[str, str] = {}
+        # stage -> pending keys deferred past this run's budget. A stage
+        # that deferred work must NOT advance its changelog-pruning
+        # reconcile pointer below: the pointer asserts "everything changed
+        # up to this upstream snapshot is reflected here", which a
+        # truncated batch hasn't done — advancing it would prune the
+        # deferred keys out of the next run's work manifest forever.
+        left: dict[str, int] = {}
 
         # 1. raw -> hourly, keyed by day. The sketch spec is part of the
         # fingerprint: turning sketches on/off re-rolls each day exactly once.
@@ -1376,9 +1451,10 @@ class TierPipeline:
         done["hourly"] = self._run_stage(
             "hourly", run_id, day_work, build_hourly,
             self.tier_path("hourly"), self.hourly_partition_cols(), "raw",
+            budget=budget, left=left,
         )
         if "daily" not in stages:
-            return self._finish_run(run_id, done, scans)
+            return self._finish_run(run_id, done, scans, left)
 
         # 2. hourly -> daily, keyed by day (observed rows only: gap-filled
         # tier rows carry copied state and must not feed upward aggregation).
@@ -1421,13 +1497,14 @@ class TierPipeline:
             self.tier_path("daily"), ["bucket_date"], "hourly",
             protect=retained_days,
             inventory=daily_inv,
+            budget=budget, left=left,
         )
-        if self.snapshots and not self.wap:
+        if self.snapshots and not self.wap and not left.get("daily"):
             cur_h = self._store(self.table_path("hourly")).current_id()
             if cur_h is not None:
                 self._record_reconciled("daily", cur_h)
         if "monthly" not in stages:
-            return self._finish_run(run_id, done, scans)
+            return self._finish_run(run_id, done, scans, left)
 
         # 3. daily -> monthly, keyed by month. Months finalized by daily
         # retention are FROZEN: their daily days are gone, so a re-roll
@@ -1487,13 +1564,14 @@ class TierPipeline:
             self.tier_path("monthly"), ["bucket_month"], "daily",
             protect={f"month={m}" for m in frozen},
             inventory=month_inv,
+            budget=budget, left=left,
         )
-        if self.snapshots and not self.wap:
+        if self.snapshots and not self.wap and not left.get("monthly"):
             cur_d = self._store(self.table_path("daily")).current_id()
             if cur_d is not None:
                 self._record_reconciled("monthly", cur_d)
         if "gapfill" not in stages:
-            return self._finish_run(run_id, done, scans)
+            return self._finish_run(run_id, done, scans, left)
 
         # 4. gap-fill, keyed by conv_bucket (series must stay whole;
         # observed rows only — the gapfill table derives its own fills).
@@ -1512,7 +1590,7 @@ class TierPipeline:
             done["gapfill"] = 0
             done["compress"] = 0
             scans["series"] = "pruned-noop"
-            return self._finish_run(run_id, done, scans)
+            return self._finish_run(run_id, done, scans, left)
         scans["series"] = "full"
         hourly = self.series_input(run_id)
         cb_work = work_manifest(
@@ -1530,13 +1608,14 @@ class TierPipeline:
         done["gapfill"] = self._run_stage(
             "gapfill", run_id, cb_work, build_gapfill,
             self.gapfill_path, ["conv_bucket"], "hourly",
+            budget=budget, left=left,
         )
-        if self.snapshots and not self.wap:
+        if self.snapshots and not self.wap and not left.get("gapfill"):
             cur_h = self._store(self.table_path("hourly")).current_id()
             if cur_h is not None:
                 self._record_reconciled("gapfill", cur_h)
         if "compress" not in stages:
-            return self._finish_run(run_id, done, scans)
+            return self._finish_run(run_id, done, scans, left)
 
         # 5. compress hourly series into chunk blobs, keyed by conv_bucket
         def build_compress(keys):
@@ -1549,13 +1628,14 @@ class TierPipeline:
         done["compress"] = self._run_stage(
             "compress", run_id, cb_work, build_compress,
             self.chunks_path, ["conv_bucket"], "hourly",
+            budget=budget, left=left,
         )
-        if self.snapshots and not self.wap:
+        if self.snapshots and not self.wap and not left.get("compress"):
             cur_h = self._store(self.table_path("hourly")).current_id()
             if cur_h is not None:
                 self._record_reconciled("compress", cur_h)
 
-        return self._finish_run(run_id, done, scans)
+        return self._finish_run(run_id, done, scans, left)
 
     # -- EP3: SQL over continuous aggregates ---------------------------------
     def register_views(self):

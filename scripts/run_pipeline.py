@@ -101,6 +101,13 @@ def main():
     ap.add_argument("--botn-cols", default=None,
                     help="comma list of col:n pairs to carry exact "
                          "bottom-N value state for")
+    ap.add_argument("--budget", type=int, default=None,
+                    help="max pending partitions per stage this run "
+                         "(oldest-first); with --backfill, loop budgeted "
+                         "runs until nothing is left pending")
+    ap.add_argument("--backfill", action="store_true",
+                    help="with --budget: run bounded increments to "
+                         "completion instead of one run")
     ap.add_argument("--no-lease", action="store_true",
                     help="skip the single-writer run lease (concurrent "
                          "runs on one root can then double-write)")
@@ -228,8 +235,14 @@ def main():
         result = rep["run"]
         result["forgotten"] = rep["tombstoned"]
         result["forget_swept"] = {k: len(v) for k, v in rep["swept"].items()}
+    elif args.backfill:
+        if not args.budget:
+            ap.error("--backfill requires --budget")
+        runs = pipe.run_until_complete(t0, args.budget)
+        result = runs[-1]
+        result["backfill_runs"] = len(runs)
     else:
-        result = pipe.run(t0)
+        result = pipe.run(t0, budget=args.budget)
 
     if args.compact_zorder:
         from engine.retention import compact_partition

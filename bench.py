@@ -408,6 +408,55 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         for _ in range(BENCH_STAGE_TRIALS)
     )
 
+    # pruned chunk-range read (M55): decode only the T4 blobs overlapping a
+    # 3-day window vs the decode-everything-then-clip counterfactual; the
+    # pruned/total chunk counts land in the JSON so a pruning regression
+    # surfaces numerically, not just as wall-time drift
+    from engine.codec.chunks import decode_chunks, read_chunk_range
+
+    chunks_df = seed.read_table("chunks")
+    c_lo, c_hi = "2026-02-01 00:00:00", "2026-02-04 00:00:00"
+    chunk_stats = {
+        "total": chunks_df.count(),
+        "pruned_to": chunks_df.filter(
+            (F.col("chunk_end") >= F.lit(c_lo).cast("timestamp_ntz"))
+            & (F.col("chunk_start") < F.lit(c_hi).cast("timestamp_ntz"))
+        ).count(),
+    }
+    timings["chunk_range_read"] = min(
+        _timed(lambda: read_chunk_range(chunks_df, c_lo, c_hi)[0].count())[0]
+        for _ in range(BENCH_STAGE_TRIALS)
+    )
+    timings["chunk_range_scan"] = min(
+        _timed(
+            lambda: decode_chunks(chunks_df)[0]
+            .filter(
+                (F.col("bucket_start") >= F.lit(c_lo).cast("timestamp_ntz"))
+                & (F.col("bucket_start") < F.lit(c_hi).cast("timestamp_ntz"))
+            )
+            .count()
+        )[0]
+        for _ in range(BENCH_STAGE_TRIALS)
+    )
+
+    # manifest compaction (M54): fold the built root's per-commit manifest
+    # files into one, pruning superseded rows — each trial on a fresh
+    # hardlink copy (compact rewrites the manifest directory)
+    def compact_trial():
+        troot = fg_base + "_compact"
+        shutil.rmtree(troot, ignore_errors=True)
+        shutil.copytree(fg_base, troot, copy_function=os.link)
+        pipe = TierPipeline(
+            spark, troot, salted=True, snapshots=True, lease=False
+        )
+        return _timed(
+            lambda: pipe.compact_manifest(prune_superseded=True)
+        )[0]
+
+    timings["manifest_compact"] = min(
+        compact_trial() for _ in range(BENCH_STAGE_TRIALS)
+    )
+
     total = sum(timings.values())
     return {
         "metric": "headline_queries_total_wall",
@@ -420,6 +469,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "cpus": cpus,
         "neardup_stress": stress_stats,
         "point_lookup": point_stats,
+        "chunk_range": chunk_stats,
     }
 
 

@@ -78,6 +78,13 @@ class TierEngine:
         days = droppable_hourly_days(self.pipeline, older_than)
         return drop_hourly_partitions(self.pipeline, days, run_id=run_id)
 
+    def compact_manifest(self, prune_superseded: bool = False) -> dict:
+        """Fold the manifest's accumulated per-commit files into one
+        (lease-serialized). With prune_superseded, drop data-stage rows a
+        newer commit for the same partition supersedes; run-barrier /
+        retention / freeze / forget history always survives."""
+        return self.pipeline.compact_manifest(prune_superseded)
+
     def rollback(self, run_id: str) -> None:
         """Snapshot mode: pointer-flip every table to a sealed run barrier
         and re-arm resume (engine/pipeline.py rollback_run)."""
@@ -235,6 +242,16 @@ class TierEngine:
         if col not in self.pipeline.statedur_cols:
             raise ValueError(f"statedur_cols has no column {col!r}")
         return interpolated_statedur(self.tier(tier), tier, col)
+
+    def serve_chunk_range(self, lo: datetime, hi: datetime) -> DataFrame:
+        """The compressed-store range read: decode ONLY the T4 chunk blobs
+        whose span overlaps [lo, hi) (row-group-stat pruned on
+        chunk_start/chunk_end before the Python boundary), clipped exactly.
+        Serves historical series after raw/hourly retention drops."""
+        from .codec.chunks import read_chunk_range
+
+        pts, _bad = read_chunk_range(self.pipeline.read_table("chunks"), lo, hi)
+        return pts
 
     def serve_realtime(
         self, lo: datetime, hi: datetime, watermark: datetime, t0: DataFrame

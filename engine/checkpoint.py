@@ -94,6 +94,90 @@ class Manifest:
             .distinct()
         )
 
+    #: stages whose FULL history is load-bearing and must survive a pruning
+    #: compaction: 'snapshot' rows are the per-run barriers behind
+    #: read_consistent/rollback_run/time-travel SQL; 'retention'/'frozen'
+    #: rows gate drops, freezes and rollback refusal; 'forget' rows are the
+    #: erasure audit trail.
+    PRESERVED_STAGES = frozenset({"snapshot", "retention", "frozen", "forget"})
+
+    #: sentinel fingerprints whose presence (even superseded) is consulted
+    #: by history scans (e.g. forget's sweep-could-matter check).
+    SENTINELS = frozenset({"<deleted>", "<rolled-back>"})
+
+    def compact(self, prune_superseded: bool = False) -> dict:
+        """Rewrite the manifest's commit files into ONE file (L2 for the
+        manifest itself). A long budgeted backfill or months of incremental
+        runs accumulate one parquet file per commit — at 10^12-turn scale
+        that is tens of thousands of tiny files, and every `read()` after a
+        new commit re-reads them all. Compaction is the small-files fix:
+        content-identical by construction (all rows carried verbatim), so
+        every consumer — latest-fingerprint resume, run barriers, rollback,
+        retention/freeze state — behaves exactly as before.
+
+        With `prune_superseded=True`, ordinary data-stage rows that a newer
+        commit for the same (stage, partition_key) supersedes are dropped —
+        the resume algebra only ever consults the latest row per key — while
+        PRESERVED_STAGES rows and sentinel-fingerprint rows keep their full
+        history (they back time travel, rollback refusal and erasure audits).
+
+        Crash-safe, not concurrent-reader-safe: the merged file is renamed
+        in before the old files are unlinked, so a crash at any point loses
+        nothing (duplicates from a torn compaction are harmless to every
+        latest/distinct/set consumer and the next compact() heals them) —
+        but run it under the root's writer lease like other lifecycle ops.
+        Returns {files_before, files_after, rows_before, rows_after}."""
+        files = sorted(
+            f for f in os.listdir(self.path) if f.endswith(".parquet")
+        )
+        if not files:
+            return {"files_before": 0, "files_after": 0,
+                    "rows_before": 0, "rows_after": 0}
+        table = pa.concat_tables(
+            [pq.read_table(os.path.join(self.path, f)) for f in files]
+        ).cast(_ARROW_SCHEMA)
+        rows_before = table.num_rows
+        # exact-duplicate rows only ever arise from a compaction that
+        # crashed between the merged-file rename and the old-file unlinks;
+        # they are semantically idempotent, so dropping them here is what
+        # makes re-running compact() heal a torn one.
+        df = table.to_pandas().drop_duplicates(ignore_index=True)
+        table = pa.Table.from_pandas(
+            df, schema=_ARROW_SCHEMA, preserve_index=False
+        )
+        if prune_superseded:
+            keep = df["stage"].isin(self.PRESERVED_STAGES) | df[
+                "input_snapshot_id"
+            ].isin(self.SENTINELS)
+            # latest row per (stage, partition_key) under the same total
+            # order pending_partitions uses: max(committed_at, snapshot_id)
+            latest_idx = (
+                df.sort_values(
+                    ["committed_at", "input_snapshot_id"], kind="stable"
+                )
+                .groupby(["stage", "partition_key"], sort=False)
+                .tail(1)
+                .index
+            )
+            df = df.loc[keep | df.index.isin(latest_idx)]
+            table = pa.Table.from_pandas(
+                df, schema=_ARROW_SCHEMA, preserve_index=False
+            )
+        now = int(time.time() * 1_000_000)
+        fname = f"commit-{now}-{uuid.uuid4().hex[:8]}-compacted.parquet"
+        tmp = os.path.join(self.path, f"._tmp-{fname}")
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(self.path, fname))
+        for f in files:
+            os.unlink(os.path.join(self.path, f))
+        self._cache = None
+        return {
+            "files_before": len(files),
+            "files_after": 1,
+            "rows_before": rows_before,
+            "rows_after": table.num_rows,
+        }
+
     def commit(self, rows: list[dict]) -> str:
         """Atomic append of one commit file (driver-side: manifests are tiny
         relative to data — thousands of rows per run at any scale)."""

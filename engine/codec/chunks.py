@@ -131,6 +131,32 @@ def decode_chunks(chunks: DataFrame) -> DataFrame:
     return decoded, bad
 
 
+def read_chunk_range(chunks: DataFrame, lo, hi) -> tuple[DataFrame, DataFrame]:
+    """Pruned serve path over T4 blobs (the TSDB range read): only chunks
+    whose [chunk_start, chunk_end] span OVERLAPS [lo, hi) are CRC-checked
+    and decoded; decoded points are then clipped to the range exactly.
+
+    The overlap predicate references only the chunk-boundary metadata
+    columns, so on a written chunk table it prunes at parquet row-group
+    granularity (chunk_start/chunk_end are timestamp_ntz — real min/max
+    stats) BEFORE any blob bytes cross the Python boundary. At 100 TB the
+    decode UDF is the expensive stage; a one-day query over a year of
+    month-chunked series pays for ~1/12 of the blobs, not all of them.
+    Returns (points, bad_crc_chunks) like decode_chunks."""
+    lo_c = F.lit(lo).cast("timestamp_ntz")
+    hi_c = F.lit(hi).cast("timestamp_ntz")
+    pruned = chunks.filter(
+        (F.col("chunk_end") >= lo_c) & (F.col("chunk_start") < hi_c)
+    )
+    decoded, bad = decode_chunks(pruned)
+    return (
+        decoded.filter(
+            (F.col("bucket_start") >= lo_c) & (F.col("bucket_start") < hi_c)
+        ),
+        bad,
+    )
+
+
 def compression_stats(chunks: DataFrame) -> DataFrame:
     """bytes/point per metric — the bench reports this vs raw 16 B/point."""
     return chunks.groupBy("tier", "metric").agg(

@@ -1329,6 +1329,16 @@ class TierPipeline:
 
         return RunLease(self.root, ttl_s=self.lease_ttl_s)
 
+    def compact_manifest(self, prune_superseded: bool = False) -> dict:
+        """Rewrite the manifest's accumulated commit files into one (see
+        Manifest.compact). Serialized against runs by the writer lease —
+        a reader racing the rename/unlink window could otherwise see
+        duplicated rows (harmless but unclean) or a torn file list."""
+        if self.use_lease:
+            with self.lease():
+                return self.manifest.compact(prune_superseded)
+        return self.manifest.compact(prune_superseded)
+
     def _run_locked(
         self,
         t0: DataFrame,

@@ -762,6 +762,50 @@ def chunk_roundtrip_hourly(spark, sf_dir):
 
 
 @register(
+    "chunk_range_read_hourly",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS conv_id,
+           'hourly' AS tier,
+           'n_events' AS metric,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+           CAST(COUNT(*) AS DOUBLE) AS value
+    FROM events
+    WHERE date_trunc('hour', ts) >= TIMESTAMP '2024-01-10 00:00:00'
+      AND date_trunc('hour', ts) <  TIMESTAMP '2024-01-13 00:00:00'
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def chunk_range_read_hourly(spark, sf_dir):
+    """The TSDB range read over T4 blobs (K5 serve path): day-chunked
+    Gorilla/DoD blobs are PRUNED by their [chunk_start, chunk_end] span
+    before any decode — only chunks overlapping the 3-day query window
+    pay the Python boundary — then decoded points are clipped exactly.
+    The oracle recomputes the clipped hourly series from raw events, so
+    both the pruning predicate (a dropped-but-needed chunk loses rows)
+    and the codecs (any lost bit) show up as a driver mismatch."""
+    from .codec.chunks import make_chunks, read_chunk_range
+
+    e = _t(spark, sf_dir, "events")
+    series = e.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket_start"),
+    ).agg(F.count("*").cast("double").alias("value")).withColumn(
+        "metric", F.lit("n_events")
+    )
+    chunks = make_chunks(series, tier="hourly", chunk_unit="day")
+    pts, _bad = read_chunk_range(
+        chunks, "2024-01-10 00:00:00", "2024-01-13 00:00:00"
+    )
+    return pts.select(
+        "conv_id",
+        "tier",
+        "metric",
+        F.col("bucket_start").cast("timestamp_ntz").alias("bucket_start"),
+        "value",
+    )
+
+
+@register(
     "tier_hourly_filled",
     _TIER_CTE
     + """

@@ -108,6 +108,14 @@ def main():
     ap.add_argument("--backfill", action="store_true",
                     help="with --budget: run bounded increments to "
                          "completion instead of one run")
+    ap.add_argument("--compact-manifest", action="store_true",
+                    help="after the run, fold the manifest's accumulated "
+                         "commit files into one (small-files lifecycle; "
+                         "pairs with long --backfill loops)")
+    ap.add_argument("--prune-superseded", action="store_true",
+                    help="with --compact-manifest: also drop data-stage "
+                         "rows a newer commit supersedes (run barriers, "
+                         "retention/freeze/forget history always survive)")
     ap.add_argument("--no-lease", action="store_true",
                     help="skip the single-writer run lease (concurrent "
                          "runs on one root can then double-write)")
@@ -250,6 +258,11 @@ def main():
         tier, c1, c2 = args.compact_zorder.split(":")
         compact_partition(pipe, tier, zorder=(c1, c2))
         result["zorder_compacted"] = args.compact_zorder
+
+    if args.compact_manifest:
+        result["manifest_compacted"] = pipe.compact_manifest(
+            prune_superseded=args.prune_superseded
+        )
 
     if args.expire_keep_last:
         from engine.retention import expire_snapshots

@@ -243,6 +243,21 @@ class TierEngine:
             raise ValueError(f"statedur_cols has no column {col!r}")
         return interpolated_statedur(self.tier(tier), tier, col)
 
+    def serve_series(
+        self, lo: datetime, hi: datetime, metrics: list[str] | None = None
+    ) -> DataFrame:
+        """Long-form hourly series over [lo, hi) that survives retention:
+        tier rows where the hourly partitions still exist, compressed-chunk
+        decode (pruned) for dropped days — bit-identical to the pre-drop
+        series."""
+        return _rw.serve_series_chunked(
+            self.pipeline.read_tier("hourly"),
+            self.pipeline.read_table("chunks"),
+            lo,
+            hi,
+            metrics,
+        )
+
     def serve_chunk_range(self, lo: datetime, hi: datetime) -> DataFrame:
         """The compressed-store range read: decode ONLY the T4 chunk blobs
         whose span overlaps [lo, hi) (row-group-stat pruned on

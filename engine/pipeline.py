@@ -1309,7 +1309,18 @@ class TierPipeline:
     ) -> list[dict]:
         """Drive budgeted runs until nothing is left pending (a bounded
         backfill orchestrator: each iteration is one crash-recoverable
-        increment). Returns every run's result dict, in order."""
+        increment). Returns every run's result dict, in order.
+
+        Scale note: every increment re-fingerprints the RAW input (one
+        count+hash agg pass — the external-input late-data contract;
+        derived stages prune via the snapshot changelog), so R increments
+        cost R raw fingerprint scans on top of the bounded build work.
+        That pass is a cheap columnar aggregation, but at extreme scale
+        size `budget` so increments are few-and-large rather than
+        many-and-tiny. Do NOT feed partial time slices to successive
+        calls: a day absent from the presented input reads as vanished
+        and its committed partitions are dropped as stale — the input
+        contract is always the full (append-only growing) table."""
         results = []
         for i in range(max_runs):
             rid = f"{run_id}-{i:04d}" if run_id else None

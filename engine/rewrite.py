@@ -699,3 +699,62 @@ def rewrite_range_topn(
     u = _range_state_rows(tiers, lo, hi, c)
     folded = u.groupBy("conv_id").agg(*topn_merge_aggs([c]))
     return topn_explode(folded, c)
+
+
+def serve_series_chunked(
+    hourly: DataFrame,
+    chunks: DataFrame,
+    lo,
+    hi,
+    metrics: list[str] | None = None,
+) -> DataFrame:
+    """Long-form hourly series over [lo, hi) that survives retention: days
+    still present in the hourly tier are served from tier rows (cheap,
+    partition-pruned, no decode); days the retention policy dropped are
+    decoded from the compressed T4 chunk blobs (M55 pruned range read).
+    The union equals the pre-drop `hourly_series` bit-exactly — the
+    "continuous aggregates remain queryable" guarantee extended down to
+    the raw-resolution series itself.
+
+    Day-granular routing matches the drop granularity: a month-spanning
+    chunk is decoded once and only its points on MISSING days survive, so
+    nothing is double-served. The day spine is built with sequence() over
+    the range literals and the missing-day set rides a broadcast semi/anti
+    join — metadata-scale, never a raw scan."""
+    from .codec.chunks import read_chunk_range
+    from .gapfill import hourly_series
+
+    lo_c = F.lit(lo).cast("timestamp_ntz")
+    hi_c = F.lit(hi).cast("timestamp_ntz")
+    obs = observed_state(hourly).filter(
+        (F.col("bucket_start") >= lo_c) & (F.col("bucket_start") < hi_c)
+    )
+    tier_pts = hourly_series(obs, metrics)
+
+    spark = hourly.sparkSession
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(lo_c),
+                F.to_date(hi_c - F.expr("INTERVAL 1 MICROSECOND")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    present = hourly.select(
+        F.to_date("bucket_start").alias("d")
+    ).distinct()
+    missing = days.join(present, "d", "left_anti")
+
+    decoded, _bad = read_chunk_range(chunks, lo, hi)
+    if metrics is not None:
+        decoded = decoded.filter(F.col("metric").isin(list(metrics)))
+    chunk_pts = decoded.join(
+        F.broadcast(missing),
+        F.to_date("bucket_start") == F.col("d"),
+        "left_semi",
+    ).select("conv_id", "bucket_start", "metric", "value")
+
+    return tier_pts.select(
+        "conv_id", "bucket_start", "metric", "value"
+    ).unionByName(chunk_pts)

@@ -121,3 +121,54 @@ def test_budgeted_backfill_snapshot_mode_and_late_data(spark, tmp_path, t0):
     results2 = inc.run_until_complete(t0_late, budget=2, max_runs=50)
     assert results2[-1]["left"] == {}
     _assert_same_tables(full, inc)
+
+
+def test_budgeted_backfill_under_wap(spark, tmp_path, t0):
+    """Each budgeted increment is its own write-audit-publish cycle: the
+    loop converges to the plain twin with every table gaining one
+    published snapshot per sealed increment."""
+    full = TierPipeline(
+        spark, str(tmp_path / "wfull"), snapshots=True, lease=False
+    )
+    full.run(t0)
+    inc = TierPipeline(
+        spark, str(tmp_path / "winc"), snapshots=True, wap=True, lease=False
+    )
+    results = inc.run_until_complete(t0, budget=2, max_runs=50)
+    assert len(results) > 1
+    _assert_same_tables(full, inc)
+
+
+def test_budgeted_wap_veto_preserves_published_prefix(spark, tmp_path, t0):
+    """An audit veto on increment 2 must leave increment 1's published
+    prefix (tables AND manifest) untouched; removing the veto completes
+    the backfill to the exact unbudgeted state."""
+    root = str(tmp_path / "wveto")
+    pipe = TierPipeline(spark, root, snapshots=True, wap=True, lease=False)
+    r1 = pipe.run(t0, budget=2)
+    assert r1["left"], "first increment must leave work pending"
+    before = {n: _table(pipe, n) for n in TierPipeline.TABLE_NAMES}
+    n_manifest = pipe.manifest.read().count()
+
+    class Veto(RuntimeError):
+        pass
+
+    def audit(p):
+        raise Veto("gate failed")
+
+    vetoed = TierPipeline(
+        spark, root, snapshots=True, wap=True, wap_audit=audit, lease=False
+    )
+    with pytest.raises(Veto):
+        vetoed.run(t0, budget=2)
+    for n in TierPipeline.TABLE_NAMES:
+        pd.testing.assert_frame_equal(_table(pipe, n), before[n])
+    assert pipe.manifest.read().count() == n_manifest
+
+    ok = TierPipeline(spark, root, snapshots=True, wap=True, lease=False)
+    ok.run_until_complete(t0, budget=2, max_runs=50)
+    full = TierPipeline(
+        spark, str(tmp_path / "wfull2"), snapshots=True, lease=False
+    )
+    full.run(t0)
+    _assert_same_tables(full, ok)

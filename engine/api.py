@@ -347,17 +347,22 @@ class TierEngine:
 
     # -- user-defined continuous aggregates (engine/cagg.py) --------------------
 
-    def cagg(self, path: str, *, keys, aggs, filter=None):  # noqa: A002
+    def cagg(self, path: str, *, keys, aggs, filter=None, versioned=False):  # noqa: A002
         """Declare (or re-attach) a user-defined continuous aggregate:
         group keys are SQL expressions over hourly-tier rows, aggregates
         come from the mergeable algebra (sum/count/min/max/avg/
-        approx_distinct/first/last). `.refresh()` consumes the hourly
-        snapshot changelog — O(changed days); `.read()` serves the merged
-        view. A changed definition rebuilds once (spec-token migration)."""
+        approx_distinct/first/last/twa/percentile_qsk/distinct_kmv).
+        `.refresh()` consumes the hourly snapshot changelog — O(changed
+        days); `.read()` serves the merged view. A changed definition
+        rebuilds once (spec-token migration). With ``versioned=True`` the
+        partials table is itself snapshot-versioned and emits a changelog,
+        so `.child(...)` can stack coarser views over it (hierarchical
+        continuous aggregates)."""
         from .cagg import ContinuousAggregate
 
         return ContinuousAggregate(
-            self.pipeline, path, keys=keys, aggs=aggs, filter=filter
+            self.pipeline, path, keys=keys, aggs=aggs,
+            filter=filter, versioned=versioned,
         )
 
     # -- cross-root replication (engine/replicate.py) ---------------------------

@@ -57,6 +57,25 @@ Cost: O(changed days) per refresh, never O(history); an expired diff base
 At 100 TB this is the serving pattern: dashboards and downstream jobs
 read small pre-merged views that track petabyte tiers by consuming a
 partition-level changelog, instead of re-scanning the store on a cron.
+
+**Versioned partials and hierarchical views.** With ``versioned=True`` the
+partials table itself becomes a SnapStore (CoW snapshot per refresh,
+atomic pointer publish) — readers are never torn by a concurrent refresh,
+AND the partials table now EMITS the same partition-level changelog it
+consumes. That closes the composition loop: `HierarchicalAggregate`
+declares a coarser view OVER a versioned parent view (TimescaleDB 2.9's
+"hierarchical continuous aggregates"), re-merging the parent's mergeable
+day-partial STATE — never re-touching the hourly tier — and refreshing
+from the parent partials' snapshot diff with the identical consume-pointer
+protocol. Day partials make this sound: every algebra kind's state merges
+associatively (sum/count/min/max/avg-pairs, HLL register-max, KMV
+sorted-union-truncate, twa ordered-monoid fold, qsk map-add, first/last
+lexicographic structs), so child-of-parent == child-of-raw bit-exactly,
+and a chain hourly→daily-view→monthly-view→quarterly-view refreshes each
+level in O(that level's changed days). At 100 TB this is the dashboard
+pyramid: one pass over the changed tier partitions feeds the finest view,
+and every coarser view refreshes from the view below it at strictly
+decreasing cost.
 """
 
 from __future__ import annotations
@@ -104,6 +123,7 @@ class ContinuousAggregate:
         keys,
         aggs: dict,
         filter: str | None = None,  # noqa: A002 - mirrors DataFrame.filter
+        versioned: bool = False,
     ):
         if not pipe.snapshots:
             raise ValueError("continuous aggregate requires TierPipeline(snapshots=True)")
@@ -112,6 +132,7 @@ class ContinuousAggregate:
         self.keys = {k: k for k in keys} if isinstance(keys, (list, tuple)) else dict(keys)
         self.aggs = {k: tuple(v) for k, v in aggs.items()}
         self.filter = filter
+        self.versioned = bool(versioned)
         self._validate()
         os.makedirs(path, exist_ok=True)
 
@@ -139,7 +160,10 @@ class ContinuousAggregate:
     def spec_token(self) -> str:
         blob = json.dumps(
             {"keys": self.keys, "aggs": {k: list(v) for k, v in self.aggs.items()},
-             "filter": self.filter},
+             "filter": self.filter,
+             # storage-layout flag: flipping it forces one full rebuild into
+             # the new layout (plain dir <-> snapshot store)
+             **({"versioned": True} if self.versioned else {})},
             sort_keys=True,
         )
         return hashlib.sha256(blob.encode()).hexdigest()[:16]
@@ -147,6 +171,84 @@ class ContinuousAggregate:
     @property
     def partials_path(self) -> str:
         return os.path.join(self.path, "partials")
+
+    @property
+    def partials_store(self) -> SnapStore:
+        """The versioned partials table (``versioned=True`` only) — the
+        changelog seam a `HierarchicalAggregate` child consumes."""
+        if not self.versioned:
+            raise ValueError("partials_store requires versioned=True")
+        return SnapStore(self.partials_path)
+
+    def _read_partials(self) -> DataFrame:
+        if self.versioned:
+            return self.partials_store.read(self.pipe.spark)
+        return self.pipe.spark.read.parquet(self.partials_path)
+
+    def _write_full(self, partials: DataFrame) -> None:
+        if not self.versioned:
+            (
+                partials.write.partitionBy("bucket_date")
+                .mode("overwrite")
+                .parquet(self.partials_path)
+            )
+            return
+        store = self.partials_store
+        sid = store.begin("full")
+        try:
+            snap = store.snapshot_path(sid)
+            # the CoW tree inherits the prior snapshot's days; a FULL
+            # rebuild must not leave days the new spec no longer produces
+            for d in os.listdir(snap):
+                if "=" in d and os.path.isdir(os.path.join(snap, d)):
+                    shutil.rmtree(os.path.join(snap, d))
+            (
+                partials.write.option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket_date")
+                .mode("overwrite")
+                .parquet(snap)
+            )
+        except Exception:
+            store.abort(sid)
+            raise
+        store.publish(sid)
+
+    def _write_incremental(
+        self, partials: DataFrame | None, removed_days: list[str]
+    ) -> None:
+        if not self.versioned:
+            if partials is not None:
+                (
+                    partials.write.option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("bucket_date")
+                    .mode("overwrite")
+                    .parquet(self.partials_path)
+                )
+            for day in removed_days:
+                shutil.rmtree(
+                    os.path.join(self.partials_path, f"bucket_date={day}"),
+                    ignore_errors=True,
+                )
+            return
+        store = self.partials_store
+        sid = store.begin("refresh")
+        try:
+            snap = store.snapshot_path(sid)
+            if partials is not None:
+                (
+                    partials.write.option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("bucket_date")
+                    .mode("overwrite")
+                    .parquet(snap)
+                )
+            for day in removed_days:
+                shutil.rmtree(
+                    os.path.join(snap, f"bucket_date={day}"), ignore_errors=True
+                )
+        except Exception:
+            store.abort(sid)
+            raise
+        store.publish(sid)
 
     def _pointer(self, name: str) -> str | None:
         try:
@@ -317,13 +419,18 @@ class ContinuousAggregate:
             *self.keys, F.col("bucket_date").cast("string").alias("bucket_date")
         ).agg(*self._partial_aggs())
 
+    def _upstream_store(self) -> SnapStore:
+        """The snapshot store this view consumes (the hourly tier here; a
+        hierarchical child overrides with its parent's partials store)."""
+        return SnapStore(self.pipe.tier_path("hourly"))
+
     def refresh(self) -> dict:
-        """Consume the hourly changelog up to the published snapshot.
+        """Consume the upstream changelog up to the published snapshot.
         Returns {'mode': 'full'|'incremental'|'noop', 'days': [...]}."""
-        store = SnapStore(self.pipe.tier_path("hourly"))
+        store = self._upstream_store()
         current = store.current_id()
         if current is None:
-            raise SnapshotError("hourly tier has no published snapshot")
+            raise SnapshotError(f"{store.root}: no published upstream snapshot")
         consumed = self._pointer("_CONSUMED")
         spec_now, spec_then = self.spec_token(), self._pointer("_SPEC")
         if consumed == current and spec_then == spec_now:
@@ -334,12 +441,7 @@ class ContinuousAggregate:
             or not os.path.isdir(store.snapshot_path(consumed))
         ):
             # first build, spec evolution, or GC expired the diff base
-            (
-                self._day_partials(self._source(store, current), None)
-                .write.partitionBy("bucket_date")
-                .mode("overwrite")
-                .parquet(self.partials_path)
-            )
+            self._write_full(self._day_partials(self._source(store, current), None))
             self._record("_SPEC", spec_now)
             self._record("_CONSUMED", current)
             return {"mode": "full", "days": []}
@@ -347,27 +449,159 @@ class ContinuousAggregate:
         # layout-agnostic: top-level partition dirs are bucket_date=D in
         # both the flat and the day/conv_bucket evolved layout
         changed = sorted(p.split("=", 1)[1] for p in d["added"] + d["rewritten"])
-        if changed:
-            (
+        removed = sorted(p.split("=", 1)[1] for p in d["removed"])
+        if changed or removed:
+            self._write_incremental(
                 self._day_partials(self._source(store, current), changed)
-                .write.option("partitionOverwriteMode", "dynamic")
-                .partitionBy("bucket_date")
-                .mode("overwrite")
-                .parquet(self.partials_path)
-            )
-        for p in d["removed"]:
-            day = p.split("=", 1)[1]
-            shutil.rmtree(
-                os.path.join(self.partials_path, f"bucket_date={day}"),
-                ignore_errors=True,
+                if changed
+                else None,
+                removed,
             )
         self._record("_CONSUMED", current)
-        return {"mode": "incremental", "days": changed, "removed": len(d["removed"])}
+        return {"mode": "incremental", "days": changed, "removed": len(removed)}
 
     # -- serving ---------------------------------------------------------
     def read(self) -> DataFrame:
         """The serving view: user keys + finalized aggregates, merged from
         day partials (one small groupBy over the partials table — O(view
         rows), never O(tier history))."""
-        p = self.pipe.spark.read.parquet(self.partials_path)
+        p = self._read_partials()
         return self._finalize(p.groupBy(*self.keys).agg(*self._merge_aggs()))
+
+    # -- composition -------------------------------------------------------
+    def child(
+        self,
+        path: str,
+        *,
+        keys,
+        aggs,
+        filter: str | None = None,  # noqa: A002
+        versioned: bool = False,
+    ) -> "HierarchicalAggregate":
+        """Declare a coarser view OVER this one (requires
+        ``versioned=True`` on self): keys are SQL expressions over THIS
+        view's key columns and ``bucket_date``; aggs name this view's
+        aggregates to adopt. See `HierarchicalAggregate`."""
+        return HierarchicalAggregate(
+            self, path, keys=keys, aggs=aggs, filter=filter, versioned=versioned
+        )
+
+
+class HierarchicalAggregate(ContinuousAggregate):
+    """A continuous aggregate over ANOTHER continuous aggregate
+    (TimescaleDB 2.9 "hierarchical continuous aggregates"): the child
+    declares coarser keys (SQL expressions over the parent's KEY columns
+    and ``bucket_date``) and ADOPTS a subset of the parent's aggregates —
+    it re-merges the parent's mergeable day-partial STATE, never touching
+    the hourly tier, and refreshes from the parent partials' snapshot
+    changelog with the identical consume-pointer protocol.
+
+    ``aggs`` is a list of parent aggregate names to adopt, or a dict
+    ``{child_name: parent_name}`` (rename), or ``{child_name:
+    (parent_name, q)}`` for ``percentile_qsk`` only — the sketch state
+    answers ANY quantile, so a child may finalize a different ``q`` than
+    its parent (parent p50, child p99, one shared state).
+
+    Correctness rests on day partials being a mergeable algebra: every
+    kind's state composes associatively, so child-of-parent equals
+    child-of-raw bit-exactly under any refresh schedule. The parent must
+    be ``versioned=True`` (its partials table emits the changelog);
+    children may themselves be versioned, giving arbitrary-depth view
+    pyramids each refreshing in O(its own changed days).
+    """
+
+    def __init__(
+        self,
+        parent: ContinuousAggregate,
+        path: str,
+        *,
+        keys,
+        aggs,
+        filter: str | None = None,  # noqa: A002 - over parent KEY columns
+        versioned: bool = False,
+    ):
+        if not parent.versioned:
+            raise ValueError(
+                "hierarchical aggregate requires a versioned=True parent "
+                "(the parent partials table must emit a snapshot changelog)"
+            )
+        self.parent = parent
+        adoption = (
+            {n: n for n in aggs} if isinstance(aggs, (list, tuple)) else dict(aggs)
+        )
+        specs: dict[str, tuple] = {}
+        for child, ref in adoption.items():
+            if isinstance(ref, (tuple, list)):
+                pname, q = ref
+                pspec = parent.aggs.get(pname)
+                if pspec is None:
+                    raise ValueError(f"{child}: parent has no aggregate {pname!r}")
+                if pspec[0] != "percentile_qsk":
+                    raise ValueError(
+                        f"{child}: finalize override only valid for "
+                        f"percentile_qsk (parent {pname!r} is {pspec[0]!r})"
+                    )
+                specs[child] = (pspec[0], pspec[1], float(q))
+                adoption[child] = pname
+            else:
+                pspec = parent.aggs.get(ref)
+                if pspec is None:
+                    raise ValueError(f"{child}: parent has no aggregate {ref!r}")
+                specs[child] = pspec
+        # child aliases ride alongside the parent KEY columns in the
+        # pre-group select — a collision would silently shadow a key
+        parent_ns = set(parent.keys) | {"bucket_date"}
+        for child, pname in adoption.items():
+            if child != pname and child in parent_ns:
+                raise ValueError(
+                    f"{child}: renamed adoption collides with a parent key column"
+                )
+        self.adopt = adoption
+        super().__init__(
+            parent.pipe, path, keys=keys, aggs=specs,
+            filter=filter, versioned=versioned,
+        )
+
+    def spec_token(self) -> str:
+        blob = json.dumps(
+            {"keys": self.keys, "adopt": self.adopt, "filter": self.filter,
+             "aggs": {k: list(v) for k, v in self.aggs.items()},
+             "parent": self.parent.spec_token(),
+             **({"versioned": True} if self.versioned else {})},
+            sort_keys=True,
+        )
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+    def _upstream_store(self) -> SnapStore:
+        return self.parent.partials_store
+
+    def _source(self, store: SnapStore, sid: str) -> DataFrame:
+        # parent partials are already observed-only (the parent excluded
+        # filled rows); the child filter is over parent key columns
+        df = store.read(self.pipe.spark, as_of=sid)
+        if self.filter:
+            df = df.filter(self.filter)
+        return df
+
+    def _day_partials(self, src: DataFrame, days: list[str] | None) -> DataFrame:
+        if days is not None:
+            src = src.filter(F.col("bucket_date").cast("string").isin(days))
+        # aliased select, not rename: one parent state column may feed TWO
+        # child aggregates (the shared-sketch q-override case), and
+        # non-adopted parent aggregates drop out here for free
+        sel = [F.col(k) for k in self.parent.keys] + [F.col("bucket_date")]
+        for child, pname in self.adopt.items():
+            if self.aggs[child][0] == "avg":
+                sel.append(F.col(f"{pname}__s").alias(f"{child}__s"))
+                sel.append(F.col(f"{pname}__c").alias(f"{child}__c"))
+            else:
+                sel.append(F.col(pname).alias(child))
+        keyed = src.select(*sel).withColumns(
+            {k: F.expr(e) for k, e in self.keys.items()}
+        )
+        # the child day partial IS the parent states merged within the day:
+        # the same _merge_aggs that later folds across days — associativity
+        # is what makes the two-level fold equal the direct build
+        return keyed.groupBy(
+            *self.keys, F.col("bucket_date").cast("string").alias("bucket_date")
+        ).agg(*self._merge_aggs())

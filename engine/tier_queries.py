@@ -2038,3 +2038,85 @@ def cagg_qsk_p90_weekly(spark, sf_dir):
     pipe.run(t0, stages=("hourly",))
     cagg.refresh()
     return cagg.read()
+
+
+@register(
+    "cagg_hier_monthly_cohort",
+    _TIER_CTE + """
+    SELECT CAST(date_trunc('month', date_trunc('week', bucket_start))
+                AS TIMESTAMP) AS month,
+           substr(conv_id, length(conv_id), 1) AS cohort,
+           CAST(SUM(n_turns) AS BIGINT) AS turns,
+           COUNT(*) AS hours,
+           MIN(token_min) AS min_tok,
+           MAX(n_turns) AS peak_turns,
+           CAST(SUM(n_turns) AS DOUBLE) / CAST(COUNT(n_turns) AS DOUBLE)
+             AS avg_turns,
+           CAST(MIN(bucket_start) AS TIMESTAMP) AS first_bucket,
+           (MAX({'o': bucket_start, 'v': token_max})).v AS closing_max,
+           CAST(COUNT(DISTINCT bucket_start) AS DOUBLE) AS ubuckets
+    FROM hourly
+    GROUP BY 1, 2
+    """,
+)
+def cagg_hier_monthly_cohort(spark, sf_dir):
+    """Hierarchical continuous aggregate (engine/cagg.py
+    HierarchicalAggregate) under the hash gate: a versioned (week, cohort)
+    parent view feeds a (month, cohort) CHILD view that re-merges the
+    parent's day-partial STATE — the hourly tier is never re-read — and
+    both levels are built INCREMENTALLY across two ingest batches, each
+    consuming only its upstream's snapshot changelog. Child-of-parent must
+    equal the oracle's one-pass GROUP BY on the full input for every exact
+    kind (sum/count/min/max/avg/first/last) AND for distinct_kmv, whose
+    bottom-k union-truncate state stays an EXACT distinct count below k
+    (k=2048 > the ≤840 hourly buckets a week-aligned month can span)."""
+    import tempfile
+
+    from .cagg import ContinuousAggregate
+    from .pipeline import TierPipeline
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    pipe = TierPipeline(
+        spark, tempfile.mkdtemp(prefix="tier-cagghier-"),
+        snapshots=True, fill_tiers=False,
+    )
+    pipe.run(
+        t0.filter("substr(conv_id, length(conv_id), 1) < '5'"),
+        stages=("hourly",),
+    )
+    parent = ContinuousAggregate(
+        pipe, tempfile.mkdtemp(prefix="cagg-parent-"),
+        keys={"week": "date_trunc('week', bucket_start)",
+              "cohort": "substr(conv_id, length(conv_id), 1)"},
+        aggs={
+            "turns": ("sum", "n_turns"),
+            "hours": ("count",),
+            "min_tok": ("min", "token_min"),
+            "peak": ("max", "n_turns"),
+            "avg_turns": ("avg", "n_turns"),
+            "first_bucket": ("first", "bucket_start", "bucket_start"),
+            "last_max": ("last", "token_max", "bucket_start"),
+            "ubuckets": ("distinct_kmv", "bucket_start", 2048),
+        },
+        versioned=True,
+    )
+    child = parent.child(
+        tempfile.mkdtemp(prefix="cagg-child-"),
+        keys={"month": "date_trunc('month', week)", "cohort": "cohort"},
+        aggs={
+            "turns": "turns",
+            "hours": "hours",
+            "min_tok": "min_tok",
+            "peak_turns": "peak",
+            "avg_turns": "avg_turns",
+            "first_bucket": "first_bucket",
+            "closing_max": "last_max",
+            "ubuckets": "ubuckets",
+        },
+    )
+    parent.refresh()
+    child.refresh()
+    pipe.run(t0, stages=("hourly",))
+    parent.refresh()
+    child.refresh()
+    return child.read()

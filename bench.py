@@ -457,6 +457,78 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         compact_trial() for _ in range(BENCH_STAGE_TRIALS)
     )
 
+    # hierarchical continuous aggregates (M57): a versioned (week, cohort)
+    # parent view + (month, cohort) child over the forget-bench root, both
+    # built UNTIMED; the timed unit is the two-level incremental refresh
+    # after a late batch re-rolls two conversations' days — each level
+    # consumes O(its changed days) from its upstream's changelog. The
+    # full-rebuild counterfactual (fresh views over the whole tier
+    # history) is the cost the changelog consumption avoids every cycle.
+    from engine.cagg import ContinuousAggregate
+
+    CAGG_P = dict(
+        keys={"week": "date_trunc('week', bucket_start)",
+              "cohort": "substr(conv_id, length(conv_id), 1)"},
+        aggs={
+            "turns": ("sum", "n_turns"),
+            "hours": ("count",),
+            "min_tok": ("min", "token_min"),
+            "peak": ("max", "n_turns"),
+            "avg_turns": ("avg", "n_turns"),
+            "ubuckets": ("distinct_kmv", "bucket_start", 2048),
+        },
+    )
+    CAGG_C = dict(
+        keys={"month": "date_trunc('month', week)", "cohort": "cohort"},
+        aggs=["turns", "hours", "min_tok", "peak", "avg_turns", "ubuckets"],
+    )
+    cg_p_base = os.path.join(base, "bench_cagg_parent")
+    cg_c_base = os.path.join(base, "bench_cagg_child")
+    for d in (cg_p_base, cg_c_base):
+        shutil.rmtree(d, ignore_errors=True)
+    p0 = ContinuousAggregate(seed, cg_p_base, versioned=True, **CAGG_P)
+    p0.refresh()
+    p0.child(cg_c_base, **CAGG_C).refresh()
+    late = raw.filter(
+        F.col("conv_id").isin("conv-00004995", "conv-00004996")
+    ).selectExpr(
+        "conv_id", "cast(turn_idx + 1000000 as int) as turn_idx",
+        "role", "text", "tool", "ts + interval 45 minutes as ts",
+    )
+
+    def cagg_refresh_trial():
+        troot, pdir, cdir = (fg_base + "_cg", cg_p_base + "_t", cg_c_base + "_t")
+        for s, d in ((fg_base, troot), (cg_p_base, pdir), (cg_c_base, cdir)):
+            shutil.rmtree(d, ignore_errors=True)
+            shutil.copytree(s, d, copy_function=os.link)
+        pipe = TierPipeline(
+            spark, troot, salted=True, snapshots=True, lease=False
+        )
+        pipe.run(raw.unionByName(late))  # untimed: the upstream mutation
+        parent = ContinuousAggregate(pipe, pdir, versioned=True, **CAGG_P)
+        child = parent.child(cdir, **CAGG_C)
+        t, results = _timed(lambda: (parent.refresh(), child.refresh()))
+        cagg_stats["parent_days_refreshed"] = len(results[0]["days"])
+        cagg_stats["child_days_refreshed"] = len(results[1]["days"])
+        return t
+
+    cagg_stats: dict = {}
+    timings["cagg_hier_refresh"] = min(
+        cagg_refresh_trial() for _ in range(BENCH_STAGE_TRIALS)
+    )
+
+    def cagg_rebuild_trial():
+        pdir, cdir = cg_p_base + "_rb", cg_c_base + "_rb"
+        for d in (pdir, cdir):
+            shutil.rmtree(d, ignore_errors=True)
+        parent = ContinuousAggregate(seed, pdir, versioned=True, **CAGG_P)
+        child = parent.child(cdir, **CAGG_C)
+        return _timed(lambda: (parent.refresh(), child.refresh()))[0]
+
+    timings["cagg_rebuild_full"] = min(
+        cagg_rebuild_trial() for _ in range(BENCH_STAGE_TRIALS)
+    )
+
     total = sum(timings.values())
     return {
         "metric": "headline_queries_total_wall",
@@ -470,6 +542,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "neardup_stress": stress_stats,
         "point_lookup": point_stats,
         "chunk_range": chunk_stats,
+        "cagg_hier": cagg_stats,
     }
 
 

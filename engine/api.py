@@ -347,7 +347,8 @@ class TierEngine:
 
     # -- user-defined continuous aggregates (engine/cagg.py) --------------------
 
-    def cagg(self, path: str, *, keys, aggs, filter=None, versioned=False):  # noqa: A002
+    def cagg(self, path: str, *, keys, aggs, filter=None, versioned=False,
+             retain_dropped=False):  # noqa: A002
         """Declare (or re-attach) a user-defined continuous aggregate:
         group keys are SQL expressions over hourly-tier rows, aggregates
         come from the mergeable algebra (sum/count/min/max/avg/
@@ -357,13 +358,23 @@ class TierEngine:
         rebuilds once (spec-token migration). With ``versioned=True`` the
         partials table is itself snapshot-versioned and emits a changelog,
         so `.child(...)` can stack coarser views over it (hierarchical
-        continuous aggregates)."""
+        continuous aggregates). With ``retain_dropped=True`` the view
+        OUTLIVES raw retention: retention-dropped upstream days freeze in
+        the view while true deletions still propagate."""
         from .cagg import ContinuousAggregate
 
         return ContinuousAggregate(
             self.pipeline, path, keys=keys, aggs=aggs,
-            filter=filter, versioned=versioned,
+            filter=filter, versioned=versioned, retain_dropped=retain_dropped,
         )
+
+    def maintain(self, policy, run_id: str = "maintenance") -> dict:
+        """Run one declarative maintenance cycle (engine/policies.py
+        MaintenancePolicy): cagg refresh (parents before children) →
+        hourly/daily retention → view reconcile → data + manifest
+        compaction → snapshot expiry with every consumed snapshot pinned.
+        Idempotent; returns the structured report."""
+        return policy.apply(self.pipeline, run_id=run_id)
 
     # -- cross-root replication (engine/replicate.py) ---------------------------
 

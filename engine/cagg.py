@@ -76,6 +76,19 @@ level in O(that level's changed days). At 100 TB this is the dashboard
 pyramid: one pass over the changed tier partitions feeds the finest view,
 and every coarser view refreshes from the view below it at strictly
 decreasing cost.
+
+**Views outliving raw retention.** With ``retain_dropped=True`` an
+upstream removal is split by WHY it happened, using the pipeline
+manifest: days recorded as retention drops (stage='retention') FREEZE in
+the view — their partials keep serving after the raw tier is gone, the
+TimescaleDB rule that a continuous aggregate outlives its hypertable's
+retention policy — while removals with no retention record (true
+deletions, explicit ``drop_days``) still propagate, so right-to-be-
+forgotten erasure is never silently retained for days the raw can still
+re-roll. Full-rebuild fallbacks carry frozen days forward from the stored
+partials when the spec is unchanged; a spec CHANGE cannot re-derive them
+(the raw is gone) and reports them as ``lost_frozen`` instead of hiding
+the loss. ``drop_days`` is the operator's erasure hatch for frozen days.
 """
 
 from __future__ import annotations
@@ -124,6 +137,7 @@ class ContinuousAggregate:
         aggs: dict,
         filter: str | None = None,  # noqa: A002 - mirrors DataFrame.filter
         versioned: bool = False,
+        retain_dropped: bool = False,
     ):
         if not pipe.snapshots:
             raise ValueError("continuous aggregate requires TierPipeline(snapshots=True)")
@@ -133,6 +147,7 @@ class ContinuousAggregate:
         self.aggs = {k: tuple(v) for k, v in aggs.items()}
         self.filter = filter
         self.versioned = bool(versioned)
+        self.retain_dropped = bool(retain_dropped)
         self._validate()
         os.makedirs(path, exist_ok=True)
 
@@ -184,6 +199,24 @@ class ContinuousAggregate:
         if self.versioned:
             return self.partials_store.read(self.pipe.spark)
         return self.pipe.spark.read.parquet(self.partials_path)
+
+    def _partial_days(self) -> set[str]:
+        """Days currently present in the stored partials (directory
+        listing — metadata-scale)."""
+        root = self.partials_path
+        if self.versioned:
+            sid = self.partials_store.current_id()
+            if sid is None:
+                return set()
+            root = self.partials_store.snapshot_path(sid)
+        try:
+            return {
+                d.split("=", 1)[1]
+                for d in os.listdir(root)
+                if d.startswith("bucket_date=")
+            }
+        except FileNotFoundError:
+            return set()
 
     def _write_full(self, partials: DataFrame) -> None:
         if not self.versioned:
@@ -249,6 +282,24 @@ class ContinuousAggregate:
             store.abort(sid)
             raise
         store.publish(sid)
+
+    def consumed_id(self) -> str | None:
+        """The upstream snapshot id this view last reconciled to — the
+        consumer protocol `expire_snapshots(consumers=...)` pins so GC
+        can't silently degrade the next refresh to a full rebuild."""
+        return self._pointer("_CONSUMED")
+
+    def _retention_days(self) -> set[str]:
+        """Days the PIPELINE manifest records as retention-dropped from the
+        hourly tier (stage='retention' rows) — the discrimination
+        `retain_dropped` needs: an upstream removal caused by retention
+        freezes in the view, any other removal (true deletion, explicit
+        `drop_days`) propagates. Valid at every hierarchy level because
+        bucket_date is preserved down the chain."""
+        return {
+            k.split("=", 1)[1]
+            for k in self.pipe._retention_dropped("hourly")
+        }
 
     def _pointer(self, name: str) -> str | None:
         try:
@@ -441,15 +492,50 @@ class ContinuousAggregate:
             or not os.path.isdir(store.snapshot_path(consumed))
         ):
             # first build, spec evolution, or GC expired the diff base
-            self._write_full(self._day_partials(self._source(store, current), None))
+            new = self._day_partials(self._source(store, current), None)
+            out = {"mode": "full", "days": []}
+            if self.retain_dropped and consumed is not None:
+                # a full rebuild reads only the CURRENT tier — frozen days
+                # (retention-dropped upstream) exist nowhere else, so carry
+                # their stored partials forward when the spec still matches;
+                # a spec CHANGE cannot re-derive them (the raw is gone) —
+                # they are lost, and the report says so instead of hiding it
+                frozen = sorted(self._retention_days() & self._partial_days())
+                if frozen and spec_then == spec_now:
+                    old = (
+                        self._read_partials()
+                        .withColumn(
+                            "bucket_date", F.col("bucket_date").cast("string")
+                        )
+                        .filter(F.col("bucket_date").isin(frozen))
+                    )
+                    if not self.versioned:
+                        # plain mode overwrites the directory the carried
+                        # rows are read from — materialize them first
+                        # (versioned mode is CoW-safe: read published,
+                        # write staged)
+                        old = old.localCheckpoint()
+                    new = new.unionByName(old)
+                    out["retained"] = len(frozen)
+                elif frozen:
+                    out["lost_frozen"] = frozen
+            self._write_full(new)
             self._record("_SPEC", spec_now)
             self._record("_CONSUMED", current)
-            return {"mode": "full", "days": []}
+            return out
         d = store.diff(consumed, current)
         # layout-agnostic: top-level partition dirs are bucket_date=D in
         # both the flat and the day/conv_bucket evolved layout
         changed = sorted(p.split("=", 1)[1] for p in d["added"] + d["rewritten"])
         removed = sorted(p.split("=", 1)[1] for p in d["removed"])
+        retained: list[str] = []
+        if removed and self.retain_dropped:
+            # TimescaleDB semantics: the view OUTLIVES raw retention —
+            # retention-dropped upstream days freeze in the view; removals
+            # with no retention record (true deletions) still propagate
+            frozen = self._retention_days()
+            retained = [x for x in removed if x in frozen]
+            removed = [x for x in removed if x not in frozen]
         if changed or removed:
             self._write_incremental(
                 self._day_partials(self._source(store, current), changed)
@@ -458,7 +544,12 @@ class ContinuousAggregate:
                 removed,
             )
         self._record("_CONSUMED", current)
-        return {"mode": "incremental", "days": changed, "removed": len(removed)}
+        return {
+            "mode": "incremental",
+            "days": changed,
+            "removed": len(removed),
+            "retained": len(retained),
+        }
 
     # -- serving ---------------------------------------------------------
     def read(self) -> DataFrame:
@@ -467,6 +558,73 @@ class ContinuousAggregate:
         rows), never O(tier history))."""
         p = self._read_partials()
         return self._finalize(p.groupBy(*self.keys).agg(*self._merge_aggs()))
+
+    def read_realtime(self) -> DataFrame:
+        """The view with upstream data that arrived SINCE the last refresh
+        folded in at serve time — TimescaleDB "real-time aggregates":
+        stored partials for still-valid days ∪ freshly-computed partials
+        for the days the upstream changelog names as changed since the
+        consumed snapshot, merged in one groupBy. Strictly read-only: no
+        partials write, no pointer advance — a read replica without write
+        permission serves a fresh view, and the next refresh() still
+        consumes the full diff. Degrades to a full on-the-fly compute when
+        there is no usable base (first read, spec change, expired diff
+        base); equals refresh()-then-read() bit-exactly in every case.
+
+        For a hierarchical child this folds the IMMEDIATE upstream's
+        (the parent partials') changelog only — a lagging parent must
+        itself refresh or be read via its own read_realtime.
+        """
+        store = self._upstream_store()
+        current = store.current_id()
+        if current is None:
+            raise SnapshotError(f"{store.root}: no published upstream snapshot")
+        consumed = self._pointer("_CONSUMED")
+        spec_ok = self._pointer("_SPEC") == self.spec_token()
+        if consumed == current and spec_ok:
+            return self.read()
+        if (
+            consumed is None
+            or not spec_ok
+            or not os.path.isdir(store.snapshot_path(consumed))
+        ):
+            merged = self._day_partials(self._source(store, current), None)
+            return self._finalize(
+                merged.groupBy(*self.keys).agg(*self._merge_aggs())
+            )
+        d = store.diff(consumed, current)
+        changed = sorted(p.split("=", 1)[1] for p in d["added"] + d["rewritten"])
+        removed_days = {p.split("=", 1)[1] for p in d["removed"]}
+        if removed_days and self.retain_dropped:
+            # same discrimination as refresh(): retention-dropped days keep
+            # serving from their frozen stored partials
+            removed_days -= self._retention_days()
+        dropped = sorted(removed_days | set(changed))
+        p = self._read_partials().withColumn(
+            "bucket_date", F.col("bucket_date").cast("string")
+        )
+        if dropped:
+            # rewritten days are replaced wholesale, removed days vanish —
+            # the same day-granular semantics a refresh would apply
+            p = p.filter(~F.col("bucket_date").isin(dropped))
+        if changed:
+            p = p.unionByName(
+                self._day_partials(self._source(store, current), changed)
+            )
+        return self._finalize(p.groupBy(*self.keys).agg(*self._merge_aggs()))
+
+    # -- lifecycle ---------------------------------------------------------
+    def drop_days(self, days: list[str]) -> dict:
+        """Explicitly remove day partials from THIS view — the operator's
+        escape hatch for erasure on retained-frozen days that no upstream
+        rewrite can reach (the raw is retention-dropped, so a forget
+        cannot re-roll them through the view). Versioned views emit the
+        removal on their changelog, but a `retain_dropped` CHILD will
+        still freeze a day the pipeline manifest marks as retention-
+        dropped — call drop_days on every level of a hierarchy."""
+        days = sorted(set(days))
+        self._write_incremental(None, days)
+        return {"removed": len(days)}
 
     # -- composition -------------------------------------------------------
     def child(
@@ -477,13 +635,15 @@ class ContinuousAggregate:
         aggs,
         filter: str | None = None,  # noqa: A002
         versioned: bool = False,
+        retain_dropped: bool = False,
     ) -> "HierarchicalAggregate":
         """Declare a coarser view OVER this one (requires
         ``versioned=True`` on self): keys are SQL expressions over THIS
         view's key columns and ``bucket_date``; aggs name this view's
         aggregates to adopt. See `HierarchicalAggregate`."""
         return HierarchicalAggregate(
-            self, path, keys=keys, aggs=aggs, filter=filter, versioned=versioned
+            self, path, keys=keys, aggs=aggs, filter=filter,
+            versioned=versioned, retain_dropped=retain_dropped,
         )
 
 
@@ -519,6 +679,7 @@ class HierarchicalAggregate(ContinuousAggregate):
         aggs,
         filter: str | None = None,  # noqa: A002 - over parent KEY columns
         versioned: bool = False,
+        retain_dropped: bool = False,
     ):
         if not parent.versioned:
             raise ValueError(
@@ -559,7 +720,7 @@ class HierarchicalAggregate(ContinuousAggregate):
         self.adopt = adoption
         super().__init__(
             parent.pipe, path, keys=keys, aggs=specs,
-            filter=filter, versioned=versioned,
+            filter=filter, versioned=versioned, retain_dropped=retain_dropped,
         )
 
     def spec_token(self) -> str:

@@ -2120,3 +2120,47 @@ def cagg_hier_monthly_cohort(spark, sf_dir):
     parent.refresh()
     child.refresh()
     return child.read()
+
+
+@register("cagg_realtime_weekly", _TIER_CTE + _CAGG_SQL)
+def cagg_realtime_weekly(spark, sf_dir):
+    """Real-time continuous-aggregate serving (engine/cagg.py
+    read_realtime) under the hash gate: the view refreshes on HALF the
+    conversations, then the rest arrive and the query serves WITHOUT a
+    second refresh — stored day partials for consumed days union freshly-
+    computed partials for the changelog's unconsumed days, merged at read
+    time. Must equal the oracle's one-pass GROUP BY on the full input:
+    the materialization lag is invisible to readers (TimescaleDB
+    real-time aggregates), and nothing is written — the consumed pointer
+    stays at the first snapshot."""
+    import tempfile
+
+    from .cagg import ContinuousAggregate
+    from .pipeline import TierPipeline
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    pipe = TierPipeline(
+        spark, tempfile.mkdtemp(prefix="tier-caggrt-"),
+        snapshots=True, fill_tiers=False,
+    )
+    pipe.run(
+        t0.filter("substr(conv_id, length(conv_id), 1) < '5'"),
+        stages=("hourly",),
+    )
+    cagg = ContinuousAggregate(
+        pipe, tempfile.mkdtemp(prefix="caggrt-view-"),
+        keys={"week": "date_trunc('week', bucket_start)",
+              "cohort": "substr(conv_id, length(conv_id), 1)"},
+        aggs={
+            "turns": ("sum", "n_turns"),
+            "hours": ("count",),
+            "min_tok": ("min", "token_min"),
+            "peak": ("max", "n_turns"),
+            "avg_turns": ("avg", "n_turns"),
+            "first_bucket": ("first", "bucket_start", "bucket_start"),
+            "last_max": ("last", "token_max", "bucket_start"),
+        },
+    )
+    cagg.refresh()
+    pipe.run(t0, stages=("hourly",))
+    return cagg.read_realtime()

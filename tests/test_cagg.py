@@ -254,3 +254,76 @@ def test_cagg_distinct_kmv_validation():
     with pytest.raises(ValueError, match="spec fields"):
         ContinuousAggregate(_FakePipe(), "/tmp/x", keys=["conv_id"],
                             aggs={"x": ("distinct_kmv", "tool")})
+
+
+def _files(root):
+    import os
+
+    out = []
+    for dp, _, fns in os.walk(root):
+        for fn in fns:
+            p = os.path.join(dp, fn)
+            out.append((p, os.path.getmtime(p)))
+    return sorted(out)
+
+
+def test_cagg_read_realtime_equals_refresh_then_read(spark, t0, tmp_path):
+    """TimescaleDB real-time aggregates: read_realtime folds the
+    not-yet-consumed changelog days in at serve time — bit-equal to
+    refresh-then-read — while writing NOTHING (partials and pointers
+    byte-untouched, so a read replica can serve it)."""
+    all_days = sorted(
+        str(x["d"]) for x in t0.selectExpr("to_date(ts) as d").distinct().collect()
+    )
+    split = all_days[len(all_days) // 2]
+    pipe = TierPipeline(spark, str(tmp_path / "p"), snapshots=True)
+    pipe.run(t0.filter(F.to_date("ts") < F.lit(split)), stages=("hourly",))
+    cagg = ContinuousAggregate(pipe, str(tmp_path / "v"), keys=KEYS, aggs=AGGS)
+    cagg.refresh()
+    # consumed == current: realtime IS the stored view
+    pd.testing.assert_frame_equal(
+        cagg.read_realtime().toPandas().sort_values(list(KEYS), ignore_index=True),
+        _got(cagg),
+    )
+
+    pipe.run(t0, stages=("hourly",))
+    before = _files(str(tmp_path / "v"))
+    rt = cagg.read_realtime().toPandas().sort_values(list(KEYS), ignore_index=True)
+    assert _files(str(tmp_path / "v")) == before, "read_realtime must not write"
+    # the live view equals the direct computation on the CURRENT tier...
+    pd.testing.assert_frame_equal(rt[_direct(pipe).columns], _direct(pipe))
+    # ...and equals what a refresh would persist
+    assert cagg.refresh()["mode"] == "incremental"
+    pd.testing.assert_frame_equal(rt, _got(cagg))
+
+
+def test_cagg_read_realtime_fallbacks_and_retention(spark, t0, tmp_path):
+    from engine.retention import drop_hourly_partitions, droppable_hourly_days
+
+    pipe = TierPipeline(spark, str(tmp_path / "p"), snapshots=True)
+    pipe.run(t0)
+    # never refreshed: full on-the-fly compute, still no writes
+    virgin = ContinuousAggregate(pipe, str(tmp_path / "v0"), keys=KEYS, aggs=AGGS)
+    rt0 = virgin.read_realtime().toPandas().sort_values(list(KEYS), ignore_index=True)
+    pd.testing.assert_frame_equal(rt0[_direct(pipe).columns], _direct(pipe))
+    assert virgin._pointer("_CONSUMED") is None
+
+    cagg = ContinuousAggregate(pipe, str(tmp_path / "v"), keys=KEYS, aggs=AGGS)
+    cagg.refresh()
+    # retention drop surfaces in the live view before any refresh
+    days = droppable_hourly_days(pipe, "9999-12-31")
+    drop_hourly_partitions(pipe, days[:2], run_id="ret")
+    rt = cagg.read_realtime().toPandas().sort_values(list(KEYS), ignore_index=True)
+    pd.testing.assert_frame_equal(rt[_direct(pipe).columns], _direct(pipe))
+
+    # spec change: the live view serves the NEW spec on the fly
+    v2 = ContinuousAggregate(
+        pipe, str(tmp_path / "v"), keys=KEYS,
+        aggs={**AGGS, "tok_sum": ("sum", "token_sum")},
+    )
+    rt2 = v2.read_realtime().toPandas()
+    assert "tok_sum" in rt2.columns
+    v2.refresh()
+    pd.testing.assert_frame_equal(
+        rt2.sort_values(list(KEYS), ignore_index=True), _got(v2)
+    )

@@ -318,3 +318,37 @@ def test_hier_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="collides"):
         vparent.child(str(tmp_path / "c"), keys=["conv_id"],
                       aggs={"conv_id": "turns"})
+
+
+def test_hier_read_realtime_folds_parent_changelog(spark, t0, tmp_path):
+    """A child's read_realtime folds the parent partials' unconsumed
+    changelog: after the parent refreshes (child stale), the child's live
+    view equals its refresh-then-read — with nothing written under the
+    child's path."""
+    import os
+
+    days = _days(t0)
+    split = days[len(days) // 2]
+    pipe = TierPipeline(spark, str(tmp_path / "p"), snapshots=True)
+    pipe.run(t0.filter(F.to_date("ts") < F.lit(split)), stages=("hourly",))
+    parent = ContinuousAggregate(pipe, str(tmp_path / "parent"),
+                                 keys=P_KEYS, aggs=P_AGGS, versioned=True)
+    parent.refresh()
+    child = parent.child(str(tmp_path / "child"), keys=C_KEYS, aggs=C_AGGS)
+    child.refresh()
+
+    pipe.run(t0, stages=("hourly",))
+    parent.refresh()
+
+    def files(root):
+        return sorted(
+            (os.path.join(dp, fn), os.path.getmtime(os.path.join(dp, fn)))
+            for dp, _, fns in os.walk(root) for fn in fns
+        )
+
+    before = files(str(tmp_path / "child"))
+    rt = child.read_realtime().toPandas().sort_values(
+        ["month", "cohort"], ignore_index=True)
+    assert files(str(tmp_path / "child")) == before
+    assert child.refresh()["mode"] == "incremental"
+    pd.testing.assert_frame_equal(rt, _pdf(child, ["month", "cohort"]))

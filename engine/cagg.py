@@ -138,6 +138,7 @@ class ContinuousAggregate:
         filter: str | None = None,  # noqa: A002 - mirrors DataFrame.filter
         versioned: bool = False,
         retain_dropped: bool = False,
+        lease: bool = True,
     ):
         if not pipe.snapshots:
             raise ValueError("continuous aggregate requires TierPipeline(snapshots=True)")
@@ -148,6 +149,7 @@ class ContinuousAggregate:
         self.filter = filter
         self.versioned = bool(versioned)
         self.retain_dropped = bool(retain_dropped)
+        self.lease = bool(lease)
         self._validate()
         os.makedirs(path, exist_ok=True)
 
@@ -456,6 +458,21 @@ class ContinuousAggregate:
         return out
 
     # -- refresh ---------------------------------------------------------
+    def _locked(self, fn):
+        """Single-writer mutual exclusion per view (the same RunLease idiom
+        as TierPipeline.run): concurrent refreshes of one view would race
+        the partials overwrite against the pointer commit. Readers
+        (read / read_realtime) never take the lease."""
+        if not self.lease:
+            return fn()
+        from .lease import RunLease
+
+        lock = RunLease(self.path).acquire()
+        try:
+            return fn()
+        finally:
+            lock.release()
+
     def _source(self, store: SnapStore, sid: str) -> DataFrame:
         df = observed_state(store.read(self.pipe.spark, as_of=sid))
         if self.filter:
@@ -477,7 +494,11 @@ class ContinuousAggregate:
 
     def refresh(self) -> dict:
         """Consume the upstream changelog up to the published snapshot.
-        Returns {'mode': 'full'|'incremental'|'noop', 'days': [...]}."""
+        Returns {'mode': 'full'|'incremental'|'noop', 'days': [...]}.
+        Lease-serialized per view path (LeaseHeldError on contention)."""
+        return self._locked(self._refresh_impl)
+
+    def _refresh_impl(self) -> dict:
         store = self._upstream_store()
         current = store.current_id()
         if current is None:
@@ -623,8 +644,12 @@ class ContinuousAggregate:
         still freeze a day the pipeline manifest marks as retention-
         dropped — call drop_days on every level of a hierarchy."""
         days = sorted(set(days))
-        self._write_incremental(None, days)
-        return {"removed": len(days)}
+
+        def _impl():
+            self._write_incremental(None, days)
+            return {"removed": len(days)}
+
+        return self._locked(_impl)
 
     # -- composition -------------------------------------------------------
     def child(
@@ -636,6 +661,7 @@ class ContinuousAggregate:
         filter: str | None = None,  # noqa: A002
         versioned: bool = False,
         retain_dropped: bool = False,
+        lease: bool = True,
     ) -> "HierarchicalAggregate":
         """Declare a coarser view OVER this one (requires
         ``versioned=True`` on self): keys are SQL expressions over THIS
@@ -643,7 +669,7 @@ class ContinuousAggregate:
         aggregates to adopt. See `HierarchicalAggregate`."""
         return HierarchicalAggregate(
             self, path, keys=keys, aggs=aggs, filter=filter,
-            versioned=versioned, retain_dropped=retain_dropped,
+            versioned=versioned, retain_dropped=retain_dropped, lease=lease,
         )
 
 
@@ -680,6 +706,7 @@ class HierarchicalAggregate(ContinuousAggregate):
         filter: str | None = None,  # noqa: A002 - over parent KEY columns
         versioned: bool = False,
         retain_dropped: bool = False,
+        lease: bool = True,
     ):
         if not parent.versioned:
             raise ValueError(
@@ -720,7 +747,8 @@ class HierarchicalAggregate(ContinuousAggregate):
         self.adopt = adoption
         super().__init__(
             parent.pipe, path, keys=keys, aggs=specs,
-            filter=filter, versioned=versioned, retain_dropped=retain_dropped,
+            filter=filter, versioned=versioned,
+            retain_dropped=retain_dropped, lease=lease,
         )
 
     def spec_token(self) -> str:

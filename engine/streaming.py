@@ -293,6 +293,7 @@ def run_stream_into_pipeline(
     pipe,
     raw_path: str,
     timeout_s: int = 120,
+    caggs=(),
 ) -> dict:
     """EP1 end-to-end: micro-batch file ingest feeding the RESUMABLE batch
     tier pipeline (engine/pipeline.TierPipeline) — the lambda-architecture
@@ -309,15 +310,31 @@ def run_stream_into_pipeline(
     lose its earlier rows to the fingerprint re-roll); accumulation + diff
     is what makes micro-batch ingest and batch resume compose.
 
-    Returns {"batches": n, "stage_rolls": [per-trigger stage counts]}.
+    `caggs` are continuous aggregates (engine/cagg.py) refreshed after
+    every trigger's pipeline run, parents before children — the streaming
+    materialized-view pattern: each micro-batch's changed days flow
+    tier → view changelog inside the trigger, so dashboards read views
+    that lag the stream by at most one trigger (or by zero, via
+    read_realtime between triggers).
+
+    Returns {"batches": n, "stage_rolls": [per-trigger stage counts],
+    "cagg_rolls": [per-trigger {path: refresh mode}]}.
     """
+    from .policies import _depth
+
+    ordered_caggs = sorted(caggs, key=_depth)
     rolls: list[dict] = []
+    cagg_rolls: list[dict] = []
 
     def each_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(raw_path)
         raw = spark.read.parquet(raw_path)
         res = pipe.run(raw, run_id=f"stream-{batch_id}")
         rolls.append(res["stages"])
+        if ordered_caggs:
+            cagg_rolls.append(
+                {c.path: c.refresh()["mode"] for c in ordered_caggs}
+            )
 
     q = (
         read_stream_t0(spark, input_path)
@@ -330,7 +347,8 @@ def run_stream_into_pipeline(
     )
     q.awaitTermination(timeout_s)
     q.stop()
-    return {"batches": len(rolls), "stage_rolls": rolls}
+    return {"batches": len(rolls), "stage_rolls": rolls,
+            "cagg_rolls": cagg_rolls}
 
 
 def run_stream_into_simindex(

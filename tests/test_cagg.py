@@ -327,3 +327,24 @@ def test_cagg_read_realtime_fallbacks_and_retention(spark, t0, tmp_path):
     pd.testing.assert_frame_equal(
         rt2.sort_values(list(KEYS), ignore_index=True), _got(v2)
     )
+
+
+def test_cagg_refresh_lease_refuses_concurrent_writer(spark, t0, tmp_path):
+    """refresh()/drop_days are lease-serialized per view path: a held
+    lease refuses a second writer (LeaseHeldError), release re-admits;
+    readers never take the lease."""
+    from engine.lease import LeaseHeldError, RunLease
+
+    pipe = TierPipeline(spark, str(tmp_path / "p"), snapshots=True)
+    pipe.run(t0, stages=("hourly",))
+    cagg = ContinuousAggregate(pipe, str(tmp_path / "v"),
+                               keys=["conv_id"],
+                               aggs={"turns": ("sum", "n_turns")})
+    other = RunLease(str(tmp_path / "v"), owner="other").acquire()
+    with pytest.raises(LeaseHeldError):
+        cagg.refresh()
+    # reads are lease-free — read_realtime serves even while a writer holds
+    assert cagg.read_realtime().count() > 0
+    other.release()
+    assert cagg.refresh()["mode"] == "full"
+    assert cagg.refresh()["mode"] == "noop"

@@ -581,3 +581,55 @@ def test_stream_into_pipeline_carries_new_state_families(spark, tmp_path):
         )
 
     assert snap(pipe.read_tier("monthly")) == snap(ref.read_tier("monthly"))
+
+
+def test_stream_refreshes_caggs_per_trigger(spark, tmp_path):
+    """Streaming ingest × continuous aggregates: views passed to
+    run_stream_into_pipeline refresh after EVERY trigger's pipeline run
+    (parents before children), and the final hierarchy equals views built
+    in one shot on a batch pipeline — the streaming materialized-view
+    pattern with per-trigger changelog consumption."""
+    import pandas as pd
+
+    from engine.cagg import ContinuousAggregate
+    from engine.pipeline import TierPipeline
+    from engine.streaming import run_stream_into_pipeline
+    from engine.synth import synth_transcripts
+
+    t0 = synth_transcripts(spark, n_convs=30, hot_turns=200)
+    src = str(tmp_path / "src")
+    t0.orderBy("ts").coalesce(1).write.parquet(src + "_one")
+    spark.read.parquet(src + "_one").repartitionByRange(12, "ts").write.parquet(src)
+
+    keys = {"week": "date_trunc('week', bucket_start)",
+            "cohort": "substr(conv_id, length(conv_id), 1)"}
+    aggs = {"turns": ("sum", "n_turns"), "hours": ("count",)}
+    pipe = TierPipeline(spark, str(tmp_path / "sp"), snapshots=True)
+    parent = ContinuousAggregate(pipe, str(tmp_path / "vp"), keys=keys,
+                                 aggs=aggs, versioned=True)
+    child = parent.child(str(tmp_path / "vc"), keys={"cohort": "cohort"},
+                         aggs=["turns", "hours"])
+    out = run_stream_into_pipeline(
+        spark, src, pipe, raw_path=str(tmp_path / "raw"),
+        caggs=[child, parent],  # misordered on purpose — depth sort fixes
+    )
+    assert out["batches"] >= 2
+    assert len(out["cagg_rolls"]) == out["batches"]
+    assert out["cagg_rolls"][0][parent.path] == "full"
+    assert all(
+        r[parent.path] == "incremental" for r in out["cagg_rolls"][1:]
+    )
+
+    ref = TierPipeline(spark, str(tmp_path / "ref"), snapshots=True)
+    ref.run(t0)
+    rp = ContinuousAggregate(ref, str(tmp_path / "rp"), keys=keys,
+                             aggs=aggs, versioned=True)
+    rp.refresh()
+    rc = rp.child(str(tmp_path / "rc"), keys={"cohort": "cohort"},
+                  aggs=["turns", "hours"])
+    rc.refresh()
+    for got_v, exp_v, k in ((parent, rp, ["week", "cohort"]),
+                            (child, rc, ["cohort"])):
+        got = got_v.read().toPandas().sort_values(k, ignore_index=True)
+        exp = exp_v.read().toPandas().sort_values(k, ignore_index=True)
+        pd.testing.assert_frame_equal(got, exp)

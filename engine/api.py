@@ -368,6 +368,21 @@ class TierEngine:
             filter=filter, versioned=versioned, retain_dropped=retain_dropped,
         )
 
+    def create_view(self, path: str, sql: str, *, parents=None, **cagg_kw):
+        """Declare a continuous aggregate from SQL text (engine/
+        caggsql.py) — the TimescaleDB `CREATE MATERIALIZED VIEW ...
+        GROUP BY` front door: `FROM hourly` compiles the select list into
+        the mergeable-aggregate spec; `FROM <view>` (resolved in
+        `parents`) builds a hierarchical child whose `rollup(name)` items
+        re-merge the parent's day-partial state. The compiled spec is
+        token-identical to the dict form, so re-declaring an existing
+        view in SQL attaches without a rebuild."""
+        from .caggsql import create_continuous_aggregate
+
+        return create_continuous_aggregate(
+            self.pipeline, path, sql, parents=parents, **cagg_kw
+        )
+
     def maintain(self, policy, run_id: str = "maintenance") -> dict:
         """Run one declarative maintenance cycle (engine/policies.py
         MaintenancePolicy): cagg refresh (parents before children) →

@@ -291,6 +291,19 @@ class ContinuousAggregate:
         can't silently degrade the next refresh to a full rebuild."""
         return self._pointer("_CONSUMED")
 
+    def deferred_days(self) -> list[str]:
+        """Days a budgeted refresh left pending (the `_DEFERRED` ledger).
+        Unlike the pipeline's budgeted backfill — which must NOT advance
+        its reconcile pointer, because fingerprints are its only memory —
+        a view CAN advance `_CONSUMED` past deferred days: the ledger is
+        the memory, and a deferred day is always recomputed WHOLESALE
+        from whatever snapshot is current when its turn comes, so a later
+        recompute is never stale. Advancing the pointer also keeps GC
+        pinning cheap: only the latest consumed snapshot needs to
+        survive, not the pre-deferral base."""
+        raw = self._pointer("_DEFERRED")
+        return json.loads(raw) if raw else []
+
     def _retention_days(self) -> set[str]:
         """Days the PIPELINE manifest records as retention-dropped from the
         hourly tier (stage='retention' rows) — the discrimination
@@ -492,20 +505,33 @@ class ContinuousAggregate:
         hierarchical child overrides with its parent's partials store)."""
         return SnapStore(self.pipe.tier_path("hourly"))
 
-    def refresh(self) -> dict:
+    def refresh(self, budget: int | None = None) -> dict:
         """Consume the upstream changelog up to the published snapshot.
         Returns {'mode': 'full'|'incremental'|'noop', 'days': [...]}.
-        Lease-serialized per view path (LeaseHeldError on contention)."""
-        return self._locked(self._refresh_impl)
+        Lease-serialized per view path (LeaseHeldError on contention).
 
-    def _refresh_impl(self) -> dict:
+        With ``budget=K`` an incremental refresh recomputes at most the K
+        OLDEST pending days and defers the rest to the `_DEFERRED` ledger
+        (TimescaleDB refresh policies process bounded windows for the
+        same reason: a huge backlog must not monopolize the cluster).
+        Day removals are NEVER budgeted — deferring a deletion is a
+        correctness hazard (erasure must not lag) — and a full rebuild
+        ignores the budget (it is one overwrite either way). The report
+        carries ``deferred``; loop until it is empty to drain, or let
+        any later unbudgeted refresh finish the job."""
+        if budget is not None and budget < 1:
+            raise ValueError(f"budget must be >= 1, got {budget}")
+        return self._locked(lambda: self._refresh_impl(budget))
+
+    def _refresh_impl(self, budget: int | None = None) -> dict:
         store = self._upstream_store()
         current = store.current_id()
         if current is None:
             raise SnapshotError(f"{store.root}: no published upstream snapshot")
         consumed = self._pointer("_CONSUMED")
+        deferred = self.deferred_days()
         spec_now, spec_then = self.spec_token(), self._pointer("_SPEC")
-        if consumed == current and spec_then == spec_now:
+        if consumed == current and spec_then == spec_now and not deferred:
             return {"mode": "noop", "days": []}
         if (
             consumed is None
@@ -542,13 +568,23 @@ class ContinuousAggregate:
                     out["lost_frozen"] = frozen
             self._write_full(new)
             self._record("_SPEC", spec_now)
+            self._record("_DEFERRED", "[]")  # a full rebuild covers all days
             self._record("_CONSUMED", current)
             return out
         d = store.diff(consumed, current)
         # layout-agnostic: top-level partition dirs are bucket_date=D in
-        # both the flat and the day/conv_bucket evolved layout
-        changed = sorted(p.split("=", 1)[1] for p in d["added"] + d["rewritten"])
-        removed = sorted(p.split("=", 1)[1] for p in d["removed"])
+        # both the flat and the day/conv_bucket evolved layout.
+        # Deferred days join the pending set; a deferred day the diff now
+        # REMOVES leaves the ledger through the removal handling below
+        # (true deletion propagates; a retention drop freezes whatever
+        # partial is stored — a deferred change overtaken by retention is
+        # lost with the raw, the same lazy-refresh race TimescaleDB has).
+        removed_all = {p.split("=", 1)[1] for p in d["removed"]}
+        changed = sorted(
+            ({p.split("=", 1)[1] for p in d["added"] + d["rewritten"]}
+             | set(deferred)) - removed_all
+        )
+        removed = sorted(removed_all)
         retained: list[str] = []
         if removed and self.retain_dropped:
             # TimescaleDB semantics: the view OUTLIVES raw retention —
@@ -557,6 +593,10 @@ class ContinuousAggregate:
             frozen = self._retention_days()
             retained = [x for x in removed if x in frozen]
             removed = [x for x in removed if x not in frozen]
+        left: list[str] = []
+        if budget is not None and len(changed) > budget:
+            # oldest-first, like the pipeline's budgeted backfill
+            changed, left = changed[:budget], changed[budget:]
         if changed or removed:
             self._write_incremental(
                 self._day_partials(self._source(store, current), changed)
@@ -564,12 +604,16 @@ class ContinuousAggregate:
                 else None,
                 removed,
             )
+        # ledger before pointer: a crash between the two re-consumes the
+        # same diff UNION the recorded leftovers — extra work, never loss
+        self._record("_DEFERRED", json.dumps(left))
         self._record("_CONSUMED", current)
         return {
             "mode": "incremental",
             "days": changed,
             "removed": len(removed),
             "retained": len(retained),
+            "deferred": left,
         }
 
     # -- serving ---------------------------------------------------------
@@ -601,8 +645,9 @@ class ContinuousAggregate:
         if current is None:
             raise SnapshotError(f"{store.root}: no published upstream snapshot")
         consumed = self._pointer("_CONSUMED")
+        deferred = self.deferred_days()
         spec_ok = self._pointer("_SPEC") == self.spec_token()
-        if consumed == current and spec_ok:
+        if consumed == current and spec_ok and not deferred:
             return self.read()
         if (
             consumed is None
@@ -613,9 +658,19 @@ class ContinuousAggregate:
             return self._finalize(
                 merged.groupBy(*self.keys).agg(*self._merge_aggs())
             )
-        d = store.diff(consumed, current)
-        changed = sorted(p.split("=", 1)[1] for p in d["added"] + d["rewritten"])
+        # deferred days (budgeted refresh leftovers) are stale in the
+        # stored partials — fold them like changelog days: recomputed
+        # live, replaced wholesale in the merge
+        d = (
+            store.diff(consumed, current)
+            if consumed != current
+            else {"added": [], "rewritten": [], "removed": []}
+        )
         removed_days = {p.split("=", 1)[1] for p in d["removed"]}
+        changed = sorted(
+            ({p.split("=", 1)[1] for p in d["added"] + d["rewritten"]}
+             | set(deferred)) - removed_days
+        )
         if removed_days and self.retain_dropped:
             # same discrimination as refresh(): retention-dropped days keep
             # serving from their frozen stored partials

@@ -2164,3 +2164,58 @@ def cagg_realtime_weekly(spark, sf_dir):
     cagg.refresh()
     pipe.run(t0, stages=("hourly",))
     return cagg.read_realtime()
+
+
+@register(
+    "cagg_sql_ddl_weekly",
+    _TIER_CTE + _CAGG_SQL.replace(
+        "FROM hourly",
+        "FROM hourly WHERE substr(conv_id, length(conv_id), 1) >= '2'",
+    ),
+)
+def cagg_sql_ddl_weekly(spark, sf_dir):
+    """SQL DDL surface for continuous aggregates (engine/caggsql.py)
+    under the hash gate: the SAME (week, cohort) view as
+    cagg_weekly_cohort but DECLARED as SQL text — CREATE CONTINUOUS
+    AGGREGATE ... AS SELECT ... WHERE ... GROUP BY — compiled to the
+    mergeable-aggregate spec, built incrementally in two refreshes, and
+    served. The WHERE clause becomes the view filter, the grouped items
+    become keys, and every aggregate call maps onto the algebra; the
+    oracle applies the identical predicate in one pass. Proves the SQL
+    front door drives the exact machinery, not a parallel path."""
+    import tempfile
+
+    from .caggsql import create_continuous_aggregate
+    from .pipeline import TierPipeline
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    pipe = TierPipeline(
+        spark, tempfile.mkdtemp(prefix="tier-caggsql-"),
+        snapshots=True, fill_tiers=False,
+    )
+    pipe.run(
+        t0.filter("substr(conv_id, length(conv_id), 1) < '5'"),
+        stages=("hourly",),
+    )
+    view = create_continuous_aggregate(
+        pipe, tempfile.mkdtemp(prefix="caggsql-view-"),
+        """
+        CREATE CONTINUOUS AGGREGATE weekly_cohorts AS
+        SELECT date_trunc('week', bucket_start) AS week,
+               substr(conv_id, length(conv_id), 1) AS cohort,
+               sum(n_turns) AS turns,
+               count(*) AS hours,
+               min(token_min) AS min_tok,
+               max(n_turns) AS peak,
+               avg(n_turns) AS avg_turns,
+               first(bucket_start, bucket_start) AS first_bucket,
+               last(token_max, bucket_start) AS last_max
+        FROM hourly
+        WHERE substr(conv_id, length(conv_id), 1) >= '2'
+        GROUP BY week, cohort
+        """,
+    )
+    view.refresh()
+    pipe.run(t0, stages=("hourly",))
+    view.refresh()
+    return view.read()

@@ -95,6 +95,43 @@ def with_conv_bucket(df: DataFrame, n_buckets: int = 64) -> DataFrame:
     )
 
 
+#: TimescaleDB's (and DuckDB's) default time_bucket origin for fixed-width
+#: buckets: a Monday, so week-width buckets start on Mondays.
+TIME_BUCKET_ORIGIN = "2000-01-03 00:00:00"
+
+
+def time_bucket(ts_col, width_s: int, origin: str = TIME_BUCKET_ORIGIN):
+    """Arbitrary fixed-width tumbling bucket with an explicit ORIGIN — the
+    TimescaleDB/DuckDB `time_bucket(width, ts, origin)` C1 generalization
+    beyond date_trunc's calendar edges (90-minute ops windows, 4-hour
+    shifts, buckets phase-shifted to 00:30). Integer micros math keeps it
+    inside whole-stage codegen and makes the floor EXACT for timestamps
+    before the origin too: pmod's non-negative remainder is floor
+    division, where a double-divide floor would drift at 10^18 micros.
+    Returns the NTZ bucket left edge (the engine's canonical bucket
+    type)."""
+    if width_s <= 0:
+        raise ValueError(f"width_s must be positive, got {width_s}")
+    w = int(width_s) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz") if isinstance(ts_col, str)
+                       else ts_col.cast("timestamp_ltz"))
+    origin_us = F.unix_micros(F.lit(origin).cast("timestamp_ltz"))
+    delta = us - origin_us
+    floored = delta - F.pmod(delta, F.lit(w))
+    return F.timestamp_micros(origin_us + floored).cast("timestamp_ntz")
+
+
+def time_bucket_tz(ts_col, tz: str, unit: str = "day"):
+    """Calendar bucket in a LOCAL timezone: the stored NTZ instant (UTC by
+    engine convention) is converted to `tz` wall-clock time and truncated
+    there — "daily report in America/New_York" semantics, where a local
+    day is 23/24/25 UTC hours across DST transitions. Returns the local
+    wall-clock bucket edge as NTZ (group key; convert back for display)."""
+    col = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    local = F.convert_timezone(F.lit("UTC"), F.lit(tz), col.cast("timestamp_ntz"))
+    return F.date_trunc(unit, local).cast("timestamp_ntz")
+
+
 def bucket_span_seconds(tier: str, bucket_col="bucket_start"):
     """Span of a bucket in seconds as a Column. Calendar months vary
     (28/29/30/31 d) — computed from real month edges, never 86400*30."""

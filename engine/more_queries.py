@@ -631,3 +631,70 @@ def merge_upsert_orders(spark, sf_dir):
     return spark.read.parquet(path).select(
         "o_orderkey", "month", "o_orderstatus", "o_totalprice"
     )
+
+
+@register(
+    "time_bucket_90min_volume",
+    """
+    SELECT CAST(time_bucket(INTERVAL '90 minutes', ts,
+                            TIMESTAMP '2024-01-01 00:30:00') AS TIMESTAMP)
+             AS bucket_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(value) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def time_bucket_90min_volume(spark, sf_dir):
+    """C1 generalized: arbitrary fixed-width tumbling buckets with an
+    explicit ORIGIN (engine/bucket.py:time_bucket) — 90-minute windows
+    phase-shifted to hh:30, the TimescaleDB/DuckDB time_bucket(width, ts,
+    origin) semantics date_trunc cannot express. Integer-micros floor
+    keeps the boundary exact (including for instants BEFORE the origin);
+    the oracle is DuckDB's native time_bucket with the same origin."""
+    from .bucket import time_bucket
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            time_bucket("ts", 90 * 60, origin="2024-01-01 00:30:00")
+            .alias("bucket_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_local_day_volume",
+    """
+    SELECT CAST(date_trunc('day',
+                  timezone('America/New_York', timezone('UTC', ts)))
+                AS TIMESTAMP) AS local_day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_local_day_volume(spark, sf_dir):
+    """C1/C2 in a LOCAL calendar (engine/bucket.py:time_bucket_tz): daily
+    event volume where a 'day' is an America/New_York wall-clock day —
+    23/24/25 UTC hours across DST — the reporting grain dashboards
+    actually want. Both engines convert the stored UTC instant to the
+    zone's wall clock via tzdata and truncate there; hash equality pins
+    identical DST handling."""
+    from .bucket import time_bucket_tz
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            time_bucket_tz("ts", "America/New_York").alias("local_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -298,6 +298,9 @@ class TierEngine:
             name = f"{prefix}_{t}"
             df.createOrReplaceTempView(name)
             names.append(name)
+        from .bucket import register_time_bucket_sql
+
+        register_time_bucket_sql(self.spark)
         return names
 
     def sql(self, query: str, run_id: str | None = None) -> DataFrame:

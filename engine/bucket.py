@@ -132,6 +132,39 @@ def time_bucket_tz(ts_col, tz: str, unit: str = "day"):
     return F.date_trunc(unit, local).cast("timestamp_ntz")
 
 
+def register_time_bucket_sql(spark) -> None:
+    """Register `time_bucket` / `time_bucket_tz` as session SQL scalar
+    functions (Spark SQL UDF syntax — a pure-SQL body, so calls inline
+    into the plan like any expression: no Python boundary, codegen
+    intact). Makes the bucketing primitives usable from `eng.sql(...)`
+    and inside continuous-aggregate DDL key expressions. Idempotent
+    (CREATE OR REPLACE); per-session, like temp views."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION time_bucket(
+            ts TIMESTAMP_NTZ, width_s BIGINT,
+            origin STRING DEFAULT '2000-01-03 00:00:00')
+        RETURNS TIMESTAMP_NTZ
+        RETURN cast(timestamp_micros(
+            unix_micros(cast(origin AS timestamp_ltz))
+            + (unix_micros(cast(ts AS timestamp_ltz))
+               - unix_micros(cast(origin AS timestamp_ltz)))
+            - pmod(unix_micros(cast(ts AS timestamp_ltz))
+                   - unix_micros(cast(origin AS timestamp_ltz)),
+                   width_s * 1000000)) AS timestamp_ntz)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION time_bucket_tz(
+            ts TIMESTAMP_NTZ, tz STRING, unit STRING DEFAULT 'day')
+        RETURNS TIMESTAMP_NTZ
+        RETURN cast(date_trunc(unit, convert_timezone('UTC', tz, ts))
+                    AS timestamp_ntz)
+        """
+    )
+
+
 def bucket_span_seconds(tier: str, bucket_col="bucket_start"):
     """Span of a bucket in seconds as a Column. Calendar months vary
     (28/29/30/31 d) — computed from real month edges, never 86400*30."""

@@ -505,7 +505,11 @@ class ContinuousAggregate:
         hierarchical child overrides with its parent's partials store)."""
         return SnapStore(self.pipe.tier_path("hourly"))
 
-    def refresh(self, budget: int | None = None) -> dict:
+    def refresh(
+        self,
+        budget: int | None = None,
+        window: tuple[str | None, str | None] | None = None,
+    ) -> dict:
         """Consume the upstream changelog up to the published snapshot.
         Returns {'mode': 'full'|'incremental'|'noop', 'days': [...]}.
         Lease-serialized per view path (LeaseHeldError on contention).
@@ -514,16 +518,24 @@ class ContinuousAggregate:
         OLDEST pending days and defers the rest to the `_DEFERRED` ledger
         (TimescaleDB refresh policies process bounded windows for the
         same reason: a huge backlog must not monopolize the cluster).
-        Day removals are NEVER budgeted — deferring a deletion is a
+        With ``window=(lo, hi)`` (day strings, lo inclusive / hi
+        exclusive, either side None for unbounded — TimescaleDB's
+        `refresh_continuous_aggregate(start, end)`) only pending days
+        INSIDE the window recompute now; days outside it go to the same
+        ledger, so they are never silently skipped — a later unbounded
+        refresh (or realtime read) still reconciles them. Day removals
+        are NEVER budgeted or windowed — deferring a deletion is a
         correctness hazard (erasure must not lag) — and a full rebuild
-        ignores the budget (it is one overwrite either way). The report
-        carries ``deferred``; loop until it is empty to drain, or let
-        any later unbudgeted refresh finish the job."""
+        ignores both bounds (it is one overwrite either way). The report
+        carries ``deferred``; loop until it is empty to drain."""
         if budget is not None and budget < 1:
             raise ValueError(f"budget must be >= 1, got {budget}")
-        return self._locked(lambda: self._refresh_impl(budget))
+        if window is not None and window[0] is not None and window[1] is not None \
+                and window[0] >= window[1]:
+            raise ValueError(f"empty refresh window {window}")
+        return self._locked(lambda: self._refresh_impl(budget, window))
 
-    def _refresh_impl(self, budget: int | None = None) -> dict:
+    def _refresh_impl(self, budget=None, window=None) -> dict:
         store = self._upstream_store()
         current = store.current_id()
         if current is None:
@@ -594,9 +606,17 @@ class ContinuousAggregate:
             retained = [x for x in removed if x in frozen]
             removed = [x for x in removed if x not in frozen]
         left: list[str] = []
+        if window is not None:
+            lo, hi = window
+            out_of_window = [
+                x for x in changed
+                if (lo is not None and x < lo) or (hi is not None and x >= hi)
+            ]
+            changed = [x for x in changed if x not in set(out_of_window)]
+            left.extend(out_of_window)
         if budget is not None and len(changed) > budget:
             # oldest-first, like the pipeline's budgeted backfill
-            changed, left = changed[:budget], changed[budget:]
+            changed, left = changed[:budget], sorted(changed[budget:] + left)
         if changed or removed:
             self._write_incremental(
                 self._day_partials(self._source(store, current), changed)

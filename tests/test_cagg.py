@@ -444,3 +444,34 @@ def test_cagg_deferred_day_overtaken_by_upstream_removal(spark, t0, tmp_path):
     ref = ContinuousAggregate(pipe, str(tmp_path / "ref"), keys=KEYS, aggs=AGGS)
     ref.refresh()
     pd.testing.assert_frame_equal(_got(cagg), _got(ref))
+
+
+def test_cagg_window_bounded_refresh(spark, t0, tmp_path):
+    """refresh(window=(lo, hi)) — TimescaleDB refresh_continuous_aggregate
+    (start, end) — recomputes only pending days inside [lo, hi); days
+    outside go to the SAME deferral ledger, so they are reconciled (never
+    silently skipped) by a later unbounded refresh."""
+    all_days = sorted(
+        str(x["d"]) for x in t0.selectExpr("to_date(ts) as d").distinct().collect()
+    )
+    assert len(all_days) >= 3
+    lo, hi = all_days[1], all_days[2]  # exactly one pending day in-window
+
+    pipe = TierPipeline(spark, str(tmp_path / "p"), snapshots=True)
+    pipe.run(t0.filter(F.to_date("ts") == F.lit(all_days[0])), stages=("hourly",))
+    cagg = ContinuousAggregate(pipe, str(tmp_path / "v"), keys=KEYS, aggs=AGGS)
+    cagg.refresh()
+    pipe.run(t0, stages=("hourly",))
+
+    r = cagg.refresh(window=(lo, hi))
+    assert r["days"] == [lo]
+    assert r["deferred"] == [d for d in all_days[2:]]
+    # out-of-window days reconcile on the next unbounded refresh
+    out = cagg.refresh()
+    assert out["days"] == r["deferred"] and not out["deferred"]
+    ref = ContinuousAggregate(pipe, str(tmp_path / "ref"), keys=KEYS, aggs=AGGS)
+    ref.refresh()
+    pd.testing.assert_frame_equal(_got(cagg), _got(ref))
+
+    with pytest.raises(ValueError, match="empty refresh window"):
+        cagg.refresh(window=(hi, lo))

@@ -88,3 +88,37 @@ def test_time_bucket_tz_dst_days(spark, edge_utc, local_day_hours):
         want[local] = want.get(local, 0) + 1
     assert got == want
     assert got[edge_utc.date()] == local_day_hours
+
+
+def test_sql_functions_match_python_helpers(spark):
+    """register_time_bucket_sql exposes the primitives to eng.sql / cagg
+    DDL as pure-SQL scalar functions — results must equal the Python
+    column helpers exactly, including the DEFAULT Monday origin."""
+    from engine.bucket import register_time_bucket_sql
+
+    register_time_bucket_sql(spark)
+    register_time_bucket_sql(spark)  # idempotent
+    instants = [
+        datetime(2024, 3, 9, 12) + timedelta(hours=h, minutes=7) for h in range(60)
+    ]
+    df = _df(spark, instants)
+    df.createOrReplaceTempView("tb_probe")
+    got = spark.sql(
+        "SELECT ts, time_bucket(ts, 5400, '2024-01-01 00:30:00') AS b,"
+        " time_bucket(ts, 604800) AS wk,"
+        " time_bucket_tz(ts, 'America/New_York') AS d"
+        " FROM tb_probe"
+    ).collect()
+    want = {
+        r.ts: r
+        for r in df.select(
+            "ts",
+            time_bucket("ts", 5400, "2024-01-01 00:30:00").alias("b"),
+            time_bucket("ts", 604800).alias("wk"),
+            time_bucket_tz("ts", "America/New_York").alias("d"),
+        ).collect()
+    }
+    assert len(got) == len(want)
+    for r in got:
+        w = want[r.ts]
+        assert (r.b, r.wk, r.d) == (w.b, w.wk, w.d)

@@ -139,6 +139,45 @@ class TierEngine:
 
         return rollup_grain(self._tiers(), grain_hours)
 
+    def serve_sliding(self, window_hours: int) -> DataFrame:
+        """Trailing window_hours state merge at every observed hourly
+        bucket (moving aggregates over the continuous aggregate) — RANGE
+        frame on the epoch-hour index, gap-correct, one exchange."""
+        from .sliding import sliding_state
+
+        return sliding_state(self.pipeline.read_tier("hourly"), window_hours)
+
+    def serve_trend(
+        self,
+        lo: datetime,
+        hi: datetime,
+        horizon_hours: int,
+        value_col: str = "n_turns",
+    ) -> DataFrame:
+        """Per-conversation least-squares trend of an hourly tier metric
+        over [lo, hi) + predict_linear forecast horizon_hours past the
+        range end — exact integer sufficient statistics, one float
+        finalize."""
+        from .sliding import trend_linear
+
+        return trend_linear(
+            self.pipeline.read_tier("hourly"),
+            lo,
+            hi,
+            horizon_hours,
+            value_col=value_col,
+        )
+
+    def day_shapes(self, segments: int = 4) -> DataFrame:
+        """Rank-SAX shape word per (conversation, day) from the hourly
+        tier — PAA segment sums + intra-day rank symbolization, the
+        equi-join key for series motif discovery."""
+        from .ts_analytics import day_shape_sax
+
+        return day_shape_sax(
+            self.pipeline.read_tier("hourly"), segments=segments
+        )
+
     def serve_range_overlap(
         self,
         col: str,

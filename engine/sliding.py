@@ -1,0 +1,164 @@
+"""Tier-served window analytics (SURVEY.md §2 M63/M64).
+
+M63 — sliding (trailing) window aggregates composed from tier STATE:
+TimescaleDB's "moving aggregates over a continuous aggregate" / PromQL's
+`sum_over_time(metric[24h])` served at every hourly point. The trailing
+window is a RANGE frame over the integer epoch-HOUR index of the hourly
+tier rows, merging the same integer state algebra as rollup_up — so the
+answer at each bucket is bit-identical to re-aggregating raw over
+(bucket - W, bucket]. Missing hours simply contribute no row to the frame
+(a ROWS frame would silently stretch across gaps — the classic bug this
+module exists to avoid), and gap-filled rows are excluded because they
+carry copied state.
+
+At 10^12 turns this is the dashboard "rolling 24h" series from O(tier)
+rows with ONE exchange (the per-conversation window shuffle); raw is
+never read.
+
+M64 — linear trend / predict_linear from the tier: PromQL `predict_linear`
+/ `deriv` over the hourly tier series. Least-squares slope/intercept are
+computed from EXACT integer sufficient statistics (n, Σt, Σv, Σt·v, Σt²
+as longs — t is the hour offset from the range start, so products stay
+far from overflow) with float appearing only in the final closed-form
+division — the engine's one-float-finalize discipline, which is what lets
+a DuckDB oracle reproduce the doubles bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .rollup import STATE_COLS, observed_state
+
+_HOUR_US = 3_600_000_000
+
+#: per-state-column trailing merge: same algebra as rollup_up
+_MERGE_FN = {
+    "n_turns": F.sum,
+    "token_sum": F.sum,
+    "token_min": F.min,
+    "token_max": F.max,
+    "tool_sum": F.sum,
+    "tool_min": F.min,
+    "tool_max": F.max,
+    "hours_count": F.sum,
+    "hturns_min": F.min,
+    "hturns_max": F.max,
+}
+
+
+def _hour_index(col: str = "bucket_start"):
+    """Integer epoch-hour of an hour-aligned NTZ bucket (exact: buckets
+    are hour-aligned so the division has no remainder)."""
+    return (
+        F.unix_micros(F.col(col).cast("timestamp_ltz")) / F.lit(_HOUR_US)
+    ).cast("long")
+
+
+def sliding_state(
+    hourly: DataFrame,
+    window_hours: int,
+    keys: tuple[str, ...] = ("conv_id",),
+) -> DataFrame:
+    """M63: trailing `window_hours` tier-state merge at every OBSERVED
+    hourly bucket.
+
+    Returns the observed hourly rows with one `w_<state>` column per core
+    state column, each the merge (sum/min/max per the tier algebra) over
+    the frame [bucket - window_hours + 1h, bucket] in event time. RANGE
+    frame on the integer hour index ⇒ time-bounded, gap-correct; sketch /
+    struct state families are out of scope here (their merges are not
+    window-frameable aggregate functions) — serve those via
+    rewrite_range_* per window instead.
+    """
+    if window_hours <= 0:
+        raise ValueError(f"window_hours must be positive: {window_hours}")
+    # materialize the order key once, then attach EVERY trailing merge in
+    # one select over the same window spec — Catalyst folds them into a
+    # single Window node (one exchange + one sort); per-withColumn specs
+    # would each re-project the key and re-sort ten times
+    h = observed_state(hourly).withColumn("_hidx", _hour_index())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_hidx")
+        .rangeBetween(-(int(window_hours) - 1), 0)
+    )
+    cols = [c for c in h.columns if c != "_hidx"]
+    return h.select(
+        *cols,
+        *[
+            _MERGE_FN[c](F.col(c)).over(w).alias(f"w_{c}")
+            for c in STATE_COLS
+        ],
+    )
+
+
+def trend_linear(
+    hourly: DataFrame,
+    lo: datetime,
+    hi: datetime,
+    horizon_hours: int,
+    value_col: str = "n_turns",
+    keys: tuple[str, ...] = ("conv_id",),
+) -> DataFrame:
+    """M64: per-series least-squares trend of an hourly tier metric over
+    [lo, hi), plus the predict_linear forecast `horizon_hours` past the
+    range end.
+
+    Regression is over OBSERVED hourly buckets only (PromQL semantics:
+    absent samples don't exist, they are not zeros). Sufficient
+    statistics are exact longs; slope/intercept/forecast are each one
+    closed-form float expression over them, so the result is
+    bit-deterministic under any partitioning — and reproducible by an
+    ANSI-SQL oracle writing the same expression tree.
+
+    Series with fewer than 2 observed buckets are excluded (the
+    normal-equation denominator n·Σt² − (Σt)² is zero exactly when all t
+    coincide, which for distinct hourly buckets means n < 2).
+    """
+    if hi <= lo:
+        raise ValueError(f"empty range: [{lo}, {hi})")
+    lo_h = int(lo.timestamp() * 1_000_000) // _HOUR_US
+    hi_h = int(hi.timestamp() * 1_000_000) // _HOUR_US
+    h = (
+        observed_state(hourly)
+        .filter(
+            (F.col("bucket_start") >= F.lit(lo))
+            & (F.col("bucket_start") < F.lit(hi))
+        )
+        .select(
+            *keys,
+            (_hour_index() - F.lit(lo_h)).alias("t"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+    )
+    s = h.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("t") * F.col("v")).alias("stv"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )
+    n, st, sv = F.col("n"), F.col("st"), F.col("sv")
+    stv, stt = F.col("stv"), F.col("stt")
+    slope = (n * stv - st * sv).cast("double") / (
+        n * stt - st * st
+    ).cast("double")
+    intercept = (
+        sv.cast("double") - F.col("slope") * st.cast("double")
+    ) / n.cast("double")
+    # forecast target: horizon hours past the LAST hour of the range
+    t_pred = float((hi_h - lo_h - 1) + int(horizon_hours))
+    return (
+        s.filter(n >= 2)
+        .withColumn("slope", slope)
+        .withColumn("intercept", intercept)
+        .withColumn(
+            "predicted",
+            F.col("intercept") + F.col("slope") * F.lit(t_pred),
+        )
+        .select(*keys, "n", "slope", "intercept", "predicted")
+    )

@@ -2219,3 +2219,172 @@ def cagg_sql_ddl_weekly(spark, sf_dir):
     pipe.run(t0, stages=("hourly",))
     view.refresh()
     return view.read()
+
+
+@register(
+    "tier_sliding_24h",
+    _TIER_CTE
+    + """
+    SELECT conv_id,
+           CAST(bucket_start AS TIMESTAMP) AS bucket_start,
+           CAST(SUM(n_turns) OVER w AS BIGINT) AS w_n_turns,
+           CAST(SUM(token_sum) OVER w AS BIGINT) AS w_token_sum,
+           CAST(MIN(token_min) OVER w AS BIGINT) AS w_token_min,
+           CAST(MAX(token_max) OVER w AS BIGINT) AS w_token_max,
+           CAST(SUM(tool_sum) OVER w AS BIGINT) AS w_tool_sum,
+           CAST(SUM(token_sum) OVER w AS DOUBLE)
+             / CAST(SUM(n_turns) OVER w AS DOUBLE) AS w_token_mean
+    FROM hourly
+    WINDOW w AS (PARTITION BY conv_id
+                 ORDER BY epoch_us(bucket_start) // 3600000000
+                 RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+    """,
+)
+def tier_sliding_24h(spark, sf_dir):
+    """M63 sliding tier-state windows (engine/sliding.py sliding_state):
+    the trailing-24h rollup AT EVERY observed hourly bucket, composed
+    from hourly tier STATE with a RANGE frame on the integer epoch-hour
+    index — TimescaleDB's moving-aggregate-over-a-cagg / PromQL
+    sum_over_time(x[24h]). RANGE (not ROWS) is the semantics: missing
+    hours contribute nothing instead of stretching the frame across
+    gaps, so each output row equals re-aggregating raw over
+    (bucket-24h, bucket] — which is exactly what the oracle's identical
+    window over its own hourly CTE proves. Integer state merges + one
+    final division keep the hash exact. At 10^12 turns: one exchange
+    over O(tier) rows, never raw."""
+    from .sliding import sliding_state
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0)
+    s = sliding_state(tiers["hourly"], 24)
+    return s.select(
+        "conv_id",
+        "bucket_start",
+        "w_n_turns",
+        "w_token_sum",
+        "w_token_min",
+        "w_token_max",
+        "w_tool_sum",
+        (
+            F.col("w_token_sum").cast("double")
+            / F.col("w_n_turns").cast("double")
+        ).alias("w_token_mean"),
+    )
+
+
+@register(
+    "tier_trend_predict",
+    _TIER_CTE
+    + """
+    , pts AS (
+      SELECT conv_id,
+             epoch_us(bucket_start) // 3600000000 - 473352 AS t,
+             n_turns AS v
+      FROM hourly),
+    stats AS (
+      SELECT conv_id, COUNT(*) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM(t * v) AS BIGINT) AS stv,
+             CAST(SUM(t * t) AS BIGINT) AS stt
+      FROM pts GROUP BY 1),
+    sl AS (
+      SELECT *, CAST(n * stv - st * sv AS DOUBLE)
+                  / CAST(n * stt - st * st AS DOUBLE) AS slope
+      FROM stats WHERE n >= 2),
+    ic AS (
+      SELECT *, (CAST(sv AS DOUBLE) - slope * CAST(st AS DOUBLE))
+                  / CAST(n AS DOUBLE) AS intercept
+      FROM sl)
+    SELECT conv_id, n, slope, intercept,
+           intercept + slope * 743.0 AS predicted
+    FROM ic
+    """,
+)
+def tier_trend_predict(spark, sf_dir):
+    """M64 linear trend / predict_linear from the tier (engine/sliding.py
+    trend_linear): per-conversation least-squares fit of hourly turn
+    counts over January, forecast 24h past the range end — PromQL
+    predict_linear served from O(tier) rows. Sufficient statistics
+    (n, Σt, Σv, Σtv, Σt²) are EXACT longs (t = hour offset from the
+    range start, so products stay small); slope/intercept/forecast are
+    each one closed-form float expression over them, written with the
+    identical tree in the oracle — an ordinary-least-squares query under
+    the full-hash gate. Observed buckets only (absent samples don't
+    exist; they are not zeros)."""
+    from datetime import datetime
+
+    from .sliding import trend_linear
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0)
+    return trend_linear(
+        tiers["hourly"],
+        datetime(2024, 1, 1),
+        datetime(2024, 1, 31),
+        horizon_hours=24,
+    )
+
+
+@register(
+    "sax_day_shape_motifs",
+    _TIER_CTE
+    + """
+    , prof AS (
+      SELECT conv_id,
+             CAST(date_trunc('day', bucket_start) AS TIMESTAMP) AS day,
+             CAST(SUM(CASE WHEN hour(bucket_start) // 6 = 0
+                           THEN n_turns ELSE 0 END) AS BIGINT) AS s0,
+             CAST(SUM(CASE WHEN hour(bucket_start) // 6 = 1
+                           THEN n_turns ELSE 0 END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN hour(bucket_start) // 6 = 2
+                           THEN n_turns ELSE 0 END) AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN hour(bucket_start) // 6 = 3
+                           THEN n_turns ELSE 0 END) AS BIGINT) AS s3
+      FROM hourly GROUP BY 1, 2),
+    words AS (
+      SELECT conv_id, day, s0 + s1 + s2 + s3 AS day_turns,
+             concat(
+               CAST((CASE WHEN s1 < s0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN s2 < s0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN s3 < s0 THEN 1 ELSE 0 END) AS VARCHAR),
+               CAST((CASE WHEN s0 < s1 OR s0 = s1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN s2 < s1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN s3 < s1 THEN 1 ELSE 0 END) AS VARCHAR),
+               CAST((CASE WHEN s0 < s2 OR s0 = s2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN s1 < s2 OR s1 = s2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN s3 < s2 THEN 1 ELSE 0 END) AS VARCHAR),
+               CAST((CASE WHEN s0 < s3 OR s0 = s3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN s1 < s3 OR s1 = s3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN s2 < s3 OR s2 = s3 THEN 1 ELSE 0 END)
+                    AS VARCHAR)) AS word
+      FROM prof)
+    SELECT word, COUNT(*) AS n_days,
+           COUNT(DISTINCT conv_id) AS n_convs,
+           CAST(SUM(day_turns) AS BIGINT) AS turns
+    FROM words GROUP BY 1
+    """,
+)
+def sax_day_shape_motifs(spark, sf_dir):
+    """M65 PAA + rank-SAX symbolic day shapes (engine/ts_analytics.py
+    day_shape_sax): each (conversation, day) collapses to 4 six-hour PAA
+    segment sums over the HOURLY TIER, symbolized by each segment's rank
+    within its own day (ties broken by time position — always a
+    permutation, scale-invariant like z-normalized SAX but pure integer
+    comparisons). The word is the day's shape fingerprint; grouping by
+    it is motif discovery — which intra-day activity orderings recur,
+    across how many conversations — with NO pairwise comparison, the
+    equi-join shape that scales to 10^9 series. The oracle rebuilds the
+    ranks as closed-form CASE sums over the same segment pivot."""
+    from .ts_analytics import day_shape_sax
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0)
+    w = day_shape_sax(tiers["hourly"], segments=4)
+    return w.groupBy("word").agg(
+        F.count("*").alias("n_days"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.sum(
+            F.col("s0") + F.col("s1") + F.col("s2") + F.col("s3")
+        ).alias("turns"),
+    )

@@ -1354,3 +1354,70 @@ def mad_anomaly_daily(spark, sf_dir):
             "dev",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M65: PAA + rank-SAX symbolic day shapes (symbolic series downsampling)
+# ---------------------------------------------------------------------------
+
+
+def day_shape_sax(hourly, segments: int = 4, value_col: str = "n_turns"):
+    """M65: symbolic downsampling of each (series, day) — Piecewise
+    Aggregate Approximation into `segments` equal intra-day segments,
+    then rank-based SAX symbolization.
+
+    PAA: each UTC day's 24 hourly tier values collapse to `segments`
+    integer segment sums (missing hours contribute 0 — a day profile is a
+    fixed-length vector, unlike the observed-only regression in
+    trend_linear). Symbolization: instead of the classic z-normalize +
+    Gaussian breakpoints (float-fragile, needs a global pass), each
+    segment's symbol is its RANK among the day's segments with ties
+    broken by time position — scale-invariant like z-normalized SAX,
+    pure integer comparisons, and always a permutation of 0..segments-1.
+    The word (e.g. '0123' = activity rising all day) is the day's shape
+    fingerprint: equal words = equal intra-day activity ordering, the
+    equi-join key for motif discovery across 10^9 series without any
+    pairwise comparison (the same shingle→bucket→verify shape as the
+    MinHash dedup path, applied to series instead of text).
+
+    Input is the HOURLY TIER (O(tier) rows, never raw). One shuffle: the
+    (conv, day) groupBy; ranks and the word are closed-form column
+    expressions over the pivoted segment sums.
+    """
+    from .rollup import observed_state
+
+    if not 2 <= segments <= 24 or 24 % segments:
+        raise ValueError(f"segments must divide 24: {segments}")
+    span = 24 // segments
+    h = observed_state(hourly)
+    seg = (F.hour("bucket_start") / F.lit(span)).cast("int")
+    prof = h.groupBy(
+        "conv_id",
+        F.date_trunc("day", "bucket_start")
+        .cast("timestamp_ntz")
+        .alias("day"),
+    ).agg(
+        *[
+            F.sum(
+                F.when(seg == i, F.col(value_col)).otherwise(F.lit(0))
+            ).alias(f"s{i}")
+            for i in range(segments)
+        ]
+    )
+    cols = [F.col(f"s{i}") for i in range(segments)]
+    ranks = []
+    for i in range(segments):
+        below = [
+            F.when(
+                (cols[j] < cols[i])
+                | ((cols[j] == cols[i]) & F.lit(j < i)),
+                1,
+            ).otherwise(0)
+            for j in range(segments)
+            if j != i
+        ]
+        r = below[0]
+        for b in below[1:]:
+            r = r + b
+        ranks.append(r.cast("string"))
+    return prof.withColumn("word", F.concat(*ranks))

@@ -148,3 +148,36 @@ def test_time_travel_sql_pins_a_sealed_run(spark, tmp_path):
     assert n_r2 == n_cur == 2 * n_r1  # late batch doubled every turn count
     # the pinned view survives later writes: re-query r1 after r2 exists
     assert eng.sql(q, run_id="r1").collect()[0]["n"] == n_r1
+
+
+def test_engine_window_analytics_front_door(spark, tmp_path):
+    """serve_sliding / serve_trend / day_shapes go through the published
+    hourly tier and agree with the direct module functions over raw-built
+    tiers."""
+    from engine.rollup import build_tiers
+    from engine.sliding import sliding_state, trend_linear
+    from engine.ts_analytics import day_shape_sax
+
+    t0 = synth_transcripts(spark, n_convs=8, hot_turns=80)
+    eng = TierEngine(spark, str(tmp_path / "eng2"), fill_tiers=False)
+    eng.run(t0, run_id="r1")
+    hourly = build_tiers(t0)["hourly"]
+
+    def key_rows(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    scols = ["conv_id", "bucket_start", "w_n_turns", "w_token_sum"]
+    assert key_rows(eng.serve_sliding(12), scols) == key_rows(
+        sliding_state(hourly, 12), scols
+    )
+
+    lo, hi = datetime(2026, 1, 1), datetime(2026, 6, 1)
+    tcols = ["conv_id", "n", "slope", "predicted"]
+    assert key_rows(eng.serve_trend(lo, hi, 6), tcols) == key_rows(
+        trend_linear(hourly, lo, hi, 6), tcols
+    )
+
+    wcols = ["conv_id", "day", "word"]
+    assert key_rows(eng.day_shapes(), wcols) == key_rows(
+        day_shape_sax(hourly), wcols
+    )

@@ -1,0 +1,208 @@
+"""M63/M64/M65 (engine/sliding.py, engine/ts_analytics.day_shape_sax):
+sliding tier-state windows equal raw re-aggregation per window; the
+linear trend matches numpy's least squares; rank-SAX words are exact
+permutation fingerprints of the day's segment ordering."""
+
+import sys
+from datetime import datetime, timedelta
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from engine.bucket import with_metrics  # noqa: E402
+from engine.rollup import build_tiers  # noqa: E402
+from engine.sliding import sliding_state, trend_linear  # noqa: E402
+from engine.synth import synth_transcripts  # noqa: E402
+from engine.ts_analytics import day_shape_sax  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def t0(spark):
+    df = synth_transcripts(spark, n_convs=20, hot_turns=150)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def hourly(t0):
+    h = build_tiers(t0)["hourly"]
+    h.cache().count()
+    return h
+
+
+def test_sliding_equals_raw_window_reagg(spark, t0, hourly):
+    """Every (conv, bucket) output row of the 6h sliding state must equal
+    a direct raw aggregation over (bucket - 6h, bucket] — the RANGE frame
+    over tier state loses nothing vs re-reading raw."""
+    got = {
+        (r["conv_id"], r["bucket_start"]): (
+            r["w_n_turns"],
+            r["w_token_sum"],
+            r["w_token_min"],
+            r["w_token_max"],
+            r["w_tool_sum"],
+        )
+        for r in sliding_state(hourly, 6).collect()
+    }
+    raw = with_metrics(t0).select(
+        "conv_id",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("h"),
+        "token_count",
+        "is_tool",
+    )
+    rows = raw.collect()
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    assert got, "no sliding output"
+    for (conv, bucket), state in got.items():
+        lo = bucket - timedelta(hours=5)
+        sel = [
+            r for r in by_conv[conv] if lo <= r["h"] <= bucket
+        ]
+        toks = [r["token_count"] for r in sel]
+        tools = [r["is_tool"] for r in sel]
+        assert state == (
+            len(sel),
+            sum(toks),
+            min(toks),
+            max(toks),
+            sum(tools),
+        ), (conv, bucket)
+
+
+def test_sliding_range_frame_skips_gaps(spark):
+    """A series with a multi-hour hole: the trailing frame is bounded by
+    TIME, so the bucket after the hole must NOT see pre-hole state (a
+    ROWS frame would — the classic moving-aggregate bug)."""
+    rows = [
+        ("c", 0, "user", "xxxx", None, datetime(2024, 1, 1, 0, 30)),
+        ("c", 1, "user", "yyyyyyyy", None, datetime(2024, 1, 1, 1, 30)),
+        # 10-hour gap
+        ("c", 2, "user", "zz", None, datetime(2024, 1, 1, 11, 30)),
+    ]
+    t0 = rows_df(spark, rows)
+    h = build_tiers(t0)["hourly"]
+    out = {
+        r["bucket_start"].hour: (r["w_n_turns"], r["w_token_sum"])
+        for r in sliding_state(h, 3).collect()
+    }
+    assert out[0] == (1, 4)
+    assert out[1] == (2, 12)  # hours 0+1 inside the 3h frame
+    assert out[11] == (1, 2)  # pre-gap hours 0/1 are outside (9..11]
+
+
+def rows_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp_ntz",
+    )
+
+
+def test_trend_matches_numpy_least_squares(spark, t0, hourly):
+    lo, hi = datetime(2026, 2, 1), datetime(2026, 5, 1)
+    got = {
+        r["conv_id"]: (r["n"], r["slope"], r["intercept"], r["predicted"])
+        for r in trend_linear(hourly, lo, hi, horizon_hours=12).collect()
+    }
+    pts = (
+        hourly.filter(
+            (F.col("bucket_start") >= F.lit(lo))
+            & (F.col("bucket_start") < F.lit(hi))
+        )
+        .select("conv_id", "bucket_start", "n_turns")
+        .collect()
+    )
+    series = {}
+    lo_h = int(lo.timestamp() * 1e6) // 3_600_000_000
+    hi_h = int(hi.timestamp() * 1e6) // 3_600_000_000
+    for r in pts:
+        t = int(r["bucket_start"].timestamp() * 1e6) // 3_600_000_000 - lo_h
+        series.setdefault(r["conv_id"], []).append((t, r["n_turns"]))
+    checked = 0
+    for conv, tv in series.items():
+        if len(tv) < 2:
+            assert conv not in got  # degenerate series excluded
+            continue
+        t = np.array([p[0] for p in tv], dtype=float)
+        v = np.array([p[1] for p in tv], dtype=float)
+        slope, intercept = np.polyfit(t, v, 1)
+        n, g_slope, g_icept, g_pred = got[conv]
+        assert n == len(tv)
+        assert g_slope == pytest.approx(slope, rel=1e-9, abs=1e-12)
+        assert g_icept == pytest.approx(intercept, rel=1e-9, abs=1e-9)
+        t_pred = (hi_h - lo_h - 1) + 12
+        assert g_pred == pytest.approx(
+            intercept + slope * t_pred, rel=1e-9, abs=1e-9
+        )
+        checked += 1
+    assert checked >= 5
+
+
+def test_trend_validates_range(hourly):
+    with pytest.raises(ValueError):
+        trend_linear(
+            hourly, datetime(2024, 2, 1), datetime(2024, 1, 1), 1
+        )
+    with pytest.raises(ValueError):
+        sliding_state(hourly, 0)
+
+
+def test_sax_words_are_rank_permutations(spark, hourly):
+    rows = day_shape_sax(hourly, segments=4).collect()
+    assert rows
+    for r in rows:
+        word = r["word"]
+        assert sorted(word) == ["0", "1", "2", "3"], word
+        segs = [r["s0"], r["s1"], r["s2"], r["s3"]]
+        # rank semantics: stable argsort by (value, position)
+        order = sorted(range(4), key=lambda i: (segs[i], i))
+        expect = [0] * 4
+        for rank, i in enumerate(order):
+            expect[i] = rank
+        assert word == "".join(str(x) for x in expect), (segs, word)
+
+
+def test_sax_zero_fills_missing_segments(spark):
+    """A day active only in the evening still yields a 4-symbol word:
+    missing segments are PAA zeros, not absent rows."""
+    rows = [
+        ("c", 0, "user", "aaaa", None, datetime(2024, 1, 2, 19, 0)),
+        ("c", 1, "user", "bb", None, datetime(2024, 1, 2, 21, 0)),
+    ]
+    h = build_tiers(rows_df(spark, rows))["hourly"]
+    out = day_shape_sax(h, segments=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["s0"], r["s1"], r["s2"], r["s3"]) == (0, 0, 0, 2)
+    assert r["word"] == "0123"  # zeros rank by position, s3 largest
+
+
+def test_sax_validates_segments(hourly):
+    for bad in (0, 5, 48):
+        with pytest.raises(ValueError):
+            day_shape_sax(hourly, segments=bad)
+
+
+def test_sliding_plan_single_exchange(spark, hourly):
+    """The sliding window over tier state must shuffle ONCE (the window's
+    conv_id hash partitioning) — no extra exchanges, no raw scan."""
+    plan = (
+        sliding_state(hourly, 24)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # count only the sliding op's own nodes — the cached hourly fixture's
+    # build lineage sits below the InMemoryTableScan
+    op = plan.split("InMemoryTableScan")[0]
+    assert op.count("Exchange hashpartitioning") == 1, plan
+    # all ten trailing merges fold into ONE Window node over one sort
+    assert op.count("+- Window") == 1, plan
+    assert op.count("+- Sort") == 1, plan

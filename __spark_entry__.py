@@ -21,6 +21,7 @@ import engine.corpusops  # noqa: F401,E402
 import engine.more_queries  # noqa: F401,E402
 import engine.multimodal  # noqa: F401,E402
 import engine.dedupindex  # noqa: F401,E402
+import engine.drift_queries  # noqa: F401,E402
 import engine.fileindex  # noqa: F401,E402
 import engine.seqops  # noqa: F401,E402
 import engine.shardsink  # noqa: F401,E402

@@ -139,6 +139,44 @@ class TierEngine:
 
         return rollup_grain(self._tiers(), grain_hours)
 
+    def serve_drift(
+        self,
+        range_a: tuple[datetime, datetime],
+        range_b: tuple[datetime, datetime],
+        col: str,
+    ) -> DataFrame:
+        """Categorical drift between two ranges from freq-map state (needs
+        freq_cols): per-value counts/shares + exact total-variation."""
+        from .drift import freq_drift
+
+        return freq_drift(self._tiers(), range_a, range_b, col)
+
+    def serve_drift_ks(
+        self,
+        range_a: tuple[datetime, datetime],
+        range_b: tuple[datetime, datetime],
+        col: str,
+    ) -> DataFrame:
+        """Per-conversation two-sample KS between two ranges from histogram
+        state (needs hist_cols) — exact at bin resolution."""
+        from .drift import hist_drift_ks
+
+        return hist_drift_ks(self._tiers(), range_a, range_b, col)
+
+    def serve_drift_timeline(self, col: str) -> DataFrame:
+        """Day-over-day total-variation of `col`'s corpus distribution from
+        the daily tier's freq maps — localizes a mix-shift to a day."""
+        from .drift import freq_drift_timeline
+
+        return freq_drift_timeline(self._tiers(), col)
+
+    def serve_concentration(self, col: str, tier: str = "monthly") -> DataFrame:
+        """Per-bucket Gini concentration of a categorical column from freq
+        state (needs freq_cols)."""
+        from .drift import freq_concentration
+
+        return freq_concentration(self.pipeline.read_tier(tier), col)
+
     def serve_sliding(self, window_hours: int) -> DataFrame:
         """Trailing window_hours state merge at every observed hourly
         bucket (moving aggregates over the continuous aggregate) — RANGE

@@ -1,0 +1,243 @@
+"""Distribution-drift pack (engine/drift.py, SURVEY §2 M66–M70).
+
+The oracle queries pin TV / KS / Gini / z against DuckDB at the hash level;
+these tests pin (a) brute-force parity of the integer cross-product
+formulas, (b) the log-based monitoring measures (PSI / JSD / entropy) that
+can't sit under the hash gate (ln is not bit-portable across engines), and
+(c) planted-shift behavior of the timeline.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from engine import drift as D
+from engine.rollup import build_tiers
+from engine.synth import synth_transcripts
+
+# two dense weeks of the deterministic synth fixture (probed once; the
+# generator's burst pattern leaves some calendar weeks empty)
+A = (datetime(2026, 3, 2), datetime(2026, 3, 9))
+B = (datetime(2026, 3, 16), datetime(2026, 3, 23))
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    t0 = synth_transcripts(spark, n_convs=12, hot_turns=600)
+    tiers = build_tiers(
+        t0,
+        freq_cols=["role"],
+        hist_cols={"token_count": (0.0, 16.0, 12)},
+    )
+    pdf = t0.select(
+        "conv_id", "ts", "role", F.length("text").alias("token_count")
+    ).toPandas()
+    return pdf, tiers
+
+
+def _in(pdf, lo, hi):
+    return pdf[(pdf.ts >= lo) & (pdf.ts < hi)]
+
+
+def test_tv_identity_is_exactly_zero(fixture):
+    _, tiers = fixture
+    d = D.freq_drift(tiers, A, A, "role").collect()
+    assert d and all(r.tv_num == 0 and r.tv == 0.0 for r in d)
+    assert all(r.n_a == r.n_b and r.p_a == r.p_b for r in d)
+
+
+def test_freq_drift_matches_bruteforce_exactly(fixture):
+    pdf, tiers = fixture
+    ca = Counter(_in(pdf, *A).role)
+    cb = Counter(_in(pdf, *B).role)
+    na, nb = sum(ca.values()), sum(cb.values())
+    vals = set(ca) | set(cb)
+    tv_sum = sum(abs(ca.get(v, 0) * nb - cb.get(v, 0) * na) for v in vals)
+    tv = tv_sum / float(2 * na * nb)
+    rows = {r.value: r for r in D.freq_drift(tiers, A, B, "role").collect()}
+    assert set(rows) == vals
+    for v in vals:
+        r = rows[v]
+        assert (r.n_a, r.n_b) == (ca.get(v, 0), cb.get(v, 0))
+        assert r.p_a == ca.get(v, 0) / float(na)  # same single division
+        assert r.p_b == cb.get(v, 0) / float(nb)
+        assert r.tv_num == abs(ca.get(v, 0) * nb - cb.get(v, 0) * na)
+        assert r.tv == tv  # integer numerator + one division: bit-equal
+    assert 0.0 < tv < 1.0  # the synth weeks genuinely differ a little
+
+
+def test_drift_measures_match_numpy(fixture):
+    _, tiers = fixture
+    d = D.freq_drift(tiers, A, B, "role")
+    got = D.drift_measures(d, eps=1e-6).collect()[0]
+    rows = d.collect()
+    p = np.maximum(np.array([r.p_a for r in rows]), 1e-6)
+    q = np.maximum(np.array([r.p_b for r in rows]), 1e-6)
+    m = (p + q) / 2.0
+    psi = float(np.sum((p - q) * np.log(p / q)))
+    jsd = float(np.sum((p * np.log(p / m) + q * np.log(q / m)) / 2.0))
+    assert got.psi == pytest.approx(psi, rel=1e-9)
+    assert got.jsd == pytest.approx(jsd, rel=1e-9)
+    assert 0.0 <= got.jsd <= math.log(2.0) + 1e-12
+    assert got.tv == rows[0].tv
+
+
+def test_hist_ks_matches_bruteforce_exactly(fixture):
+    pdf, tiers = fixture
+
+    def bins(sub):
+        out = {}
+        for conv, g in sub.groupby("conv_id"):
+            arr = [0] * 12
+            for t in g.token_count:
+                arr[min(int(t // 16), 11)] += 1
+            out[conv] = arr
+        return out
+
+    ba, bb = bins(_in(pdf, *A)), bins(_in(pdf, *B))
+    both = set(ba) & set(bb)
+    got = {r.conv_id: r for r in D.hist_drift_ks(tiers, A, B, "token_count").collect()}
+    assert set(got) == both
+    for conv in both:
+        na, nb = sum(ba[conv]), sum(bb[conv])
+        cum_a = np.cumsum(ba[conv])
+        cum_b = np.cumsum(bb[conv])
+        ks_num = int(max(abs(int(x) * nb - int(y) * na) for x, y in zip(cum_a, cum_b)))
+        r = got[conv]
+        assert (r.n_a, r.n_b, r.ks_num) == (na, nb, ks_num)
+        assert r.ks == ks_num / float(na * nb)
+        assert 0.0 <= r.ks <= 1.0
+
+
+def _state(spark, rows):
+    """Tiny freq tier state: (conv_id, bucket_start, role_freq map)."""
+    return spark.createDataFrame(
+        rows, "conv_id string, bucket_start timestamp_ntz, role_freq map<string,long>"
+    )
+
+
+def test_gini_goldens_and_entropy_vs_numpy(spark):
+    day = datetime(2026, 3, 1)
+    st = _state(
+        spark,
+        [
+            ("mono", day, {"a": 4}),
+            ("uniform4", day, {"a": 2, "b": 2, "c": 2, "d": 2}),
+            ("skew", day, {"a": 3, "b": 1}),
+        ],
+    )
+    g = {r.conv_id: r for r in D.freq_concentration(st, "role").collect()}
+    assert g["mono"].gini == 0.0 and g["mono"].n_cats == 1
+    assert g["uniform4"].gini == 1.0 - 4.0 * 4 / (8.0 * 8)  # 1 - 1/k
+    assert g["skew"].gini == 1.0 - (9 + 1) / 16.0
+    e = {r.conv_id: r.entropy for r in D.freq_entropy(st, "role").collect()}
+    assert e["mono"] == pytest.approx(0.0, abs=1e-12)
+    assert e["uniform4"] == pytest.approx(math.log(4.0), rel=1e-12)
+    ref = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert e["skew"] == pytest.approx(ref, rel=1e-12)
+
+
+def test_timeline_planted_shift_spikes_on_the_day(spark):
+    d0 = datetime(2026, 4, 1)
+    days = [d0 + timedelta(days=i) for i in range(4)]
+    # stable a:b = 60:40 mix on days 0-1, flips to 0:100 on day 2, holds day 3
+    rows = []
+    for i, d in enumerate(days):
+        for conv in ("c1", "c2"):
+            m = {"a": 30, "b": 20} if i < 2 else {"b": 50}
+            rows.append((conv, d, m))
+    tiers = {"daily": _state(spark, rows)}
+    tl = {r.day: r for r in D.freq_drift_timeline(tiers, "role").collect()}
+    assert set(tl) == set(days[1:])  # first day has no predecessor
+    assert tl[days[1]].tv == 0.0
+    assert tl[days[3]].tv == 0.0
+    # planted shift: TV = share that moved = 0.6 exactly
+    assert tl[days[2]].tv == 0.6
+    assert tl[days[2]].n_prev == 100 and tl[days[2]].n_cur == 100
+
+
+def test_timeline_gap_days_emit_nothing(spark):
+    d0 = datetime(2026, 4, 1)
+    rows = [
+        ("c1", d0, {"a": 10}),
+        ("c1", d0 + timedelta(days=2), {"a": 10}),  # day 1 missing
+        ("c1", d0 + timedelta(days=3), {"b": 10}),
+    ]
+    tiers = {"daily": _state(spark, rows)}
+    tl = {r.day: r.tv for r in D.freq_drift_timeline(tiers, "role").collect()}
+    # only day3 has an observed predecessor (day2); the gap pair is absent
+    assert set(tl) == {d0 + timedelta(days=3)}
+    assert tl[d0 + timedelta(days=3)] == 1.0  # complete category swap
+
+
+def test_ztest_matches_closed_form(spark):
+    # 40 users: even ids convert at 15/20, odd at 5/20
+    rows = []
+    for u in range(40):
+        converts = (u % 2 == 0 and u < 30) or (u % 2 == 1 and u < 10)
+        rows.append((u, "purchase" if converts else "view"))
+        rows.append((u, "view"))
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = D.ab_conversion_ztest(ev, min_events=1).collect()[0]
+    n1 = c1 = None
+    assert (r.n1, r.n2) == (20, 20)
+    assert (r.c1, r.c2) == (15, 5)
+    p1, p2 = 15 / 20.0, 5 / 20.0
+    pp = (15 + 5) / 40.0
+    z = (p1 - p2) / math.sqrt(pp * (1.0 - pp) * (40.0 / 400.0))
+    assert r.p1 == p1 and r.p2 == p2
+    assert r.z == z  # identical IEEE op tree
+    assert r.z > 1.96  # and it is a significant difference
+
+
+def test_facade_drift_parity(spark, tmp_path, fixture):
+    """serve_drift / serve_drift_ks / serve_drift_timeline /
+    serve_concentration go through the published pipeline tiers and agree
+    with the module functions over raw-built tiers."""
+    from engine.api import TierEngine
+
+    pdf, tiers = fixture
+    t0 = synth_transcripts(spark, n_convs=12, hot_turns=600)
+    eng = TierEngine(
+        spark,
+        str(tmp_path / "eng"),
+        fill_tiers=False,
+        freq_cols=["role"],
+        hist_cols={"token_count": (0.0, 16.0, 12)},
+    )
+    eng.run(t0, run_id="r1")
+
+    def rows(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    assert rows(eng.serve_drift(A, B, "role"), ["value", "n_a", "n_b", "tv"]) == rows(
+        D.freq_drift(tiers, A, B, "role"), ["value", "n_a", "n_b", "tv"]
+    )
+    kcols = ["conv_id", "n_a", "n_b", "ks"]
+    assert rows(eng.serve_drift_ks(A, B, "token_count"), kcols) == rows(
+        D.hist_drift_ks(tiers, A, B, "token_count"), kcols
+    )
+    tcols = ["day", "tv_num", "tv"]
+    assert rows(eng.serve_drift_timeline("role"), tcols) == rows(
+        D.freq_drift_timeline(tiers, "role"), tcols
+    )
+    gcols = ["conv_id", "bucket_start", "n", "gini"]
+    assert rows(eng.serve_concentration("role"), gcols) == rows(
+        D.freq_concentration(tiers["monthly"], "role"), gcols
+    )
+
+
+def test_range_validation(fixture):
+    _, tiers = fixture
+    with pytest.raises(ValueError, match="freq column"):
+        D.freq_drift(tiers, A, B, "nope")
+    with pytest.raises(ValueError, match="empty range"):
+        D.freq_drift(tiers, (A[0], A[0]), B, "role")
+    with pytest.raises(ValueError, match="hist column"):
+        D.hist_drift_ks(tiers, A, B, "nope")

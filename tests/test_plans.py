@@ -97,6 +97,12 @@ GLOBAL_AGG_OK = {
     "dq_orders_suite",  # a DQ summary IS one global scalar row: every
     # violation counter folds partial (per input partition) before the
     # single final reduce; uniqueness/ref probes join as one-row frames
+    "tier_drift_roles",  # the range totals (N_a, N_b) and the TV numerator
+    # are corpus-level scalars over the per-value distribution (rows =
+    # category cardinality, fed by partial sums)
+    "ab_conversion_ztest",  # the experiment read-out is one global row:
+    # per-variant exposure/conversion counts (≤ #variants rows, fed by the
+    # per-user partial aggregate) fold to the z statistic
 }
 
 BNLJ_OK = {
@@ -126,6 +132,8 @@ BNLJ_OK = {
     # persisted index's first build
     "vocabindex_totals",  # ditto (assignment ranking feeds the index
     # whose totals this query serves)
+    "tier_drift_roles",  # stitches the ONE-ROW range totals and the
+    # ONE-ROW TV numerator onto the per-value rows (1×k broadcast joins)
 }
 
 

@@ -24,6 +24,7 @@ engine/resultcache.py, engine/retention.py for semantics and scale notes.
 
 from __future__ import annotations
 
+import os
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -77,6 +78,72 @@ class TierEngine:
 
         days = droppable_hourly_days(self.pipeline, older_than)
         return drop_hourly_partitions(self.pipeline, days, run_id=run_id)
+
+    def status(self) -> dict:
+        """L13 operational snapshot of the root — METADATA-SCALE ONLY (one
+        driver-side manifest read, directory pointer probes, zero data
+        scans; the manifest is already memoized as a local relation).
+        What an operator pages through before touching a production root:
+
+        - ``stages``: per data stage, total commits, live distinct
+          partitions (sentinel deletions/rollbacks excluded), sentinel
+          count, last run id and commit time.
+        - ``lifecycle``: retention / frozen-month / forget audit rows and
+          the number of sealed cross-table run barriers.
+        - ``snapshots`` (snapshot mode): per table, the current snapshot
+          id, how many snapshots are retained (expire/GC pressure), and
+          named tag pins.
+        - ``tombstones``: forgotten conversation count (right-to-be-
+          forgotten backlog indicator), read driver-side via pyarrow.
+        """
+        from .checkpoint import Manifest
+
+        pdf = self.pipeline.manifest.read().toPandas()
+        stages: dict = {}
+        data = pdf[~pdf.stage.isin(Manifest.PRESERVED_STAGES)]
+        for stage, g in data.groupby("stage"):
+            g = g.sort_values("committed_at")
+            latest = g.groupby("partition_key").tail(1)
+            sen = latest.input_snapshot_id.isin(Manifest.SENTINELS)
+            stages[str(stage)] = {
+                "commits": int(len(g)),
+                "partitions": int((~sen).sum()),
+                "sentinels": int(sen.sum()),
+                "last_run": str(g.run_id.iloc[-1]),
+                "last_at": str(g.committed_at.iloc[-1]),
+            }
+        out: dict = {
+            "stages": stages,
+            "lifecycle": {
+                "retention_rows": int((pdf.stage == "retention").sum()),
+                "frozen_months": int((pdf.stage == "frozen").sum()),
+                "forget_rows": int((pdf.stage == "forget").sum()),
+                "run_barriers": int(pdf[pdf.stage == "snapshot"].run_id.nunique()),
+            },
+        }
+        if self.pipeline.snapshots:
+            snaps: dict = {}
+            for name in ("hourly", "daily", "monthly", "gapfill", "chunks"):
+                store = self.pipeline._store(self.pipeline.table_path(name))
+                cur = store.current_id()
+                snaps[name] = {
+                    "current": cur,
+                    "retained": len(store.snapshot_ids()) if cur else 0,
+                    "tags": store.tags(),
+                }
+            out["snapshots"] = snaps
+        tomb_dir = os.path.join(self.root, "_tombstones")
+        n_tomb = 0
+        if os.path.isdir(tomb_dir):
+            import pyarrow.parquet as pq
+
+            for f in os.listdir(tomb_dir):
+                if f.endswith(".parquet"):
+                    n_tomb += pq.read_table(
+                        os.path.join(tomb_dir, f)
+                    ).num_rows
+        out["tombstones"] = n_tomb
+        return out
 
     def compact_manifest(self, prune_superseded: bool = False) -> dict:
         """Fold the manifest's accumulated per-commit files into one

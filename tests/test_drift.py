@@ -233,6 +233,60 @@ def test_facade_drift_parity(spark, tmp_path, fixture):
     )
 
 
+def test_drift_survives_hourly_retention(spark, tmp_path):
+    """Day-aligned drift ranges decompose onto the DAILY tier, so the
+    comparison keeps serving bit-identically after the underlying hourly
+    days are retention-dropped — the drift monitor outlives its raw."""
+    from engine.api import TierEngine
+
+    t0 = synth_transcripts(spark, n_convs=12, hot_turns=600)
+    eng = TierEngine(
+        spark, str(tmp_path / "ret"), fill_tiers=False, freq_cols=["role"]
+    )
+    eng.run(t0, run_id="r1")
+
+    def rows(df):
+        return sorted(
+            (r.value, r.n_a, r.n_b, r.tv) for r in df.collect()
+        )
+
+    before = rows(eng.serve_drift(A, B, "role"))
+    dropped = eng.drop_hourly_before("2026-03-10")  # covers all of range A
+    assert dropped  # the drop really happened
+    left = eng.tier("hourly").agg(F.min("bucket_start")).collect()[0][0]
+    assert left >= datetime(2026, 3, 10)  # range A's hourly days are gone
+    assert rows(eng.serve_drift(A, B, "role")) == before
+
+
+def test_engine_status_reports_lifecycle(spark, tmp_path):
+    from engine.api import TierEngine
+
+    t0 = synth_transcripts(spark, n_convs=6, hot_turns=200)
+    eng = TierEngine(
+        spark, str(tmp_path / "st"), fill_tiers=False, snapshots=True
+    )
+    eng.run(t0, run_id="r1")
+    st = eng.status()
+    assert st["stages"]["hourly"]["partitions"] > 0
+    assert st["stages"]["monthly"]["last_run"] == "r1"
+    assert st["stages"]["hourly"]["sentinels"] == 0
+    assert st["lifecycle"]["run_barriers"] == 1
+    assert st["lifecycle"]["forget_rows"] == 0
+    assert st["tombstones"] == 0
+    for t in ("hourly", "daily", "monthly", "gapfill", "chunks"):
+        assert st["snapshots"][t]["current"] is not None
+    # forget one conversation: tombstone + forget audit row show up
+    conv = eng.tier("hourly").select("conv_id").first().conv_id
+    eng.forget([conv], t0=t0)
+    st2 = eng.status()
+    assert st2["tombstones"] == 1
+    # with raw supplied and no retention, erasure is an ordinary re-roll:
+    # no stage='forget' sweep rows, but the re-roll sealed a new barrier
+    assert st2["lifecycle"]["forget_rows"] == 0
+    assert st2["lifecycle"]["run_barriers"] >= 2
+    assert st2["stages"]["hourly"]["last_run"] != "r1"
+
+
 def test_range_validation(fixture):
     _, tiers = fixture
     with pytest.raises(ValueError, match="freq column"):

@@ -230,6 +230,16 @@ class TierEngine:
 
         return hist_drift_ks(self._tiers(), range_a, range_b, col)
 
+    def serve_drift_baseline(
+        self, col: str, baseline_days: int = 7
+    ) -> DataFrame:
+        """Per-day TV of `col`'s corpus distribution vs its trailing
+        baseline_days union — the production drift alarm (needs
+        freq_cols)."""
+        from .drift import freq_drift_baseline
+
+        return freq_drift_baseline(self._tiers(), col, baseline_days)
+
     def serve_drift_timeline(self, col: str) -> DataFrame:
         """Day-over-day total-variation of `col`'s corpus distribution from
         the daily tier's freq maps — localizes a mix-shift to a day."""

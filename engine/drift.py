@@ -314,6 +314,110 @@ def freq_drift_timeline(
     )
 
 
+def freq_drift_baseline(
+    tiers: dict[str, DataFrame], col: str, baseline_days: int = 7
+) -> DataFrame:
+    """M71: drift alarm against a trailing baseline — each observed day's
+    corpus-level distribution of `col` vs the union of its previous
+    `baseline_days` observed days, from the DAILY tier's freq maps. This
+    is the production monitor shape (a single anomalous day stands out
+    against a week, where day-over-day TV would also fire on the healthy
+    day AFTER a one-day blip). Baseline counts fold by integer addition
+    over an exploded day-offset spine (≤ baseline_days× expansion of the
+    tier-sized counts table — never raw); TV is the usual integer
+    cross-product with ONE final division, hash-gated. Days with no
+    observed baseline day emit nothing. Output: day, n_base (baseline
+    total), n_cur, baseline_width (observed days in the window), tv_num,
+    tv."""
+    fq = f"{col}_freq"
+    d = observed_state(tiers["daily"])
+    if fq not in d.columns:
+        raise ValueError(f"daily tier has no freq column {fq!r}")
+    counts = (
+        d.select(
+            F.col("bucket_start").alias("day"),
+            F.explode(fq).alias("value", "n"),
+        )
+        .groupBy("day", "value")
+        .agg(F.sum("n").alias("n"))
+    )
+    totals = counts.groupBy("day").agg(F.sum("n").alias("n_tot"))
+    offsets = F.explode(
+        F.sequence(F.lit(1), F.lit(int(baseline_days)))
+    ).alias("k")
+    base_counts = (
+        counts.select(
+            F.col("day"), F.col("value"), F.col("n"), offsets
+        )
+        .select(
+            (
+                F.col("day")
+                + F.make_dt_interval(days=F.col("k"))
+            ).alias("day"),
+            "value",
+            "n",
+        )
+        .groupBy("day", "value")
+        .agg(F.sum("n").alias("n_base"))
+    )
+    base_totals = (
+        totals.select(F.col("day"), F.col("n_tot"), offsets)
+        .select(
+            (
+                F.col("day")
+                + F.make_dt_interval(days=F.col("k"))
+            ).alias("day"),
+            F.col("n_tot").alias("nb"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("nb").alias("nb_tot"),
+            F.count("*").cast("int").alias("baseline_width"),
+        )
+    )
+    cur = counts.select("day", "value", F.col("n").alias("n_cur"))
+    pairs = (
+        cur.join(base_counts, ["day", "value"], "full_outer")
+        .select(
+            "day",
+            "value",
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+        )
+    )
+    tc = totals.select("day", F.col("n_tot").alias("nc_tot"))
+    # inner joins: only days observed themselves AND with ≥1 baseline day
+    withtot = pairs.join(F.broadcast(tc), "day").join(
+        F.broadcast(base_totals), "day"
+    )
+    num = F.abs(
+        F.col("n_cur") * F.col("nb_tot") - F.col("n_base") * F.col("nc_tot")
+    ).cast("long")
+    return (
+        withtot.withColumn("num", num)
+        .groupBy("day")
+        .agg(
+            F.max("nb_tot").cast("long").alias("n_base"),
+            F.max("nc_tot").cast("long").alias("n_cur"),
+            F.max("baseline_width").alias("baseline_width"),
+            F.sum("num").alias("tv_num"),
+        )
+        .select(
+            "day",
+            "n_base",
+            "n_cur",
+            "baseline_width",
+            "tv_num",
+            (
+                F.col("tv_num").cast("double")
+                / (F.lit(2) * F.col("n_base") * F.col("n_cur")).cast(
+                    "double"
+                )
+            ).alias("tv"),
+        )
+    )
+
+
 def freq_concentration(state: DataFrame, col: str) -> DataFrame:
     """M69: per-(conv, bucket) concentration of a categorical column from
     freq tier state — Gini impurity 1 − Σn²/N² (0 = all one category,

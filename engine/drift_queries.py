@@ -187,6 +187,62 @@ def drift_timeline_roles_daily(spark, sf_dir):
 
 
 @register(
+    "drift_baseline_roles_daily",
+    """
+    WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             event_type AS value, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT day, CAST(SUM(n) AS BIGINT) AS n_tot FROM c GROUP BY 1),
+    bc AS (
+      SELECT c.day + gs.k * INTERVAL 1 DAY AS day, c.value,
+             CAST(SUM(c.n) AS BIGINT) AS n_base
+      FROM c, generate_series(1, 7) gs(k) GROUP BY 1, 2),
+    bt AS (
+      SELECT t.day + gs.k * INTERVAL 1 DAY AS day,
+             CAST(SUM(t.n_tot) AS BIGINT) AS nb_tot,
+             CAST(COUNT(*) AS INT) AS baseline_width
+      FROM t, generate_series(1, 7) gs(k) GROUP BY 1),
+    p AS (
+      SELECT COALESCE(c.day, bc.day) AS day,
+             COALESCE(c.value, bc.value) AS value,
+             CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cur,
+             CAST(COALESCE(bc.n_base, 0) AS BIGINT) AS n_base
+      FROM c FULL OUTER JOIN bc
+        ON c.day = bc.day AND c.value = bc.value),
+    w AS (
+      SELECT p.day, n_cur, n_base, tc.n_tot AS nc_tot, bt.nb_tot,
+             bt.baseline_width,
+             CAST(ABS(n_cur * bt.nb_tot - n_base * tc.n_tot) AS BIGINT)
+               AS num
+      FROM p
+      JOIN t tc ON tc.day = p.day
+      JOIN bt ON bt.day = p.day)
+    SELECT day, MAX(nb_tot) AS n_base, MAX(nc_tot) AS n_cur,
+           MAX(baseline_width) AS baseline_width,
+           CAST(SUM(num) AS BIGINT) AS tv_num,
+           CAST(CAST(SUM(num) AS BIGINT) AS DOUBLE)
+             / CAST(2 * MAX(nb_tot) * MAX(nc_tot) AS BIGINT) AS tv
+    FROM w GROUP BY day
+    """,
+)
+def drift_baseline_roles_daily(spark, sf_dir):
+    """M71 trailing-baseline drift alarm (engine/drift.py
+    freq_drift_baseline): each day's role distribution vs the union of
+    its previous 7 observed days, from DAILY freq tier state — the
+    production monitor shape (a one-day blip fires once against a weekly
+    baseline; day-over-day TV would fire again on the healthy morning
+    after). Baseline counts fold over an exploded day-offset spine
+    (≤7× the tier-sized counts table, never raw); integer TV numerator,
+    one division — the alarm value itself is hash-gated."""
+    from .drift import freq_drift_baseline
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0, freq_cols=["role"])
+    return freq_drift_baseline(tiers, "role", baseline_days=7)
+
+
+@register(
     "tier_role_gini_monthly",
     """
     WITH c AS (

@@ -162,6 +162,65 @@ def test_timeline_planted_shift_spikes_on_the_day(spark):
     assert tl[days[2]].n_prev == 100 and tl[days[2]].n_cur == 100
 
 
+def test_baseline_alarm_fires_once_on_a_blip(spark):
+    """The monitoring rationale: a ONE-DAY mix blip against a weekly
+    baseline fires on the blip day and settles after, while day-over-day
+    TV fires twice (entering AND leaving the blip)."""
+    d0 = datetime(2026, 5, 1)
+    days = [d0 + timedelta(days=i) for i in range(10)]
+    rows = []
+    for i, d in enumerate(days):
+        m = {"b": 100} if i == 7 else {"a": 60, "b": 40}  # blip on day 7
+        rows.append(("c1", d, m))
+    tiers = {"daily": _state(spark, rows)}
+    base = {r.day: r for r in D.freq_drift_baseline(tiers, "role").collect()}
+    tl = {r.day: r.tv for r in D.freq_drift_timeline(tiers, "role").collect()}
+    blip, after = days[7], days[8]
+    assert base[blip].tv == 0.6  # full planted shift vs a clean baseline
+    # the healthy day after: baseline = 6 clean + 1 blip day
+    # counts: cur a=60,b=40 (N=100); base a=360,b=340 (N=700)
+    expected_after = (
+        abs(60 * 700 - 360 * 100) + abs(40 * 700 - 340 * 100)
+    ) / (2.0 * 700 * 100)
+    assert base[after].tv == expected_after and base[after].tv < 0.1
+    assert base[after].baseline_width == 7
+    # day-over-day fires on BOTH edges of the blip
+    assert tl[blip] == 0.6 and tl[after] == 0.6
+    # stable days before the blip: zero drift vs their baseline
+    assert base[days[5]].tv == 0.0
+    # first day has no baseline → absent
+    assert days[0] not in base and base[days[1]].baseline_width == 1
+
+
+def test_baseline_matches_bruteforce(fixture):
+    pdf, tiers = fixture
+    pdf = pdf.assign(day=pdf.ts.dt.floor("D"))
+    got = {
+        r.day: r
+        for r in D.freq_drift_baseline(tiers, "role", baseline_days=7).collect()
+    }
+    days = sorted(pdf.day.unique())
+    seen = 0
+    for d in days:
+        cur = Counter(pdf[pdf.day == d].role)
+        basewin = pdf[(pdf.day >= d - timedelta(days=7)) & (pdf.day < d)]
+        if basewin.empty:
+            assert d not in got
+            continue
+        seen += 1
+        base = Counter(basewin.role)
+        nc, nb = sum(cur.values()), sum(base.values())
+        tvn = sum(
+            abs(cur.get(v, 0) * nb - base.get(v, 0) * nc)
+            for v in set(cur) | set(base)
+        )
+        r = got[d]
+        assert (r.n_cur, r.n_base, r.tv_num) == (nc, nb, tvn)
+        assert r.tv == tvn / float(2 * nb * nc)
+        assert r.baseline_width == basewin.day.nunique()
+    assert seen and len(got) == seen
+
+
 def test_timeline_gap_days_emit_nothing(spark):
     d0 = datetime(2026, 4, 1)
     rows = [

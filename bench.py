@@ -174,6 +174,9 @@ RELATIONAL = [
     # seventh round-4 session: interpolated bucket serving — tier-struct
     # build + the lag()/lead() carry decoration over tier rows
     "tier_interp_twa_daily",
+    # eleventh round-4 session: the drift-monitoring family representative —
+    # freq tier build + exploded trailing-baseline fold + integer TV
+    "drift_baseline_roles_daily",
 ]
 
 

@@ -162,6 +162,61 @@ class TierEngine:
     def _tiers(self) -> dict[str, DataFrame]:
         return {t: self.pipeline.read_tier(t) for t in self.TIERS}
 
+    def explain_range(
+        self,
+        lo: datetime,
+        hi: datetime,
+        watermark: datetime | None = None,
+    ) -> dict:
+        """Planner transparency for the §4.3 rewrite family: the greedy
+        calendar decomposition a range request will be served with —
+        which tier covers which span, how many tier rows each span costs
+        at most (per conversation: hours/days/months in the span), and
+        the raw tail if a materialization `watermark` splits the range
+        (rewrite_range_agg_realtime). Pure metadata — no Spark job."""
+        from .rewrite import split_range
+
+        def spans_of(a: datetime, b: datetime) -> list[dict]:
+            out = []
+            for tier, s, e in split_range(a, b):
+                hours = int((e - s).total_seconds()) // 3600
+                rows = {"hourly": hours, "daily": hours // 24}.get(
+                    tier, (e.year - s.year) * 12 + e.month - s.month
+                )
+                out.append(
+                    {
+                        "tier": tier,
+                        "lo": s.isoformat(),
+                        "hi": e.isoformat(),
+                        "rows_per_conv": rows,
+                    }
+                )
+            return out
+
+        if watermark is None or watermark >= hi:
+            spans, tail = spans_of(lo, hi), None
+        elif watermark <= lo:
+            spans, tail = [], {"lo": lo.isoformat(), "hi": hi.isoformat()}
+        else:
+            spans = spans_of(lo, watermark)
+            tail = {"lo": watermark.isoformat(), "hi": hi.isoformat()}
+        return {
+            "spans": spans,
+            "raw_tail": tail,
+            "tier_rows_per_conv": sum(s["rows_per_conv"] for s in spans),
+            "raw_hours": (
+                0
+                if tail is None
+                else int(
+                    (
+                        datetime.fromisoformat(tail["hi"])
+                        - datetime.fromisoformat(tail["lo"])
+                    ).total_seconds()
+                )
+                // 3600
+            ),
+        }
+
     def serve_range(self, lo: datetime, hi: datetime) -> DataFrame:
         """Exact per-conversation (n_turns, token sum/min/max, tool_sum)
         over an hour-aligned [lo, hi) from tier rows only."""

@@ -255,6 +255,45 @@ def test_ztest_matches_closed_form(spark):
     assert r.z > 1.96  # and it is a significant difference
 
 
+def test_streamed_pipeline_serves_identical_drift(spark, tmp_path):
+    """Streaming ingest × drift serving: after micro-batch triggers feed
+    the resumable pipeline, the baseline alarm and the day-over-day
+    timeline served from the streamed tiers are bit-identical to a
+    one-shot batch build — drift monitoring composes with the streaming
+    materialization path (values split across triggers must re-merge in
+    the freq maps exactly)."""
+    from engine.pipeline import TierPipeline
+    from engine.streaming import run_stream_into_pipeline
+
+    t0 = synth_transcripts(spark, n_convs=10, hot_turns=300)
+    src = str(tmp_path / "src")
+    t0.orderBy("ts").coalesce(1).write.parquet(src + "_one")
+    spark.read.parquet(src + "_one").repartitionByRange(8, "ts").write.parquet(src)
+
+    pipe = TierPipeline(
+        spark, str(tmp_path / "sp"), freq_cols=["role"], fill_tiers=False
+    )
+    out = run_stream_into_pipeline(
+        spark, src, pipe, raw_path=str(tmp_path / "raw")
+    )
+    assert out["batches"] >= 2, out
+
+    ref = build_tiers(t0, freq_cols=["role"])
+    streamed = {t: pipe.read_tier(t) for t in ("hourly", "daily", "monthly")}
+
+    def rows(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    bcols = ["day", "n_base", "n_cur", "baseline_width", "tv_num", "tv"]
+    assert rows(D.freq_drift_baseline(streamed, "role"), bcols) == rows(
+        D.freq_drift_baseline(ref, "role"), bcols
+    )
+    tcols = ["day", "n_prev", "n_cur", "tv_num", "tv"]
+    assert rows(D.freq_drift_timeline(streamed, "role"), tcols) == rows(
+        D.freq_drift_timeline(ref, "role"), tcols
+    )
+
+
 def test_facade_drift_parity(spark, tmp_path, fixture):
     """serve_drift / serve_drift_ks / serve_drift_timeline /
     serve_concentration go through the published pipeline tiers and agree
@@ -344,6 +383,36 @@ def test_engine_status_reports_lifecycle(spark, tmp_path):
     assert st2["lifecycle"]["forget_rows"] == 0
     assert st2["lifecycle"]["run_barriers"] >= 2
     assert st2["stages"]["hourly"]["last_run"] != "r1"
+
+
+def test_explain_range_decomposition(spark, tmp_path):
+    """explain_range mirrors split_range and costs spans in tier rows —
+    pure metadata, and the quarter-long example shows WHY tiers exist."""
+    from engine.api import TierEngine
+
+    eng = TierEngine(spark, str(tmp_path / "ex"))
+    ex = eng.explain_range(datetime(2026, 1, 15, 7), datetime(2026, 4, 2, 5))
+    tiers = [s["tier"] for s in ex["spans"]]
+    assert tiers == ["hourly", "daily", "monthly", "daily", "hourly"]
+    # 17 leading hours + 16 leading days + 2 months + 1 trailing day + 5h
+    assert [s["rows_per_conv"] for s in ex["spans"]] == [17, 16, 2, 1, 5]
+    assert ex["tier_rows_per_conv"] == 41 and ex["raw_tail"] is None
+    # vs the raw cost: 1861 hourly buckets, orders of magnitude more turns
+
+    # a watermark mid-range splits into tier spans + a bounded raw tail
+    ex2 = eng.explain_range(
+        datetime(2026, 1, 15, 7),
+        datetime(2026, 4, 2, 5),
+        watermark=datetime(2026, 4, 1),
+    )
+    assert [s["tier"] for s in ex2["spans"]] == ["hourly", "daily", "monthly"]
+    assert ex2["raw_tail"]["lo"] == "2026-04-01T00:00:00"
+    assert ex2["raw_hours"] == 29
+    # watermark before the range: everything is raw tail
+    ex3 = eng.explain_range(
+        datetime(2026, 4, 1), datetime(2026, 4, 2), watermark=datetime(2026, 3, 1)
+    )
+    assert ex3["spans"] == [] and ex3["raw_hours"] == 24
 
 
 def test_range_validation(fixture):

@@ -295,6 +295,19 @@ class TierEngine:
 
         return freq_drift_baseline(self._tiers(), col, baseline_days)
 
+    def serve_drift_attribution(
+        self,
+        range_a: tuple[datetime, datetime],
+        range_b: tuple[datetime, datetime],
+        col: str,
+        k: int = 10,
+    ) -> DataFrame:
+        """Top-k conversations driving the shift between two ranges —
+        per-conv TV weighted by volume (needs freq_cols)."""
+        from .drift import freq_drift_by_conv
+
+        return freq_drift_by_conv(self._tiers(), range_a, range_b, col, k=k)
+
     def serve_drift_timeline(self, col: str) -> DataFrame:
         """Day-over-day total-variation of `col`'s corpus distribution from
         the daily tier's freq maps — localizes a mix-shift to a day."""

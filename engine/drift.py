@@ -137,6 +137,97 @@ def freq_drift(
     )
 
 
+def _range_freq_counts_by_conv(
+    tiers: dict[str, DataFrame], lo: datetime, hi: datetime, col: str
+) -> DataFrame:
+    spans = split_range(lo, hi)
+    if not spans:
+        raise ValueError("empty range")
+    fq = f"{col}_freq"
+    parts = []
+    for tier, a, b in spans:
+        st = observed_state(tiers[tier])
+        if fq not in st.columns:
+            raise ValueError(f"{tier} tier has no freq column {fq!r}")
+        parts.append(
+            st.filter(_span_filter(a, b)).select(
+                "conv_id", F.explode(fq).alias("value", "n")
+            )
+        )
+    u = reduce(lambda x, y: x.unionByName(y), parts)
+    return u.groupBy("conv_id", "value").agg(F.sum("n").alias("n"))
+
+
+def freq_drift_by_conv(
+    tiers: dict[str, DataFrame],
+    range_a: tuple[datetime, datetime],
+    range_b: tuple[datetime, datetime],
+    col: str,
+    k: int = 10,
+) -> DataFrame:
+    """M72: drift ATTRIBUTION — which conversations drove the corpus
+    shift. Per conversation active in BOTH ranges, the TV distance between
+    its own range-A and range-B distributions of `col` (same exact-integer
+    machinery as freq_drift, but every total and cross-product is
+    conv-local, so the per-conv windows shuffle on conv_id — no global
+    funnel and no 2^63 pressure at any corpus size). Ranked by
+    `weight` = tv · min(n_a, n_b) (a whale that shifted a little can
+    matter more than a minnow that flipped completely; min() keeps
+    one-sided volume from dominating), deterministic tiebreak, top-k.
+    Output: rank, conv_id, n_a, n_b, tv_num, tv, weight."""
+    ca = _range_freq_counts_by_conv(tiers, *range_a, col).withColumnRenamed(
+        "n", "n_a"
+    )
+    cb = _range_freq_counts_by_conv(tiers, *range_b, col).withColumnRenamed(
+        "n", "n_b"
+    )
+    j = ca.join(cb, ["conv_id", "value"], "full_outer").select(
+        "conv_id",
+        "value",
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+    )
+    w = Window.partitionBy("conv_id")
+    t = j.withColumn("na_tot", F.sum("n_a").over(w)).withColumn(
+        "nb_tot", F.sum("n_b").over(w)
+    )
+    # attribution needs both sides observed; a conv absent from one range
+    # is volume churn, not distribution drift
+    t = t.filter((F.col("na_tot") > 0) & (F.col("nb_tot") > 0))
+    num = F.abs(
+        F.col("n_a") * F.col("nb_tot") - F.col("n_b") * F.col("na_tot")
+    ).cast("long")
+    per_conv = (
+        t.withColumn("num", num)
+        .groupBy("conv_id")
+        .agg(
+            F.max("na_tot").cast("long").alias("n_a"),
+            F.max("nb_tot").cast("long").alias("n_b"),
+            F.sum("num").alias("tv_num"),
+        )
+        .select(
+            "conv_id",
+            "n_a",
+            "n_b",
+            "tv_num",
+            (
+                F.col("tv_num").cast("double")
+                / (F.lit(2) * F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("tv"),
+        )
+    )
+    weight = F.col("tv") * F.least("n_a", "n_b").cast("double")
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — the top-k
+    # decision distributes (per-partition top-k, driver merge of k-row
+    # slices), no single-reducer exchange at any key cardinality
+    return (
+        per_conv.withColumn("weight", weight)
+        .orderBy(F.desc("weight"), "conv_id")
+        .limit(k)
+        .select("conv_id", "n_a", "n_b", "tv_num", "tv", "weight")
+    )
+
+
 def drift_measures(drift: DataFrame, eps: float = 1e-6) -> DataFrame:
     """Monitoring summary over `freq_drift` rows: PSI (population
     stability index, the industry drift score) and Jensen–Shannon

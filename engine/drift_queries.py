@@ -275,6 +275,59 @@ def tier_role_gini_monthly(spark, sf_dir):
 
 
 @register(
+    "drift_attribution_convs",
+    """
+    WITH ca AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0'))
+               AS conv_id,
+             event_type AS value, CAST(COUNT(*) AS BIGINT) AS n_a
+      FROM events WHERE ts >= {a0} AND ts < {a1} GROUP BY 1, 2),
+    cb AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0'))
+               AS conv_id,
+             event_type AS value, CAST(COUNT(*) AS BIGINT) AS n_b
+      FROM events WHERE ts >= {b0} AND ts < {b1} GROUP BY 1, 2),
+    j AS (
+      SELECT COALESCE(ca.conv_id, cb.conv_id) AS conv_id,
+             COALESCE(ca.value, cb.value) AS value,
+             CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+             CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+      FROM ca FULL OUTER JOIN cb
+        ON ca.conv_id = cb.conv_id AND ca.value = cb.value),
+    t AS (
+      SELECT *, CAST(SUM(n_a) OVER (PARTITION BY conv_id) AS BIGINT)
+                  AS na_tot,
+             CAST(SUM(n_b) OVER (PARTITION BY conv_id) AS BIGINT) AS nb_tot
+      FROM j),
+    pc AS (
+      SELECT conv_id, MAX(na_tot) AS n_a, MAX(nb_tot) AS n_b,
+             CAST(SUM(ABS(n_a * nb_tot - n_b * na_tot)) AS BIGINT) AS tv_num
+      FROM t WHERE na_tot > 0 AND nb_tot > 0 GROUP BY 1),
+    s AS (
+      SELECT conv_id, n_a, n_b, tv_num,
+             CAST(tv_num AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE) AS tv,
+             (CAST(tv_num AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE))
+               * CAST(LEAST(n_a, n_b) AS DOUBLE) AS weight
+      FROM pc)
+    SELECT * FROM s ORDER BY weight DESC, conv_id LIMIT 10
+    """.format(**_RANGES_SQL),
+)
+def drift_attribution_convs(spark, sf_dir):
+    """M72 drift attribution (engine/drift.py freq_drift_by_conv): WHICH
+    conversations drove the shift — per-conv TV between the two weeks'
+    own role distributions (every total and cross-product conv-local, so
+    the windows shuffle on conv_id and the 2^63 bound never tightens),
+    ranked by tv · min(n_a, n_b) with a deterministic tiebreak, top-10
+    via TakeOrderedAndProject (the decision distributes; no single-reducer
+    exchange). The oracle replays the identical ranking over raw."""
+    from .drift import freq_drift_by_conv
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0, freq_cols=["role"])
+    return freq_drift_by_conv(tiers, _A, _B, "role", k=10)
+
+
+@register(
     "ab_conversion_ztest",
     """
     WITH pu AS (

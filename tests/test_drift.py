@@ -25,6 +25,11 @@ from engine.synth import synth_transcripts
 # generator's burst pattern leaves some calendar weeks empty)
 A = (datetime(2026, 3, 2), datetime(2026, 3, 9))
 B = (datetime(2026, 3, 16), datetime(2026, 3, 23))
+# intra-burst split of conv-0's dense burst: the per-conversation
+# comparisons (KS, attribution) need convs ACTIVE IN BOTH ranges, and the
+# synth convs are single-burst — whole distinct weeks never overlap
+A2 = (datetime(2026, 3, 16), datetime(2026, 3, 19))
+B2 = (datetime(2026, 3, 19), datetime(2026, 3, 23))
 
 
 @pytest.fixture(scope="module")
@@ -100,9 +105,13 @@ def test_hist_ks_matches_bruteforce_exactly(fixture):
             out[conv] = arr
         return out
 
-    ba, bb = bins(_in(pdf, *A)), bins(_in(pdf, *B))
+    ba, bb = bins(_in(pdf, *A2)), bins(_in(pdf, *B2))
     both = set(ba) & set(bb)
-    got = {r.conv_id: r for r in D.hist_drift_ks(tiers, A, B, "token_count").collect()}
+    assert both  # non-vacuous: at least one conv active in both ranges
+    got = {
+        r.conv_id: r
+        for r in D.hist_drift_ks(tiers, A2, B2, "token_count").collect()
+    }
     assert set(got) == both
     for conv in both:
         na, nb = sum(ba[conv]), sum(bb[conv])
@@ -219,6 +228,59 @@ def test_baseline_matches_bruteforce(fixture):
         assert r.tv == tvn / float(2 * nb * nc)
         assert r.baseline_width == basewin.day.nunique()
     assert seen and len(got) == seen
+
+
+def test_attribution_matches_bruteforce(fixture):
+    pdf, tiers = fixture
+    got = D.freq_drift_by_conv(tiers, A2, B2, "role", k=10).collect()
+    # brute-force: per-conv TV over raw, same weight, same ranking
+    ref = []
+    pa, pb = _in(pdf, *A2), _in(pdf, *B2)
+    for conv in set(pa.conv_id) & set(pb.conv_id):
+        ca = Counter(pa[pa.conv_id == conv].role)
+        cb = Counter(pb[pb.conv_id == conv].role)
+        na, nb = sum(ca.values()), sum(cb.values())
+        tvn = sum(
+            abs(ca.get(v, 0) * nb - cb.get(v, 0) * na)
+            for v in set(ca) | set(cb)
+        )
+        tv = tvn / float(2 * na * nb)
+        ref.append((conv, na, nb, tvn, tv, tv * float(min(na, nb))))
+    ref.sort(key=lambda r: (-r[5], r[0]))
+    ref = ref[:10]
+    assert [
+        (r.conv_id, r.n_a, r.n_b, r.tv_num, r.tv, r.weight) for r in got
+    ] == ref
+    assert len(got) > 0
+
+
+def test_attribution_ranks_by_weighted_shift(spark):
+    """Planted ranking: a mid-size conv with a half shift outweighs a tiny
+    conv that flipped completely; an unshifted whale scores zero."""
+    da, db = datetime(2026, 5, 1), datetime(2026, 5, 3)
+    ra, rb = (da, db), (db, datetime(2026, 5, 5))
+    st = _state(
+        spark,
+        [
+            # tiny: a->b complete flip, tv=1, min-volume 4 -> weight 4
+            ("tiny", da, {"a": 4}),
+            ("tiny", db, {"b": 4}),
+            # mid: half the mass moves, tv=0.5, min 20 -> weight 10
+            ("mid", da, {"a": 20}),
+            ("mid", db, {"a": 10, "b": 10}),
+            # whale: no shift at scale -> weight 0
+            ("whale", da, {"a": 500, "b": 500}),
+            ("whale", db, {"a": 500, "b": 500}),
+            # one-sided: active only in range A -> excluded
+            ("onesided", da, {"a": 9}),
+        ],
+    )
+    got = D.freq_drift_by_conv({"daily": st}, ra, rb, "role", k=10).collect()
+    assert [r.conv_id for r in got] == ["mid", "tiny", "whale"]
+    by = {r.conv_id: r for r in got}
+    assert by["tiny"].tv == 1.0 and by["tiny"].weight == 4.0
+    assert by["mid"].tv == 0.5 and by["mid"].weight == 10.0
+    assert by["whale"].tv == 0.0 and by["whale"].weight == 0.0
 
 
 def test_timeline_gap_days_emit_nothing(spark):

@@ -351,6 +351,62 @@ class TierEngine:
             value_col=value_col,
         )
 
+    def serve_alerts(
+        self,
+        hi: int,
+        lo: int,
+        value_col: str = "token_sum",
+        min_len: int = 1,
+    ) -> DataFrame:
+        """Hysteresis threshold alert episodes (enter ≥ hi, exit ≤ lo,
+        hold between; fire after min_len observed buckets) over the
+        hourly tier — the Grafana/Prometheus alert state machine via LOCF
+        over crossing marks + gaps-and-islands."""
+        from .alerting import hysteresis_alerts
+
+        return hysteresis_alerts(
+            self.pipeline.read_tier("hourly"),
+            hi,
+            lo,
+            value_col=value_col,
+            min_len=min_len,
+        )
+
+    def serve_burn_rate(
+        self,
+        short_hours: int,
+        long_hours: int,
+        slo_ppm: int,
+        mult: int = 1,
+        bad_col: str = "tool_sum",
+        total_col: str = "n_turns",
+    ) -> DataFrame:
+        """Multi-window SLO burn rate at every observed hourly bucket —
+        trailing short/long RANGE-frame sums of bad vs total counters,
+        fired = both windows burning past mult× budget (exact integer
+        predicate)."""
+        from .alerting import burn_rate_alerts
+
+        return burn_rate_alerts(
+            self.pipeline.read_tier("hourly"),
+            short_hours,
+            long_hours,
+            slo_ppm,
+            mult=mult,
+            bad_col=bad_col,
+            total_col=total_col,
+        )
+
+    def serve_gaps(self, min_gap_hours: int) -> DataFrame:
+        """Per-series missing-data episodes ≥ min_gap_hours strictly
+        inside each series' observed span — heartbeat-loss detection from
+        the hourly tier's observed hour index."""
+        from .alerting import data_gaps
+
+        return data_gaps(
+            self.pipeline.read_tier("hourly"), min_gap_hours
+        )
+
     def day_shapes(self, segments: int = 4) -> DataFrame:
         """Rank-SAX shape word per (conversation, day) from the hourly
         tier — PAA segment sums + intra-day rank symbolization, the

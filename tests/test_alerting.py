@@ -209,3 +209,40 @@ def test_facade_front_door(spark, tmp_path):
     )
     assert key(eng.serve_gaps(2)) == key(data_gaps(hourly, 2))
     assert eng.serve_alerts(hi=40, lo=10).count() > 0
+
+
+def test_streamed_pipeline_serves_identical_alerts(spark, tmp_path):
+    """Streaming ingest × alerting: alert episodes, burn rates, and data
+    gaps served from stream-built tiers are bit-identical to a one-shot
+    batch build — an hour split across micro-batch triggers must re-merge
+    its state before the alert recurrence sees it."""
+    from engine.pipeline import TierPipeline
+    from engine.streaming import run_stream_into_pipeline
+
+    t0 = synth_transcripts(spark, n_convs=10, hot_turns=300)
+    src = str(tmp_path / "src")
+    t0.orderBy("ts").coalesce(1).write.parquet(src + "_one")
+    spark.read.parquet(src + "_one").repartitionByRange(8, "ts").write.parquet(
+        src
+    )
+
+    pipe = TierPipeline(spark, str(tmp_path / "sp"), fill_tiers=False)
+    out = run_stream_into_pipeline(
+        spark, src, pipe, raw_path=str(tmp_path / "raw")
+    )
+    assert out["batches"] >= 2, out
+
+    streamed = pipe.read_tier("hourly")
+    ref = build_tiers(t0)["hourly"]
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(hysteresis_alerts(streamed, hi=40, lo=10)) == rows(
+        hysteresis_alerts(ref, hi=40, lo=10)
+    )
+    assert rows(burn_rate_alerts(streamed, 3, 8, 300_000)) == rows(
+        burn_rate_alerts(ref, 3, 8, 300_000)
+    )
+    assert rows(data_gaps(streamed, 2)) == rows(data_gaps(ref, 2))
+    assert hysteresis_alerts(ref, hi=40, lo=10).count() > 0

@@ -19,6 +19,7 @@ import engine.alert_queries  # noqa: F401,E402
 import engine.aqp  # noqa: F401,E402
 import engine.contamindex  # noqa: F401,E402
 import engine.corpusops  # noqa: F401,E402
+import engine.correlate  # noqa: F401,E402
 import engine.more_queries  # noqa: F401,E402
 import engine.multimodal  # noqa: F401,E402
 import engine.dedupindex  # noqa: F401,E402

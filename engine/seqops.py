@@ -325,3 +325,96 @@ def seasonal_naive_backtest_hourly(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+def pattern_match(
+    events,
+    key_col: str,
+    order_cols: list[str],
+    sym_col,
+    patterns: dict[str, str],
+):
+    """M78 sequence-pattern matching (MATCH_RECOGNIZE-lite): encode each
+    key's ordered events as a symbol string and count regex matches per
+    pattern — the product-analytics "view+ click+ purchase" / "error right
+    after purchase" questions that SQL MATCH_RECOGNIZE answers on
+    commercial engines.
+
+    Spark-first shape: ONE groupBy(key) gathers the ordered symbol string
+    via array_sort(collect_list(struct(order..., sym))) → transform →
+    array_join (all JVM-side, struct sort is lexicographic on the order
+    columns so the sequence is deterministic given a unique order key),
+    then every pattern is a regexp_count column over that string — no
+    Python, no window, one exchange. Matches count NON-OVERLAPPING
+    occurrences left-to-right (both Java regex and RE2 advance past each
+    match, so the count is engine-portable for backreference-free
+    patterns).
+
+    Scale contract: per-key state is the conversation's own event string —
+    bounded by conversation length, the same contract as the codec chunk
+    gather. For unbounded keys, sessionize first (engine/streaming.py
+    session windows) and match within sessions.
+    """
+    seq = events.groupBy(key_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(*order_cols, F.col(sym_col).alias("sym"))
+                    )
+                ),
+                lambda s: s["sym"],
+            ),
+            "",
+        ).alias("seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return seq.select(
+        key_col,
+        "n_events",
+        *[
+            F.regexp_count(F.col("seq"), F.lit(p)).cast("long").alias(name)
+            for name, p in patterns.items()
+        ],
+    )
+
+
+@register(
+    "pattern_match_sequences",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1)
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(s, 'vc+p')) AS BIGINT) AS funnel_hits,
+           CAST(len(regexp_extract_all(s, 'ep')) AS BIGINT) AS recovery_hits,
+           CAST(len(regexp_extract_all(s, 'e{2,}')) AS BIGINT)
+             AS frustration_hits
+    FROM seq ORDER BY user_id
+    """,
+)
+def pattern_match_sequences(spark, sf_dir):
+    """M78 MATCH_RECOGNIZE-lite over the events fixture: per user, the
+    ordered event-type initials form a symbol string; three behavioural
+    patterns are counted as non-overlapping regex matches — strict funnels
+    (view, clicks, purchase), error→purchase recoveries, and ≥2-error
+    frustration runs. The oracle rebuilds the identical string with an
+    ordered string_agg and RE2's regexp_extract_all; the match COUNTS
+    themselves sit under the full-hash gate."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("sym")
+    )
+    return pattern_match(
+        e,
+        "user_id",
+        ["ts", "event_id"],
+        "sym",
+        {
+            "funnel_hits": "vc+p",
+            "recovery_hits": "ep",
+            "frustration_hits": "e{2,}",
+        },
+    ).orderBy("user_id")

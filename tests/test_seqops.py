@@ -170,3 +170,33 @@ def test_holt_matches_explicit_recurrence(spark):
             assert abs(level - row.level) < 1e-9, uid
             assert abs(trend - row.trend) < 1e-9, uid
             assert abs(level + trend - row.forecast_next) < 1e-9, uid
+
+
+def test_pattern_match_vs_python_re(spark):
+    """M78: symbol-string assembly + non-overlapping counts == Python re
+    on a hand-ordered event list, including out-of-order input rows."""
+    import re
+    from datetime import datetime, timedelta
+
+    from engine.seqops import pattern_match
+
+    base = datetime(2024, 3, 1)
+    syms = "vvcpevcccpeepp"
+    rows = [
+        ("u1", base + timedelta(minutes=i), i, s) for i, s in enumerate(syms)
+    ]
+    rows += [("u2", base + timedelta(minutes=i), i, s) for i, s in enumerate("eeee")]
+    # shuffle input order: assembly must sort by (ts, event_id), not input
+    rows = rows[::-1]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, sym string"
+    )
+    pats = {"funnel": "vc+p", "recovery": "ep", "runs": "e{2,}"}
+    got = {
+        r.user_id: r.asDict()
+        for r in pattern_match(df, "user_id", ["ts", "event_id"], "sym", pats).collect()
+    }
+    for uid, s in [("u1", syms), ("u2", "eeee")]:
+        assert got[uid]["n_events"] == len(s)
+        for name, p in pats.items():
+            assert got[uid][name] == len(re.findall(p, s)), (uid, name)

@@ -626,3 +626,42 @@ def ab_conversion_ztest(
         p2.alias("p2"),
         z.alias("z"),
     )
+
+
+def freq_first_seen(
+    daily_state: DataFrame, col: str, baseline_end: datetime
+) -> DataFrame:
+    """M77 new-category detection: for each value of `col` first observed on
+    or after `baseline_end`, the day it first appeared and its count that
+    day — the "a new error code / model name / tool id just showed up"
+    monitor, served entirely from daily freq-map tier state.
+
+    Shape: explode the daily maps to (day, value, n) rows (tier-sized),
+    fold per (day, value) by integer addition, then ONE more partial+final
+    aggregate takes min(struct(day, n)) per value — the struct min is
+    lexicographic, and (day, value) rows are unique after the fold, so it
+    carries the first day AND that day's count in a single pass (no join
+    back). Values already present during the baseline window never
+    surface, so a steady-state corpus alerts only on genuinely new values.
+    At 10^12 turns this scans O(days × category cardinality) tier rows,
+    never raw."""
+    obs = observed_state(daily_state)
+    fq = f"{col}_freq"
+    per_day = (
+        obs.select(
+            F.to_date("bucket_start").alias("day"),
+            F.explode(F.col(fq)).alias("value", "n"),
+        )
+        .groupBy("day", "value")
+        .agg(F.sum("n").alias("n"))
+    )
+    firsts = per_day.groupBy("value").agg(F.min(F.struct("day", "n")).alias("f"))
+    return (
+        firsts.select(
+            "value",
+            F.col("f.day").alias("first_seen"),
+            F.col("f.n").alias("first_day_n"),
+        )
+        .filter(F.col("first_seen") >= F.lit(baseline_end).cast("date"))
+        .orderBy("first_seen", "value")
+    )

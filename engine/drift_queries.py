@@ -373,3 +373,39 @@ def ab_conversion_ztest(spark, sf_dir):
     from .drift import ab_conversion_ztest as ztest
 
     return ztest(_t(spark, sf_dir, "events"), min_events=14)
+
+
+@register(
+    "new_value_alerts",
+    """
+    WITH vals AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             event_type || '-' || json_extract_string(props, '$.k') AS value,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    firsts AS (
+      SELECT value, MIN(day) AS first_seen
+      FROM vals GROUP BY 1)
+    SELECT f.value, f.first_seen, v.n AS first_day_n
+    FROM firsts f JOIN vals v
+      ON v.value = f.value AND v.day = f.first_seen
+    WHERE f.first_seen >= DATE '2024-01-08'
+    ORDER BY f.first_seen, f.value
+    """,
+)
+def new_value_alerts(spark, sf_dir):
+    """M77 first-seen category detection (engine/drift.py freq_first_seen):
+    compound (event_type, payload-k) categories first observed after a
+    one-week baseline, served from daily freq-map tier state — explode,
+    integer fold, one lexicographic struct-min per value — while the
+    oracle recomputes first days from raw events. The alert rows (value,
+    first day, first-day count) sit under the full-hash gate."""
+    from .drift import freq_first_seen
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    t0 = t0.withColumn(
+        "role",
+        F.concat(F.col("role"), F.lit("-"), F.get_json_object("text", "$.k")),
+    )
+    tiers = erollup.build_tiers(t0, freq_cols=["role"])
+    return freq_first_seen(tiers["daily"], "role", datetime(2024, 1, 8))

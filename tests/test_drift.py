@@ -485,3 +485,39 @@ def test_range_validation(fixture):
         D.freq_drift(tiers, (A[0], A[0]), B, "role")
     with pytest.raises(ValueError, match="hist column"):
         D.hist_drift_ks(tiers, A, B, "nope")
+
+
+def test_freq_first_seen_baseline_and_fold(spark):
+    """M77: values seen in the baseline never alert; a value first seen
+    later reports its FIRST day and that day's cross-conv folded count."""
+    from datetime import datetime
+
+    from engine.drift import freq_first_seen
+    from engine.io import transcripts_from_events
+    from engine.rollup import build_tiers
+
+    rows = [
+        # baseline week: 'old' everywhere
+        (1, datetime(2024, 1, 1, 5), 1, "old"),
+        (2, datetime(2024, 1, 3, 9), 2, "old"),
+        # 'fresh' first appears Jan 10 in TWO convs (counts must fold: 3)
+        (1, datetime(2024, 1, 10, 4), 3, "fresh"),
+        (1, datetime(2024, 1, 10, 6), 4, "fresh"),
+        (2, datetime(2024, 1, 10, 20), 5, "fresh"),
+        # 'fresh' again later — must NOT shadow the first day
+        (2, datetime(2024, 1, 14, 2), 6, "fresh"),
+        # 'old' recurring after baseline — suppressed
+        (1, datetime(2024, 1, 12, 0), 7, "old"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, et, 0.0, "{}") for u, ts, i, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    tiers = build_tiers(transcripts_from_events(ev), freq_cols=["role"])
+    out = freq_first_seen(tiers["daily"], "role", datetime(2024, 1, 8)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.value == "fresh"
+    assert str(r.first_seen) == "2024-01-10"
+    assert r.first_day_n == 3

@@ -322,6 +322,14 @@ class TierEngine:
 
         return freq_concentration(self.pipeline.read_tier(tier), col)
 
+    def serve_burstiness(self, count_col: str = "n_turns") -> DataFrame:
+        """Per-conversation Fano factor (var/mean of the hourly count
+        series over its own span, zeros included arithmetically) from the
+        hourly tier — burstiness ranking without reading raw (M81)."""
+        from .ts_analytics import burstiness_fano
+
+        return burstiness_fano(self.pipeline.read_tier("hourly"), count_col)
+
     def serve_sliding(self, window_hours: int) -> DataFrame:
         """Trailing window_hours state merge at every observed hourly
         bucket (moving aggregates over the continuous aggregate) — RANGE

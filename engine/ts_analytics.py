@@ -1421,3 +1421,94 @@ def day_shape_sax(hourly, segments: int = 4, value_col: str = "n_turns"):
             r = r + b
         ranks.append(r.cast("string"))
     return prof.withColumn("word", F.concat(*ranks))
+
+
+# ---------------------------------------------------------------------------
+# Burstiness: Fano factor over the bucket-count series, zeros included
+# ---------------------------------------------------------------------------
+
+
+def burstiness_fano(state, count_col: str = "n_turns"):
+    """M81 per-series burstiness from tier state: the Fano factor
+    (index of dispersion, var/mean) of the per-bucket event-count series
+    over the series' OWN observed span, with missing buckets counted as
+    zeros — a conversation firing 600 turns in 2 of its 100 spanned hours
+    is bursty; the observed-rows-only variance would miss exactly the
+    zeros that make it so.
+
+    Served entirely from tier rows: one partial+final aggregate per series
+    collects exact integers (n_obs, Σn, Σn², first/last hour index); the
+    span B = last − first + 1 supplies the zero buckets arithmetically —
+    no spine join, no densify. Population variance over B buckets is
+    (B·Σn² − (Σn)²)/B², so fano = (B·Σn² − (Σn)²)/(B·Σn) and each output
+    float is ONE division of exact integers (bit-portable across engines).
+    Overflow bound: needs B·Σn² < 2^63 — at 10^12 turns a single series
+    would need ~10^9 spanned hours (100k years) to threaten it.
+
+    Returns (conv_id, n_obs, span_buckets, mean_per_bucket, zero_frac,
+    fano); fano > 1 over-dispersed (bursty), < 1 regular, Poisson ≈ 1.
+    """
+    from .rollup import observed_state
+    from .sliding import _hour_index
+
+    obs = observed_state(state).select(
+        "conv_id",
+        _hour_index("bucket_start").alias("hidx"),
+        F.col(count_col).cast("long").alias("n"),
+    )
+    per = obs.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        F.min("hidx").alias("h0"),
+        F.max("hidx").alias("h1"),
+    )
+    b = (F.col("h1") - F.col("h0") + F.lit(1)).cast("long")
+    return per.select(
+        "conv_id",
+        "n_obs",
+        b.alias("span_buckets"),
+        (F.col("s1") / b).alias("mean_per_bucket"),
+        ((b - F.col("n_obs")) / b).alias("zero_frac"),
+        (
+            (b * F.col("s2") - F.col("s1") * F.col("s1")) / (b * F.col("s1"))
+        ).alias("fano"),
+    ).orderBy("conv_id")
+
+
+@register(
+    "burstiness_fano_hourly",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts FROM events),
+    hourly AS (
+      SELECT conv_id,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hidx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM t0 GROUP BY 1, 2),
+    per AS (
+      SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(n) AS BIGINT) AS s1, CAST(SUM(n * n) AS BIGINT) AS s2,
+             CAST(MAX(hidx) - MIN(hidx) + 1 AS BIGINT) AS b
+      FROM hourly GROUP BY 1)
+    SELECT conv_id, n_obs, b AS span_buckets,
+           s1 / b AS mean_per_bucket,
+           (b - n_obs) / b AS zero_frac,
+           (b * s2 - s1 * s1) / (b * s1) AS fano
+    FROM per ORDER BY conv_id
+    """,
+)
+def burstiness_fano_hourly(spark, sf_dir):
+    """M81 burstiness ranking from the hourly tier: which conversations
+    concentrate their activity into spikes (fano >> 1) vs a steady drip
+    (fano ≈ 1)? Zeros inside each series' span enter the variance purely
+    arithmetically (span × integer moments), so the tier stays the only
+    input and the three floats (mean, zero fraction, fano) each hash-match
+    the oracle's identical single-division expressions over raw events."""
+    from . import io as eio
+    from . import rollup as erollup
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0)
+    return burstiness_fano(tiers["hourly"])

@@ -181,3 +181,10 @@ def test_engine_window_analytics_front_door(spark, tmp_path):
     assert key_rows(eng.day_shapes(), wcols) == key_rows(
         day_shape_sax(hourly), wcols
     )
+
+    from engine.ts_analytics import burstiness_fano
+
+    bcols = ["conv_id", "n_obs", "span_buckets", "fano"]
+    assert key_rows(eng.serve_burstiness(), bcols) == key_rows(
+        burstiness_fano(hourly), bcols
+    )

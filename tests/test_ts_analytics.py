@@ -342,3 +342,44 @@ def test_cohort_retention_planted_churn(spark, tmp_path):
     assert out[(1995, 1, 2)][0] == 2 and abs(out[(1995, 1, 2)][2] - 2 / 3) < 1e-15
     assert out[(1995, 2, 0)] == (1, 1, 1.0)
     assert (1995, 1, 1) not in out  # nobody active in offset-1 month
+
+
+def test_burstiness_fano_goldens(spark):
+    """M81: bursty series >> 1, metronomic series == 0 variance ratio,
+    single-bucket series fano 0; zeros inside the span enter the
+    variance."""
+    from datetime import datetime
+
+    from engine.io import transcripts_from_events
+    from engine.rollup import build_tiers
+    from engine.ts_analytics import burstiness_fano
+
+    rows = []
+    # conv 1 (bursty): 10 turns in hour 0, then silence until hour 9 (1 turn)
+    for i in range(10):
+        rows.append((1, datetime(2024, 1, 1, 0, i), i))
+    rows.append((1, datetime(2024, 1, 1, 9, 0), 99))
+    # conv 2 (steady): 1 turn in each of hours 0..9
+    for h in range(10):
+        rows.append((2, datetime(2024, 1, 1, h, 30), 200 + h))
+    # conv 3: single bucket
+    rows.append((3, datetime(2024, 1, 2, 5, 0), 300))
+    ev = spark.createDataFrame(
+        [(eid, ts, u, "view", 0.0, "{}") for u, ts, eid in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    tiers = build_tiers(transcripts_from_events(ev))
+    out = {r.conv_id[-1]: r for r in burstiness_fano(tiers["hourly"]).collect()}
+    # conv 1: B=10, s1=11, s2=101 -> fano = (10*101 - 121)/(10*11)
+    r1 = out["1"]
+    assert (r1.n_obs, r1.span_buckets) == (2, 10)
+    assert r1.fano == (10 * 101 - 121) / 110
+    assert r1.fano > 5
+    assert r1.zero_frac == 0.8
+    # conv 2: constant 1/hour over a full span -> variance 0
+    r2 = out["2"]
+    assert (r2.n_obs, r2.span_buckets, r2.fano, r2.zero_frac) == (10, 10, 0.0, 0.0)
+    assert r2.mean_per_bucket == 1.0
+    # conv 3: one bucket, fano 0 by construction
+    assert (out["3"].span_buckets, out["3"].fano) == (1, 0.0)

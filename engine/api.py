@@ -330,6 +330,28 @@ class TierEngine:
 
         return burstiness_fano(self.pipeline.read_tier("hourly"), count_col)
 
+    def serve_sliding_percentiles(
+        self,
+        col: str,
+        n_bins: int,
+        window_hours: int,
+        percentiles: tuple[int, ...] = (50, 95),
+    ) -> DataFrame:
+        """Trailing-window p50/p95 bins at every observed hourly bucket
+        from mergeable histogram state (needs hist_cols on the pipeline) —
+        M83, one exchange, raw never read."""
+        from .sliding import sliding_hist_percentile
+
+        hourly = self.pipeline.read_tier("hourly")
+        hist = f"{col}_hist"
+        if hist not in hourly.columns:
+            raise ValueError(
+                f"hourly tier has no {hist!r} state — configure hist_cols"
+            )
+        return sliding_hist_percentile(
+            hourly, hist, n_bins, window_hours, percentiles
+        )
+
     def serve_sliding(self, window_hours: int) -> DataFrame:
         """Trailing window_hours state merge at every observed hourly
         bucket (moving aggregates over the continuous aggregate) — RANGE

@@ -162,3 +162,66 @@ def trend_linear(
         )
         .select(*keys, "n", "slope", "intercept", "predicted")
     )
+
+
+def sliding_hist_percentile(
+    hourly: DataFrame,
+    hist_col: str,
+    n_bins: int,
+    window_hours: int,
+    percentiles: tuple[int, ...] = (50, 95),
+    keys: tuple[str, ...] = ("conv_id",),
+) -> DataFrame:
+    """M83: trailing-window percentiles AT EVERY observed hourly bucket,
+    served from mergeable histogram tier state — the "p95 over the last
+    24h" dashboard series, without ever reading raw.
+
+    The bin-count arrays merge over the same gap-correct RANGE frame as
+    `sliding_state` (collect_list over the frame, folded element-wise with
+    aggregate+zip_with — all JVM HOFs), then each percentile is the FIRST
+    bin whose cumulative count crosses the integer rank (cum·100 ≥
+    total·p, the exact rule of hist_percentile_monthly) — computed as a
+    flat K-term when-chain over the merged array, no explode, no second
+    shuffle. ONE exchange (the per-key window) for the whole answer.
+
+    Returns observed (keys, bucket_start) rows with `w_n` (window sample
+    count) and one `p<p>_bin` column per requested percentile.
+    """
+    if window_hours <= 0:
+        raise ValueError(f"window_hours must be positive: {window_hours}")
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive: {n_bins}")
+    h = observed_state(hourly).withColumn("_hidx", _hour_index())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_hidx")
+        .rangeBetween(-(int(window_hours) - 1), 0)
+    )
+    zero = F.array(*[F.lit(0).cast("long")] * n_bins)
+    merged = F.aggregate(
+        F.collect_list(F.col(hist_col)).over(w),
+        zero,
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+    out = h.select(*keys, "bucket_start", merged.alias("_m"))
+    el = [F.element_at(F.col("_m"), i + 1) for i in range(n_bins)]
+    cums = [el[0]]
+    for i in range(1, n_bins):
+        cums.append(cums[-1] + el[i])
+    total = cums[-1]
+    pcols = []
+    for p in percentiles:
+        chain = None
+        for i in range(n_bins):
+            cond = cums[i] * F.lit(100) >= total * F.lit(int(p))
+            chain = (
+                F.when(cond, F.lit(i)) if chain is None
+                else chain.when(cond, F.lit(i))
+            )
+        pcols.append(chain.cast("long").alias(f"p{p}_bin"))
+    return out.select(
+        *keys,
+        "bucket_start",
+        total.cast("long").alias("w_n"),
+        *pcols,
+    )

@@ -2388,3 +2388,70 @@ def sax_day_shape_motifs(spark, sf_dir):
             F.col("s0") + F.col("s1") + F.col("s2") + F.col("s3")
         ).alias("turns"),
     )
+
+
+@register(
+    "tier_sliding_p95_24h",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts,
+             CAST(length(props) AS BIGINT) AS token_count
+      FROM events),
+    obs AS (
+      SELECT DISTINCT conv_id,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hidx
+      FROM t0),
+    bins AS (SELECT range AS bin FROM range(16)),
+    counts AS (
+      SELECT conv_id,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hidx,
+             CAST(LEAST(GREATEST(FLOOR(token_count / 1.0), 0), 15) AS BIGINT)
+               AS bin,
+             COUNT(*) AS cnt
+      FROM t0 GROUP BY 1, 2, 3),
+    dense AS (
+      SELECT o.conv_id, o.bucket_start, o.hidx, b.bin,
+             CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+      FROM obs o CROSS JOIN bins b
+      LEFT JOIN counts c
+        ON c.conv_id = o.conv_id AND c.hidx = o.hidx AND c.bin = b.bin),
+    w AS (
+      SELECT conv_id, bucket_start, hidx, bin,
+             SUM(cnt) OVER (PARTITION BY conv_id, bin ORDER BY hidx
+                            RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+               AS wcnt
+      FROM dense),
+    cum AS (
+      SELECT conv_id, bucket_start, bin, wcnt,
+             SUM(wcnt) OVER (PARTITION BY conv_id, bucket_start
+                             ORDER BY bin) AS cum,
+             SUM(wcnt) OVER (PARTITION BY conv_id, bucket_start) AS total
+      FROM w)
+    SELECT conv_id, bucket_start,
+           CAST(MAX(total) AS BIGINT) AS w_n,
+           CAST(MIN(CASE WHEN cum * 100 >= total * 50 THEN bin END)
+                AS BIGINT) AS p50_bin,
+           CAST(MIN(CASE WHEN cum * 100 >= total * 95 THEN bin END)
+                AS BIGINT) AS p95_bin
+    FROM cum GROUP BY 1, 2
+    """,
+)
+def tier_sliding_p95_24h(spark, sf_dir):
+    """M83 sliding percentiles from histogram tier state
+    (engine/sliding.py sliding_hist_percentile): the trailing-24h
+    p50/p95 token-count bins at every observed hourly bucket — the "p95
+    over the last day" dashboard series — composed from the mergeable
+    hist arrays with the gap-correct RANGE-frame fold and the integer
+    rank rule (cum·100 ≥ total·p). The oracle rebuilds the window over a
+    densified (hour × bin) grid from raw; every count and bin choice
+    sits under the full-hash gate. One exchange over O(tier) rows; raw
+    never read."""
+    from .sliding import sliding_hist_percentile
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0, hist_cols={"token_count": (0.0, 1.0, 16)})
+    return sliding_hist_percentile(
+        tiers["hourly"], "token_count_hist", 16, 24
+    ).orderBy("conv_id", "bucket_start")

@@ -206,3 +206,53 @@ def test_sliding_plan_single_exchange(spark, hourly):
     # all ten trailing merges fold into ONE Window node over one sort
     assert op.count("+- Window") == 1, plan
     assert op.count("+- Sort") == 1, plan
+
+
+def test_sliding_hist_percentile_golden_and_gaps(spark):
+    """M83: merged window bins honor the integer rank rule and the RANGE
+    frame (post-gap bucket must not see pre-gap distribution)."""
+    from engine.sliding import sliding_hist_percentile
+
+    # token_count == len(text); hist spec (0, 1, 16) => bin = len(text)
+    rows = [
+        # hour 0: nine 1-token texts + one 9-token text -> p50=1, p95=9
+        *[("c", i, "user", "x", None, datetime(2024, 1, 1, 0, i))
+          for i in range(9)],
+        ("c", 9, "user", "x" * 9, None, datetime(2024, 1, 1, 0, 55)),
+        # hour 1: one 5-token text; window(2h) merges hour 0
+        ("c", 10, "user", "xxxxx", None, datetime(2024, 1, 1, 1, 30)),
+        # 10-hour gap; hour 11 must see ONLY its own row
+        ("c", 11, "user", "xx", None, datetime(2024, 1, 1, 11, 0)),
+    ]
+    t0 = rows_df(spark, rows)
+    h = build_tiers(t0, hist_cols={"token_count": (0.0, 1.0, 16)})["hourly"]
+    out = {
+        r["bucket_start"].hour: (r["w_n"], r["p50_bin"], r["p95_bin"])
+        for r in sliding_hist_percentile(
+            h, "token_count_hist", 16, 2
+        ).collect()
+    }
+    assert out[0] == (10, 1, 9)   # cum rule: 9/10 < 95% so p95 lands on bin 9
+    assert out[1] == (11, 1, 9)   # hour 0 state merged in
+    assert out[11] == (1, 2, 2)   # gap-correct: pre-gap bins invisible
+    with pytest.raises(ValueError, match="window_hours"):
+        sliding_hist_percentile(h, "token_count_hist", 16, 0)
+    with pytest.raises(ValueError, match="n_bins"):
+        sliding_hist_percentile(h, "token_count_hist", 0, 2)
+
+
+def test_sliding_hist_percentile_plan_single_exchange(spark):
+    from engine.sliding import sliding_hist_percentile
+
+    t0 = synth_transcripts(spark, n_convs=6, hot_turns=60)
+    h = build_tiers(t0, hist_cols={"token_count": (0.0, 4.0, 16)})["hourly"]
+    h.cache().count()
+    plan = (
+        sliding_hist_percentile(h, "token_count_hist", 16, 24)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    op = plan.split("Scan ExistingRDD")[0].split("InMemoryTableScan")[0]
+    assert op.count("Exchange hashpartitioning") == 1, plan
+    assert op.count("+- Window") == 1, plan

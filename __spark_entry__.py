@@ -17,6 +17,7 @@ from engine.queries import ORACLE_SQL, QUERIES
 # importing these modules registers their queries into QUERIES/ORACLE_SQL
 import engine.alert_queries  # noqa: F401,E402
 import engine.aqp  # noqa: F401,E402
+import engine.basket  # noqa: F401,E402
 import engine.contamindex  # noqa: F401,E402
 import engine.corpusops  # noqa: F401,E402
 import engine.correlate  # noqa: F401,E402

@@ -103,6 +103,9 @@ GLOBAL_AGG_OK = {
     "ab_conversion_ztest",  # the experiment read-out is one global row:
     # per-variant exposure/conversion counts (≤ #variants rows, fed by the
     # per-user partial aggregate) fold to the z statistic
+    "basket_lift_event_types",  # the basket grand total N: partial
+    # count-distinct over the per-basket distinct aggregate — one row per
+    # upstream partition crosses the single reducer
 }
 
 BNLJ_OK = {
@@ -134,6 +137,8 @@ BNLJ_OK = {
     # whose totals this query serves)
     "tier_drift_roles",  # stitches the ONE-ROW range totals and the
     # ONE-ROW TV numerator onto the per-value rows (1×k broadcast joins)
+    "basket_lift_event_types",  # broadcasts the ONE-ROW basket grand
+    # total onto the item-vocab-bounded pair rows
 }
 
 

@@ -225,3 +225,87 @@ def sliding_hist_percentile(
         total.cast("long").alias("w_n"),
         *pcols,
     )
+
+
+def theil_sen_trend(
+    hourly: DataFrame,
+    lo: datetime,
+    hi: datetime,
+    value_col: str = "n_turns",
+    keys: tuple[str, ...] = ("conv_id",),
+    max_hours: int = 2048,
+) -> DataFrame:
+    """M84 robust trend per series over [lo, hi): the Theil-Sen estimator
+    (median of all pairwise slopes) — one wild hour barely moves it where
+    the OLS `trend_linear` chases it (breakdown point ~29% vs 0%).
+
+    Exactness contract: "median" here is the LOWER median (the
+    ⌊(m−1)/2⌋-th order statistic) — a pure SELECTION, no averaging — so
+    slope, intercept (lower median of v − slope·t) and the range-end
+    forecast are each reproducible bit-for-bit by an oracle
+    (quantile_disc(0.5) picks the same element; every float descends
+    from exact integers through an identical expression tree).
+
+    Scale contract: Theil-Sen is O(L²) pairs per series — L is bounded by
+    the RANGE (`max_hours`, default 2048 ⇒ ≤ ~2.1M pair floats per
+    series inside one Arrow batch), never by corpus size; the fit is one
+    numpy triu/partition kernel per series via applyInPandas (no Python
+    per-row loop). For longer ranges use trend_linear or pre-downsample
+    to the daily tier.
+    """
+    import numpy as np
+    import pandas as pd
+
+    span_h = int((hi - lo).total_seconds()) // 3600
+    if span_h <= 0 or (hi - lo).total_seconds() % 3600:
+        raise ValueError(f"[{lo}, {hi}) must be a positive whole-hour range")
+    if span_h > max_hours:
+        raise ValueError(
+            f"range spans {span_h}h > max_hours={max_hours}: Theil-Sen is "
+            "O(hours^2) per series — narrow the range or raise max_hours"
+        )
+    from calendar import timegm
+
+    lo_hidx = timegm(lo.timetuple()) // 3600
+    obs = (
+        observed_state(hourly)
+        .filter(
+            (F.col("bucket_start") >= F.lit(lo))
+            & (F.col("bucket_start") < F.lit(hi))
+        )
+        .select(
+            *keys,
+            (_hour_index() - F.lit(lo_hidx)).cast("long").alias("t"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+    )
+    klist = list(keys)
+    schema = (
+        ", ".join(f"{k} string" for k in klist)
+        + ", n_obs long, n_pairs long, slope double, intercept double,"
+        " predicted double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["t"].to_numpy(dtype=np.int64)
+        v = pdf["v"].to_numpy(dtype=np.int64)
+        n = len(t)
+        if n < 2:
+            return pd.DataFrame(columns=klist + [
+                "n_obs", "n_pairs", "slope", "intercept", "predicted"])
+        i, j = np.triu_indices(n, 1)
+        slopes = (v[j] - v[i]) / (t[j] - t[i])
+        m = len(slopes)
+        k = (m - 1) // 2
+        slope = float(np.partition(slopes, k)[k])
+        resid = v.astype(np.float64) - slope * t.astype(np.float64)
+        k2 = (n - 1) // 2
+        intercept = float(np.partition(resid, k2)[k2])
+        row = {kc: pdf[kc].iloc[0] for kc in klist}
+        row.update(
+            n_obs=n, n_pairs=m, slope=slope, intercept=intercept,
+            predicted=intercept + slope * float(span_h),
+        )
+        return pd.DataFrame([row])
+
+    return obs.groupBy(*klist).applyInPandas(fit, schema)

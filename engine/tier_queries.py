@@ -2455,3 +2455,61 @@ def tier_sliding_p95_24h(spark, sf_dir):
     return sliding_hist_percentile(
         tiers["hourly"], "token_count_hist", 16, 24
     ).orderBy("conv_id", "bucket_start")
+
+
+@register(
+    "theil_sen_trend_hourly",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts FROM events),
+    hourly AS (
+      SELECT conv_id,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 - 473352 AS t,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM t0
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+      GROUP BY 1, 2),
+    nobs AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_obs
+             FROM hourly GROUP BY 1),
+    pairs AS (
+      SELECT a.conv_id, (b.v - a.v) / (b.t - a.t) AS s
+      FROM hourly a JOIN hourly b
+        ON a.conv_id = b.conv_id AND b.t > a.t),
+    sl AS (
+      SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             quantile_disc(s, 0.5) AS slope
+      FROM pairs GROUP BY 1),
+    res AS (
+      SELECT h.conv_id, s.slope, s.n_pairs,
+             CAST(h.v AS DOUBLE) - s.slope * h.t AS r
+      FROM hourly h JOIN sl s USING (conv_id)),
+    fin AS (
+      SELECT conv_id, ANY_VALUE(slope) AS slope, ANY_VALUE(n_pairs) AS n_pairs,
+             quantile_disc(r, 0.5) AS intercept
+      FROM res GROUP BY 1)
+    SELECT f.conv_id, n.n_obs, f.n_pairs, f.slope, f.intercept,
+           f.intercept + f.slope * 336.0 AS predicted
+    FROM fin f JOIN nobs n USING (conv_id)
+    WHERE n.n_obs >= 2
+    ORDER BY f.conv_id
+    """,
+)
+def theil_sen_trend_hourly(spark, sf_dir):
+    """M84 Theil-Sen robust trend from the hourly tier over a two-week
+    range: slope is the LOWER median of all pairwise slopes (a pure
+    order-statistic selection — no interpolation arithmetic — which is
+    what lets DuckDB's quantile_disc(0.5) reproduce every float
+    bit-for-bit against numpy's partition selection), intercept the
+    lower median of residuals, forecast at the range end. The O(hours²)
+    pair set is bounded by the RANGE (≤43 observed hours/series here),
+    never by corpus size."""
+    from datetime import datetime
+
+    from .sliding import theil_sen_trend
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0)
+    return theil_sen_trend(
+        tiers["hourly"], datetime(2024, 1, 1), datetime(2024, 1, 15)
+    ).orderBy("conv_id")

@@ -256,3 +256,59 @@ def test_sliding_hist_percentile_plan_single_exchange(spark):
     op = plan.split("Scan ExistingRDD")[0].split("InMemoryTableScan")[0]
     assert op.count("Exchange hashpartitioning") == 1, plan
     assert op.count("+- Window") == 1, plan
+
+
+def test_theil_sen_robust_to_outlier_and_brute_parity(spark):
+    """M84: a planted wild hour leaves the Theil-Sen slope at the true
+    line (OLS chases it); lower-median selection matches a literal
+    brute-force fit."""
+    from engine.sliding import theil_sen_trend, trend_linear
+
+    # conv c: v = 2*t + 3 for t=0..9, except t=5 spikes to 1000
+    rows = []
+    for t in range(10):
+        v = 2 * t + 3 if t != 5 else 1000
+        for i in range(v):
+            rows.append(
+                ("c", len(rows), "user", "x", None,
+                 datetime(2024, 1, 1, t, min(i % 60, 59)))
+            )
+    t0 = rows_df(spark, rows)
+    h = build_tiers(t0)["hourly"]
+    lo, hi = datetime(2024, 1, 1), datetime(2024, 1, 1, 10)
+    r = theil_sen_trend(h, lo, hi).collect()[0]
+    assert (r.n_obs, r.n_pairs) == (10, 45)
+    assert r.slope == 2.0                      # outlier shrugged off
+    assert r.intercept == 3.0
+    assert r.predicted == 3.0 + 2.0 * 10.0
+    ols = trend_linear(h, lo, hi, 0).collect()[0]
+    assert abs(ols.slope - 2.0) > 5            # OLS dragged by the spike
+
+    # brute-force parity on the same series
+    pts = [(t, 2 * t + 3 if t != 5 else 1000) for t in range(10)]
+    slopes = sorted(
+        (v2 - v1) / (t2 - t1)
+        for i, (t1, v1) in enumerate(pts)
+        for (t2, v2) in pts[i + 1:]
+    )
+    k = (len(slopes) - 1) // 2
+    assert r.slope == slopes[k]
+    resid = sorted(v - r.slope * t for t, v in pts)
+    assert r.intercept == resid[(len(pts) - 1) // 2]
+
+
+def test_theil_sen_validation(spark):
+    from engine.sliding import theil_sen_trend
+
+    t0 = rows_df(spark, [("c", 0, "user", "x", None, datetime(2024, 1, 1))])
+    h = build_tiers(t0)["hourly"]
+    with pytest.raises(ValueError, match="whole-hour"):
+        theil_sen_trend(h, datetime(2024, 1, 1), datetime(2024, 1, 1, 0, 30))
+    with pytest.raises(ValueError, match="max_hours"):
+        theil_sen_trend(
+            h, datetime(2024, 1, 1), datetime(2025, 1, 1), max_hours=100
+        )
+    # single-bucket series excluded
+    assert theil_sen_trend(
+        h, datetime(2024, 1, 1), datetime(2024, 1, 2)
+    ).count() == 0

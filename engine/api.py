@@ -352,6 +352,26 @@ class TierEngine:
             hourly, hist, n_bins, window_hours, percentiles
         )
 
+    def serve_sliding_distinct(
+        self, col: str, window_hours: int
+    ) -> DataFrame:
+        """Trailing-window distinct count per series from KMV sketch
+        state (needs kmv_cols on the pipeline) — M85: exact below the
+        sketch cap, deterministic estimate at saturation."""
+        from .kmv import kmv_is_state_col
+        from .sliding import sliding_kmv_distinct
+
+        hourly = self.pipeline.read_tier("hourly")
+        cand = [
+            c for c in hourly.columns
+            if kmv_is_state_col(c) and c.startswith(f"{col}_kmv")
+        ]
+        if not cand:
+            raise ValueError(
+                f"hourly tier has no {col}_kmv<k> state — configure kmv_cols"
+            )
+        return sliding_kmv_distinct(hourly, cand[0], window_hours)
+
     def serve_sliding(self, window_hours: int) -> DataFrame:
         """Trailing window_hours state merge at every observed hourly
         bucket (moving aggregates over the continuous aggregate) — RANGE

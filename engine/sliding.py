@@ -309,3 +309,57 @@ def theil_sen_trend(
         return pd.DataFrame([row])
 
     return obs.groupBy(*klist).applyInPandas(fit, schema)
+
+
+def sliding_kmv_distinct(
+    hourly: DataFrame,
+    kmv_col: str,
+    window_hours: int,
+    keys: tuple[str, ...] = ("conv_id",),
+) -> DataFrame:
+    """M85: trailing-window DISTINCT count at every observed hourly
+    bucket, served from KMV sketch tier state — "how many distinct
+    tools/texts did this conversation touch in the last 24h", the one
+    trailing aggregate the sum/min/max window family can't express
+    (distinctness doesn't decompose into per-bucket scalars).
+
+    The KMV merge is exact-DETERMINISTIC (engine/kmv.py: bottom-k of a
+    union is a pure function of the parts' bottom-ks), so folding the
+    per-bucket sketches over the gap-correct RANGE frame
+    (collect_list → flatten → distinct → sort → slice k) yields the
+    BIT-IDENTICAL sketch a direct build over the window's raw would —
+    proven by the window-vs-direct parity test. Below saturation the
+    sketch IS the window's distinct hash set, so `w_distinct` is exact
+    (and full-hash oracle-checkable); at saturation `saturated` flips
+    and `w_distinct_est` carries the (k−1)/U_(k) estimate. ONE exchange.
+    """
+    from .kmv import kmv_cap, kmv_estimate, kmv_is_state_col
+
+    if not kmv_is_state_col(kmv_col):
+        raise ValueError(f"{kmv_col!r} is not a <col>_kmv<k> state column")
+    if window_hours <= 0:
+        raise ValueError(f"window_hours must be positive: {window_hours}")
+    k = kmv_cap(kmv_col)
+    h = observed_state(hourly).withColumn("_hidx", _hour_index())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_hidx")
+        .rangeBetween(-(int(window_hours) - 1), 0)
+    )
+    merged = F.slice(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(F.col(kmv_col)).over(w)))
+        ),
+        1,
+        k,
+    )
+    out = h.select(*keys, "bucket_start", merged.alias("_m"))
+    sz = F.size(F.col("_m"))
+    return out.select(
+        *keys,
+        "bucket_start",
+        F.col("_m").alias("w_sketch"),
+        (sz >= F.lit(k)).alias("saturated"),
+        F.when(sz < F.lit(k), sz.cast("long")).alias("w_distinct"),
+        kmv_estimate(F.col("_m"), k).alias("w_distinct_est"),
+    )

@@ -2513,3 +2513,41 @@ def theil_sen_trend_hourly(spark, sf_dir):
     return theil_sen_trend(
         tiers["hourly"], datetime(2024, 1, 1), datetime(2024, 1, 15)
     ).orderBy("conv_id")
+
+
+@register(
+    "tier_sliding_distinct_24h",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hidx,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+             props AS text
+      FROM events),
+    obs AS (SELECT DISTINCT conv_id, hidx, bucket_start FROM t0)
+    SELECT o.conv_id, o.bucket_start,
+           FALSE AS saturated,
+           CAST(COUNT(DISTINCT v.text) AS BIGINT) AS w_distinct,
+           CAST(COUNT(DISTINCT v.text) AS DOUBLE) AS w_distinct_est
+    FROM obs o JOIN t0 v
+      ON v.conv_id = o.conv_id AND v.hidx BETWEEN o.hidx - 23 AND o.hidx
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def tier_sliding_distinct_24h(spark, sf_dir):
+    """M85 sliding distinct from KMV tier state (engine/sliding.py
+    sliding_kmv_distinct): trailing-24h distinct texts per conversation
+    at every observed hourly bucket. The per-bucket text_kmv256 sketches
+    fold over the gap-correct RANGE frame; every window here holds far
+    fewer than 256 distinct texts, so the sketch is the full hash set
+    and the count is EXACT — the oracle recomputes each window's
+    COUNT(DISTINCT) from raw and the full-hash gate pins it (saturated
+    stays false, the estimate equals the exact size)."""
+    from .sliding import sliding_kmv_distinct
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0, kmv_cols={"text": 256})
+    return sliding_kmv_distinct(tiers["hourly"], "text_kmv256", 24).select(
+        "conv_id", "bucket_start", "saturated", "w_distinct", "w_distinct_est"
+    ).orderBy("conv_id", "bucket_start")

@@ -312,3 +312,65 @@ def test_theil_sen_validation(spark):
     assert theil_sen_trend(
         h, datetime(2024, 1, 1), datetime(2024, 1, 2)
     ).count() == 0
+
+
+def test_sliding_kmv_window_fold_equals_direct_build(spark):
+    """M85: the RANGE-frame sketch fold is bit-identical to building the
+    KMV directly over each window's raw — in the SAMPLE regime (k=4,
+    saturated), where the claim is strongest."""
+    from engine.kmv import kmv_state_col
+    from engine.sliding import sliding_kmv_distinct
+
+    rows = []
+    eid = 0
+    # 6 hours; hour h carries texts {w0..w(h+3)} -> distinct grows past k=4
+    for h in range(6):
+        for t in range(h + 4):
+            rows.append(("c", eid, "user", f"w{t}", None,
+                         datetime(2024, 1, 1, h, min(t, 59))))
+            eid += 1
+    t0 = rows_df(spark, rows)
+    h4 = build_tiers(t0, kmv_cols={"text": 4})["hourly"]
+    col = kmv_state_col("text", 4)
+    out = {
+        r["bucket_start"].hour: r
+        for r in sliding_kmv_distinct(h4, col, 3).collect()
+    }
+    # direct build per window: bottom-4 xxhash64 of the window's texts
+    texts = {h: {f"w{t}" for t in range(h + 4)} for h in range(6)}
+    for h in range(6):
+        wtexts = set().union(*(texts[g] for g in range(max(0, h - 2), h + 1)))
+        direct = spark.createDataFrame(
+            [(x,) for x in sorted(wtexts)], "text string"
+        ).select(F.xxhash64("text").alias("hh")).orderBy("hh").limit(4)
+        expect = [r["hh"] for r in direct.collect()]
+        assert list(out[h]["w_sketch"]) == expect, h
+        assert out[h]["saturated"] is True
+        assert out[h]["w_distinct"] is None
+
+
+def test_sliding_kmv_exact_regime_counts(spark):
+    """Below saturation the window sketch IS the distinct set: counts are
+    exact and gap-correct."""
+    from engine.sliding import sliding_kmv_distinct
+
+    rows = [
+        ("c", 0, "user", "a", None, datetime(2024, 1, 1, 0, 0)),
+        ("c", 1, "user", "b", None, datetime(2024, 1, 1, 1, 0)),
+        ("c", 2, "user", "a", None, datetime(2024, 1, 1, 1, 30)),
+        # 10h gap: the window after it sees only its own texts
+        ("c", 3, "user", "c", None, datetime(2024, 1, 1, 11, 0)),
+    ]
+    h = build_tiers(rows_df(spark, rows), kmv_cols={"text": 256})["hourly"]
+    out = {
+        r["bucket_start"].hour: (r["w_distinct"], r["saturated"])
+        for r in sliding_kmv_distinct(h, "text_kmv256", 3).collect()
+    }
+    assert out[0] == (1, False)
+    assert out[1] == (2, False)   # {a, b}; the repeat of 'a' counts once
+    assert out[11] == (1, False)  # pre-gap texts invisible
+    import pytest as _pt
+    with _pt.raises(ValueError, match="kmv"):
+        sliding_kmv_distinct(h, "n_turns", 3)
+    with _pt.raises(ValueError, match="window_hours"):
+        sliding_kmv_distinct(h, "text_kmv256", 0)

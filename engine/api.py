@@ -372,6 +372,18 @@ class TierEngine:
             )
         return sliding_kmv_distinct(hourly, cand[0], window_hours)
 
+    def serve_sliding_hh(
+        self, col: str, cap: int, window_hours: int
+    ) -> DataFrame:
+        """Trailing-window heavy hitters per series from Misra–Gries
+        state (needs hh_cols on the pipeline) — M86: exact below cap,
+        mergeable-summaries error bound computable from state above."""
+        from .sliding import sliding_hh
+
+        return sliding_hh(
+            self.pipeline.read_tier("hourly"), col, cap, window_hours
+        )
+
     def serve_sliding(self, window_hours: int) -> DataFrame:
         """Trailing window_hours state merge at every observed hourly
         bucket (moving aggregates over the continuous aggregate) — RANGE

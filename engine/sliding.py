@@ -363,3 +363,62 @@ def sliding_kmv_distinct(
         F.when(sz < F.lit(k), sz.cast("long")).alias("w_distinct"),
         kmv_estimate(F.col("_m"), k).alias("w_distinct_est"),
     )
+
+
+def sliding_hh(
+    hourly: DataFrame,
+    col: str,
+    cap: int,
+    window_hours: int,
+    keys: tuple[str, ...] = ("conv_id",),
+) -> DataFrame:
+    """M86: trailing-window heavy hitters ("trending values over the last
+    24h") from Misra–Gries tier state — the categorical sibling of
+    `sliding_kmv_distinct`.
+
+    The per-bucket `<col>_hh{cap}` maps fold over the gap-correct RANGE
+    frame with the SAME determinism discipline as the tier-up merge
+    (engine/heavyhitters.py): exact key-union addition (commutative +
+    associative, so collect_list order cannot matter), then ONE MG
+    truncation per output row. The companion `<col>_hhn{cap}` totals sum
+    over the frame, so the mergeable-summaries error bound
+    (w_total − retained)/(cap+1) is computable per WINDOW from state
+    alone. When window cardinality stays ≤ cap no truncation fires and
+    the trailing counts are exact (the full-hash regime). ONE exchange.
+
+    Returns observed (keys, bucket_start) rows with `w_hh`
+    (map<value,long>) and `w_total`.
+    """
+    from .heavyhitters import hh_col_name, hhn_col_name, mg_truncate
+
+    if window_hours <= 0:
+        raise ValueError(f"window_hours must be positive: {window_hours}")
+    hh, hhn = hh_col_name(col, cap), hhn_col_name(col, cap)
+    missing = [c for c in (hh, hhn) if c not in hourly.columns]
+    if missing:
+        raise ValueError(f"hourly tier lacks hh state columns: {missing}")
+    h = observed_state(hourly).withColumn("_hidx", _hour_index())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_hidx")
+        .rangeBetween(-(int(window_hours) - 1), 0)
+    )
+    seed = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<long>")
+    )
+    merged = F.aggregate(
+        F.collect_list(F.col(hh)).over(w),
+        seed,
+        lambda acc, m: F.map_zip_with(
+            acc,
+            m,
+            lambda k, a, b: F.coalesce(a, F.lit(0).cast("long"))
+            + F.coalesce(b, F.lit(0).cast("long")),
+        ),
+    )
+    return h.select(
+        *keys,
+        "bucket_start",
+        mg_truncate(merged, cap).alias("w_hh"),
+        F.sum(F.col(hhn)).over(w).cast("long").alias("w_total"),
+    )

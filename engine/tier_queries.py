@@ -2551,3 +2551,50 @@ def tier_sliding_distinct_24h(spark, sf_dir):
     return sliding_kmv_distinct(tiers["hourly"], "text_kmv256", 24).select(
         "conv_id", "bucket_start", "saturated", "w_distinct", "w_distinct_est"
     ).orderBy("conv_id", "bucket_start")
+
+
+@register(
+    "tier_sliding_hh_24h",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hidx,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+             event_type AS role
+      FROM events),
+    obs AS (SELECT DISTINCT conv_id, hidx, bucket_start FROM t0),
+    win AS (
+      SELECT o.conv_id, o.bucket_start, v.role AS value,
+             CAST(COUNT(*) AS BIGINT) AS est
+      FROM obs o JOIN t0 v
+        ON v.conv_id = o.conv_id AND v.hidx BETWEEN o.hidx - 23 AND o.hidx
+      GROUP BY 1, 2, 3)
+    SELECT conv_id, bucket_start, value, est,
+           CAST(SUM(est) OVER (PARTITION BY conv_id, bucket_start) AS BIGINT)
+             AS w_total
+    FROM win ORDER BY conv_id, bucket_start, value
+    """,
+)
+def tier_sliding_hh_24h(spark, sf_dir):
+    """M86 sliding heavy hitters from Misra-Gries tier state
+    (engine/sliding.py sliding_hh): trailing-24h role counts per
+    conversation at every observed hourly bucket — the "trending
+    categories right now" series. Role cardinality sits far under
+    cap=32, so no MG truncation fires anywhere and the folded window
+    maps are exact — the oracle recomputes every window's counts from
+    raw under the full-hash gate; the truncating regime is pinned by the
+    property tests."""
+    from .sliding import sliding_hh
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0, hh_cols={"role": 32})
+    s = sliding_hh(tiers["hourly"], "role", 32, 24)
+    return (
+        s.select(
+            "conv_id",
+            "bucket_start",
+            F.explode("w_hh").alias("value", "est"),
+            "w_total",
+        )
+        .orderBy("conv_id", "bucket_start", "value")
+    )

@@ -374,3 +374,58 @@ def test_sliding_kmv_exact_regime_counts(spark):
         sliding_kmv_distinct(h, "n_turns", 3)
     with _pt.raises(ValueError, match="window_hours"):
         sliding_kmv_distinct(h, "text_kmv256", 0)
+
+
+def test_sliding_hh_exact_and_truncating_regimes(spark):
+    """M86: exact trailing counts below cap; above cap the MG guarantees
+    hold per window (underestimates only, bounded undercount) and the
+    fold is deterministic across partitioning."""
+    from engine.sliding import sliding_hh
+
+    rows = []
+    eid = 0
+    # hour 0: a,a,a,b ; hour 1: b,c ; gap ; hour 5: d
+    for sym, h in [("a", 0), ("a", 0), ("a", 0), ("b", 0),
+                   ("b", 1), ("c", 1), ("d", 5)]:
+        rows.append(("c", eid, sym, "x", None,
+                     datetime(2024, 1, 1, h, eid % 60)))
+        eid += 1
+    t0 = rows_df(spark, rows)
+    h32 = build_tiers(t0, hh_cols={"role": 32})["hourly"]
+    out = {
+        r["bucket_start"].hour: (dict(r["w_hh"]), r["w_total"])
+        for r in sliding_hh(h32, "role", 32, 3).collect()
+    }
+    assert out[0] == ({"a": 3, "b": 1}, 4)
+    assert out[1] == ({"a": 3, "b": 2, "c": 1}, 6)   # union of hours 0-1
+    assert out[5] == ({"d": 1}, 1)                   # gap-correct
+
+    # truncating regime: cap=2 over 3 distinct values in the window
+    h2 = build_tiers(t0, hh_cols={"role": 2})["hourly"]
+    r1 = sliding_hh(h2, "role", 2, 3)
+    win1 = {r["bucket_start"].hour: dict(r["w_hh"]) for r in r1.collect()}
+    truth = {0: {"a": 3, "b": 1}, 1: {"a": 3, "b": 2, "c": 1}, 5: {"d": 1}}
+    for h, est in win1.items():
+        t = truth[h]
+        n = sum(t.values())
+        assert len(est) <= 2
+        d_bound = (n - sum(est.values())) / 3
+        for v, c in t.items():
+            e = est.get(v, 0)
+            assert e <= c                      # underestimates only
+            assert c - e <= d_bound + 1e-9     # bounded undercount
+    # determinism across a different partitioning
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        win2 = {
+            r["bucket_start"].hour: dict(r["w_hh"])
+            for r in sliding_hh(
+                build_tiers(t0.repartition(7), hh_cols={"role": 2})["hourly"],
+                "role", 2, 3,
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert win1 == win2
+    with pytest.raises(ValueError, match="hh state"):
+        sliding_hh(h2, "role", 99, 3)

@@ -178,3 +178,53 @@ def tier_data_gaps_24h(spark, sf_dir):
     t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
     tiers = erollup.build_tiers(t0)
     return data_gaps(tiers["hourly"], min_gap_hours=24)
+
+
+@register(
+    "wilson_error_rate_topk",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts, event_type AS role
+      FROM events),
+    per AS (
+      SELECT conv_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN role = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS x
+      FROM t0
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+      GROUP BY 1)
+    SELECT conv_id, n, x,
+           CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+           (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+              + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))
+              - CAST(1.96 AS DOUBLE) * sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                               * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                             + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (4.0 * CAST(n AS DOUBLE)))
+                            / CAST(n AS DOUBLE)))
+             / (1.0 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / CAST(n AS DOUBLE)) AS wilson_low
+    FROM per
+    ORDER BY wilson_low DESC, conv_id
+    LIMIT 20
+    """,
+)
+def wilson_error_rate_topk(spark, sf_dir):
+    """M87 Wilson-lower-bound error-rate ranking
+    (engine/alerting.py wilson_rate_rank): the 20 conversations with the
+    worst statistically-defensible error rate over January, served from
+    daily freq tier state — exact integer (x, n) folds, then ONE
+    closed-form IEEE expression whose identical tree the oracle replays,
+    so the ranking float itself hash-matches. The uncertainty-aware
+    alternative to raw-ratio ranking (a 1-of-1 conversation cannot
+    outrank 90-of-1000)."""
+    from datetime import datetime
+
+    from .alerting import wilson_rate_rank
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0, freq_cols=["role"])
+    return wilson_rate_rank(
+        tiers["daily"], "role", "error",
+        datetime(2024, 1, 1), datetime(2024, 2, 1),
+    )

@@ -197,3 +197,59 @@ def data_gaps(
         (F.col("_nb") - F.expr("INTERVAL 1 HOUR")).alias("gap_end"),
         gap.cast("long").alias("gap_hours"),
     )
+
+
+def wilson_rate_rank(
+    daily_state,
+    col: str,
+    value: str,
+    lo,
+    hi,
+    z: float = 1.96,
+    k: int = 20,
+):
+    """M87 uncertainty-aware rate ranking: conversations ordered by the
+    WILSON score lower bound of their bad-turn rate over [lo, hi) — the
+    "which series really have the worst error rate" ranking that does not
+    let a 1-of-1 conversation outrank a 90-of-1000 one the raw ratio
+    would (the Reddit/Evan-Miller ranking rule, served from tier state).
+
+    x (bad turns) comes from the daily freq-map state's `value` entry and
+    n from n_turns — both exact integer folds per conversation; the bound
+    itself is one closed-form float expression over (x, n, z) built from
+    correctly-rounded IEEE ops (+ − × ÷ sqrt), written with the identical
+    tree in the DuckDB oracle so even the ranking float hash-matches.
+    Top-k via orderBy().limit() compiles to TakeOrderedAndProject — the
+    selection distributes, no single-reducer exchange."""
+    from .rollup import observed_state
+
+    obs = observed_state(daily_state).filter(
+        (F.col("bucket_start") >= F.lit(lo)) & (F.col("bucket_start") < F.lit(hi))
+    )
+    fq = f"{col}_freq"
+    if fq not in obs.columns:
+        raise ValueError(f"daily tier has no {fq!r} state — configure freq_cols")
+    per = obs.groupBy("conv_id").agg(
+        F.sum("n_turns").alias("n"),
+        F.sum(
+            F.coalesce(F.element_at(F.col(fq), value), F.lit(0).cast("long"))
+        ).alias("x"),
+    )
+    nd = F.col("n").cast("double")
+    xd = F.col("x").cast("double")
+    phat = xd / nd
+    zz = F.lit(z) * F.lit(z)
+    center = phat + zz / (F.lit(2.0) * nd)
+    inner = (phat * (F.lit(1.0) - phat) + zz / (F.lit(4.0) * nd)) / nd
+    low = (center - F.lit(z) * F.sqrt(inner)) / (F.lit(1.0) + zz / nd)
+    return (
+        per.select(
+            "conv_id",
+            "n",
+            "x",
+            phat.alias("rate"),
+            low.alias("wilson_low"),
+        )
+        .orderBy(F.desc("wilson_low"), "conv_id")
+        .limit(int(k))
+    )

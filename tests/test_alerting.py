@@ -246,3 +246,52 @@ def test_streamed_pipeline_serves_identical_alerts(spark, tmp_path):
     )
     assert rows(data_gaps(streamed, 2)) == rows(data_gaps(ref, 2))
     assert hysteresis_alerts(ref, hi=40, lo=10).count() > 0
+
+
+def test_wilson_rate_rank_golden_and_uncertainty(spark):
+    """M87: the bound matches the closed form; a 1-of-1 conv ranks BELOW
+    a 90-of-1000 conv despite the higher raw ratio; freq_cols required."""
+    import math
+    from datetime import datetime
+
+    from engine.alerting import wilson_rate_rank
+    from engine.io import transcripts_from_events
+    from engine.rollup import build_tiers
+
+    rows = []
+    eid = 0
+    # conv 1: 1 error of 1 turn (rate 1.0); conv 2: 90 errors of 1000
+    rows.append((1, "error"))
+    rows += [(2, "error")] * 300 + [(2, "view")] * 700
+    ev = spark.createDataFrame(
+        [(i, datetime(2024, 1, 2 + (i % 20), i // 60 % 24, i % 60), u, et,
+          0.0, "{}")
+         for i, (u, et) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    tiers = build_tiers(transcripts_from_events(ev), freq_cols=["role"])
+    out = wilson_rate_rank(
+        tiers["daily"], "role", "error",
+        datetime(2024, 1, 1), datetime(2024, 2, 1),
+    ).collect()
+
+    def wilson(x, n, z=1.96):
+        p = x / n
+        return (p + z * z / (2 * n)
+                - z * math.sqrt((p * (1 - p) + z * z / (4 * n)) / n)) \
+            / (1 + z * z / n)
+
+    by = {r.conv_id[-1]: r for r in out}
+    assert by["1"].rate == 1.0 and by["2"].rate == 0.3
+    assert by["1"].wilson_low == pytest.approx(wilson(1, 1), rel=1e-12)
+    assert by["2"].wilson_low == pytest.approx(wilson(300, 1000), rel=1e-12)
+    # uncertainty flips the raw-ratio order
+    assert by["2"].wilson_low > by["1"].wilson_low
+    assert out[0].conv_id == by["2"].conv_id
+    with pytest.raises(ValueError, match="freq_cols"):
+        plain = build_tiers(transcripts_from_events(ev))
+        wilson_rate_rank(
+            plain["daily"], "role", "error",
+            datetime(2024, 1, 1), datetime(2024, 2, 1),
+        )

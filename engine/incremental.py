@@ -132,3 +132,158 @@ class IncrementalConvSummary:
             F.max("token_max").alias("token_max"),
             F.max("last_active").alias("last_active"),
         )
+
+
+class IncrementalSlidingView:
+    """M88: the trailing-window series (engine/sliding.sliding_state) as
+    an incrementally-maintained, day-partitioned serving table.
+
+    Sliding windows are the op where naive incremental maintenance goes
+    WRONG: a changed hourly day D does not only invalidate D's output
+    buckets — every bucket in the first (window−1) hours of the following
+    day(s) reaches back into D through its RANGE frame. refresh() widens
+    the dirty set accordingly (D .. D+⌈(W−1)/24⌉) and, symmetrically,
+    recomputes each dirty output day from its own day plus the
+    ⌈(W−1)/24⌉ preceding input days the frames look back into. Cost is
+    O(changed days × (lookback+1)), never O(history); one late turn
+    re-rolls one hourly day in the pipeline and at most 1+lookback
+    output days here, each answer bit-identical to a full
+    `sliding_state` recompute (the parity the tests pin).
+
+    Same changelog discipline as IncrementalConvSummary: partition-level
+    snapshot diff (no data read), dynamic day overwrites, removed days
+    dropped AND their successors recomputed, crash-safe _CONSUMED
+    pointer, GC race → full rebuild.
+    """
+
+    def __init__(self, pipe, path: str, window_hours: int):
+        if not pipe.snapshots:
+            raise ValueError(
+                "incremental consumer requires TierPipeline(snapshots=True)"
+            )
+        if window_hours <= 0:
+            raise ValueError(f"window_hours must be positive: {window_hours}")
+        self.pipe = pipe
+        self.path = path
+        self.window_hours = int(window_hours)
+        #: how many PRECEDING days a frame can reach into / a change can
+        #: spill forward over
+        self.lookback_days = (self.window_hours - 1 + 23) // 24
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def series_path(self) -> str:
+        return os.path.join(self.path, "sliding")
+
+    @property
+    def _consumed_file(self) -> str:
+        return os.path.join(self.path, "_CONSUMED")
+
+    def consumed_id(self) -> str | None:
+        try:
+            with open(self._consumed_file) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def _record_consumed(self, sid: str) -> None:
+        tmp = self._consumed_file + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(sid)
+        os.replace(tmp, self._consumed_file)
+
+    def _sliding(self, hourly: DataFrame, out_days: list[str] | None):
+        """Sliding series restricted to `out_days` output partitions,
+        computed over those days plus the lookback input days each frame
+        needs. None = full series."""
+        from datetime import date, timedelta
+
+        from .sliding import sliding_state
+
+        h = observed_state(hourly)
+        if out_days is not None:
+            in_days = set()
+            for d in out_days:
+                d0 = date.fromisoformat(d)
+                for k in range(self.lookback_days + 1):
+                    in_days.add(str(d0 - timedelta(days=k)))
+            h = h.filter(
+                F.col("bucket_date").cast("string").isin(sorted(in_days))
+            )
+        s = sliding_state(h, self.window_hours).withColumn(
+            "bucket_date", F.to_date("bucket_start").cast("string")
+        )
+        if out_days is not None:
+            s = s.filter(F.col("bucket_date").isin(out_days))
+        return s
+
+    def _spill(self, days) -> set:
+        """A changed input day dirties itself plus the following
+        lookback_days output days."""
+        from datetime import date, timedelta
+
+        out = set()
+        for d in days:
+            d0 = date.fromisoformat(d)
+            for k in range(self.lookback_days + 1):
+                out.add(str(d0 + timedelta(days=k)))
+        return out
+
+    def refresh(self) -> dict:
+        store = SnapStore(self.pipe.tier_path("hourly"))
+        current = store.current_id()
+        if current is None:
+            raise SnapshotError("hourly tier has no published snapshot")
+        consumed = self.consumed_id()
+        if consumed == current:
+            return {"mode": "noop", "days": []}
+        hourly = store.read(self.pipe.spark, as_of=current)
+        if consumed is None or not os.path.isdir(store.snapshot_path(consumed)):
+            (
+                self._sliding(hourly, None)
+                .write.partitionBy("bucket_date")
+                .mode("overwrite")
+                .parquet(self.series_path)
+            )
+            self._record_consumed(current)
+            return {"mode": "full", "days": []}
+        d = store.diff(consumed, current)
+        changed = [p.split("=", 1)[1] for p in d["added"] + d["rewritten"]]
+        removed = [p.split("=", 1)[1] for p in d["removed"]]
+        # removed input days spill forward too: successors' frames shrink
+        dirty = sorted(self._spill(changed) | self._spill(removed))
+        # an output day exists iff the input day still has observed rows
+        live = {
+            r["d"]
+            for r in observed_state(hourly)
+            .select(F.col("bucket_date").cast("string").alias("d"))
+            .filter(F.col("d").isin(dirty))
+            .distinct()
+            .collect()
+        }
+        recompute = [x for x in dirty if x in live]
+        if recompute:
+            (
+                self._sliding(hourly, recompute)
+                .write.option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket_date")
+                .mode("overwrite")
+                .parquet(self.series_path)
+            )
+        import shutil
+
+        dropped = 0
+        for day in dirty:
+            if day in live:
+                continue
+            p = os.path.join(self.series_path, f"bucket_date={day}")
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+                dropped += 1
+        self._record_consumed(current)
+        return {"mode": "incremental", "days": recompute, "dropped": dropped}
+
+    def read(self) -> DataFrame:
+        return self.pipe.spark.read.parquet(self.series_path).drop(
+            "bucket_date"
+        )

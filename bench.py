@@ -331,6 +331,52 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         for _ in range(BENCH_STAGE_TRIALS)
     )
 
+    # incremental sliding view (M88): base pipeline + consumed view built
+    # UNTIMED, then one late turn re-rolls a single hourly day; the timed
+    # unit is refresh() — diff → dirty {day, day+1} → two partition
+    # recomputes. The counterfactual row rebuilds the whole trailing-24h
+    # series: refresh/rebuild is the O(changed)/O(history) ratio the
+    # incremental view banks on every late batch.
+    from engine.incremental import IncrementalSlidingView
+
+    sv_view_base = fg_base + "_svview"
+    shutil.rmtree(sv_view_base, ignore_errors=True)
+    sv_pipe = TierPipeline(
+        spark, fg_base, salted=True, snapshots=True, lease=False
+    )
+    IncrementalSlidingView(sv_pipe, sv_view_base, 24).refresh()
+    last_day = raw.selectExpr("max(to_date(ts)) AS d").collect()[0]["d"]
+    sv_late = raw.filter(F.to_date("ts") == F.lit(last_day)).selectExpr(
+        "conv_id", "cast(turn_idx + 900000 as int) as turn_idx",
+        "role", "text", "tool", "ts + interval 10 minutes as ts",
+    )
+    sv_pipe.run(raw.unionByName(sv_late))
+
+    def sv_refresh_trial():
+        troot = sv_view_base + "_trial"
+        shutil.rmtree(troot, ignore_errors=True)
+        shutil.copytree(sv_view_base, troot, copy_function=os.link)
+        v = IncrementalSlidingView(sv_pipe, troot, 24)
+        wall, res = _timed(lambda: v.refresh())
+        assert res["mode"] == "incremental", res
+        return wall
+
+    timings["sliding_view_refresh"] = min(
+        sv_refresh_trial() for _ in range(BENCH_STAGE_TRIALS)
+    )
+
+    def sv_rebuild_trial():
+        troot = sv_view_base + "_rebuild"
+        shutil.rmtree(troot, ignore_errors=True)
+        v = IncrementalSlidingView(sv_pipe, troot, 24)
+        wall, res = _timed(lambda: v.refresh())
+        assert res["mode"] == "full", res
+        return wall
+
+    timings["sliding_view_rebuild_full"] = min(
+        sv_rebuild_trial() for _ in range(BENCH_STAGE_TRIALS)
+    )
+
     # CDC merge (L9): month-partitioned orders base written UNTIMED; the
     # timed unit is the touched-partition merge of a ~1.5% batch (updates +
     # cross-partition moves + inserts) into a fresh hardlink copy per trial

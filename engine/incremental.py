@@ -156,7 +156,14 @@ class IncrementalSlidingView:
     pointer, GC race → full rebuild.
     """
 
-    def __init__(self, pipe, path: str, window_hours: int):
+    def __init__(self, pipe, path: str, window_hours: int, series_fn=None):
+        """`series_fn` (M89) generalizes the view to ANY trailing-window
+        family: a callable mapping (observed hourly rows) -> the series
+        DataFrame (must carry bucket_start; window already bound). The
+        invalidation machinery only depends on `window_hours` (how far a
+        frame reaches back / a change spills forward), so the same
+        refresh maintains sliding_hist_percentile, sliding_kmv_distinct,
+        sliding_hh, ... tables. Default: the core sliding_state merge."""
         if not pipe.snapshots:
             raise ValueError(
                 "incremental consumer requires TierPipeline(snapshots=True)"
@@ -165,6 +172,7 @@ class IncrementalSlidingView:
             raise ValueError(f"window_hours must be positive: {window_hours}")
         self.pipe = pipe
         self.path = path
+        self.series_fn = series_fn
         self.window_hours = int(window_hours)
         #: how many PRECEDING days a frame can reach into / a change can
         #: spill forward over
@@ -210,7 +218,10 @@ class IncrementalSlidingView:
             h = h.filter(
                 F.col("bucket_date").cast("string").isin(sorted(in_days))
             )
-        s = sliding_state(h, self.window_hours).withColumn(
+        build = self.series_fn or (
+            lambda hh: sliding_state(hh, self.window_hours)
+        )
+        s = build(h).withColumn(
             "bucket_date", F.to_date("bucket_start").cast("string")
         )
         if out_days is not None:

@@ -216,3 +216,64 @@ def test_sliding_view_retention_drop_and_gc(spark, t0, tmp_path):
     assert r2["mode"] == "full"
     full3 = _sliding_full(pipe, 24)
     pd.testing.assert_frame_equal(_sliding_got(view)[full3.columns], full3)
+
+
+def test_sliding_view_custom_series_fn(spark, tmp_path):
+    """M89: the same invalidation machinery maintains OTHER trailing
+    families — a sliding hist-percentile table refreshes incrementally
+    and stays bit-equal to a full recompute."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    from engine.incremental import IncrementalSlidingView
+    from engine.sliding import sliding_hist_percentile
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp_ntz",
+        )
+
+    base = mk([
+        ("c", 0, "user", "xxxx", None, datetime(2024, 1, 1, 22, 0)),
+        ("c", 1, "user", "yy", None, datetime(2024, 1, 2, 1, 0)),
+        ("c", 2, "user", "zzzzzz", None, datetime(2024, 1, 3, 9, 0)),
+    ])
+    pipe = TierPipeline(
+        spark, str(tmp_path / "p9"), snapshots=True,
+        hist_cols={"token_count": (0.0, 1.0, 16)},
+    )
+    pipe.run(base, stages=("hourly",))
+    fn = lambda h: sliding_hist_percentile(h, "token_count_hist", 16, 6)  # noqa: E731
+    view = IncrementalSlidingView(
+        pipe, str(tmp_path / "sv9"), window_hours=6, series_fn=fn
+    )
+    assert view.refresh()["mode"] == "full"
+
+    def full():
+        return (
+            fn(observed_state(pipe.read_tier("hourly")))
+            .toPandas()
+            .sort_values(["conv_id", "bucket_start"], ignore_index=True)
+        )
+
+    got = view.read().toPandas().sort_values(
+        ["conv_id", "bucket_start"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got[full().columns], full())
+
+    late = mk([("c", 3, "user", "w" * 9, None, datetime(2024, 1, 1, 23, 0))])
+    pipe.run(base.unionByName(late), stages=("hourly",))
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    assert set(r["days"]) == {"2024-01-01", "2024-01-02"}
+    f2 = full()
+    got2 = view.read().toPandas().sort_values(
+        ["conv_id", "bucket_start"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got2[f2.columns], f2)
+    # the spilled-over Jan 2 bucket saw the late 9-token turn in its frame
+    jan2 = f2[f2.bucket_start == datetime(2024, 1, 2, 1)]
+    assert jan2.p95_bin.iloc[0] == 9

@@ -429,3 +429,56 @@ def test_sliding_hh_exact_and_truncating_regimes(spark):
     assert win1 == win2
     with pytest.raises(ValueError, match="hh state"):
         sliding_hh(h2, "role", 99, 3)
+
+
+def test_streamed_pipeline_serves_identical_sliding(spark, tmp_path):
+    """Streaming ingest × sliding serving: trailing-window merges, hist
+    percentiles and KMV distinct counts served from STREAM-built tiers
+    are bit-identical to a one-shot batch build — per-bucket state split
+    across micro-batch triggers must re-merge exactly before any window
+    fold sees it."""
+    from engine.pipeline import TierPipeline
+    from engine.sliding import (
+        sliding_hist_percentile,
+        sliding_kmv_distinct,
+        sliding_state,
+    )
+    from engine.streaming import run_stream_into_pipeline
+
+    t0 = synth_transcripts(spark, n_convs=8, hot_turns=240)
+    src = str(tmp_path / "ssrc")
+    t0.orderBy("ts").coalesce(1).write.parquet(src + "_one")
+    spark.read.parquet(src + "_one").repartitionByRange(6, "ts").write.parquet(src)
+
+    pipe = TierPipeline(
+        spark, str(tmp_path / "ssp"),
+        hist_cols={"token_count": (0.0, 4.0, 16)},
+        kmv_cols={"text": 64},
+        fill_tiers=False,
+    )
+    out = run_stream_into_pipeline(
+        spark, src, pipe, raw_path=str(tmp_path / "sraw")
+    )
+    assert out["batches"] >= 2, out
+
+    ref = build_tiers(
+        t0, hist_cols={"token_count": (0.0, 4.0, 16)}, kmv_cols={"text": 64}
+    )["hourly"]
+    streamed = pipe.read_tier("hourly")
+
+    def rows(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    scols = ["conv_id", "bucket_start", "w_n_turns", "w_token_sum",
+             "w_token_min", "w_token_max"]
+    assert rows(sliding_state(streamed, 24), scols) == rows(
+        sliding_state(ref, 24), scols
+    )
+    pcols = ["conv_id", "bucket_start", "w_n", "p50_bin", "p95_bin"]
+    assert rows(
+        sliding_hist_percentile(streamed, "token_count_hist", 16, 24), pcols
+    ) == rows(sliding_hist_percentile(ref, "token_count_hist", 16, 24), pcols)
+    kcols = ["conv_id", "bucket_start", "w_distinct", "w_distinct_est"]
+    assert rows(sliding_kmv_distinct(streamed, "text_kmv64", 24), kcols) == rows(
+        sliding_kmv_distinct(ref, "text_kmv64", 24), kcols
+    )

@@ -384,6 +384,17 @@ class TierEngine:
             self.pipeline.read_tier("hourly"), col, cap, window_hours
         )
 
+    def serve_sliding_corr(
+        self, a_col: str, b_col: str, window_hours: int
+    ) -> DataFrame:
+        """Rolling Pearson correlation + regression beta between two
+        hourly tier metrics (M90) — one Window node over tier rows."""
+        from .sliding import sliding_corr
+
+        return sliding_corr(
+            self.pipeline.read_tier("hourly"), a_col, b_col, window_hours
+        )
+
     def serve_sliding(self, window_hours: int) -> DataFrame:
         """Trailing window_hours state merge at every observed hourly
         bucket (moving aggregates over the continuous aggregate) — RANGE

@@ -422,3 +422,71 @@ def sliding_hh(
         mg_truncate(merged, cap).alias("w_hh"),
         F.sum(F.col(hhn)).over(w).cast("long").alias("w_total"),
     )
+
+
+def sliding_corr(
+    hourly: DataFrame,
+    a_col: str = "n_turns",
+    b_col: str = "token_sum",
+    window_hours: int = 24,
+    keys: tuple[str, ...] = ("conv_id",),
+) -> DataFrame:
+    """M90: rolling Pearson correlation between two tier metrics at every
+    observed hourly bucket — "are volume and verbosity moving together
+    this day?" as a trailing series, from tier state only.
+
+    All six sufficient statistics (n, Σa, Σb, Σab, Σa², Σb²) are integer
+    SUMs over the same gap-correct RANGE frame — Catalyst folds them into
+    ONE Window node (one exchange, one sort) — and r plus the regression
+    slope are closed-form float expressions over them (sqrt and ÷ are
+    correctly rounded, so an oracle writing the identical tree matches
+    bit-for-bit). Windows with fewer than 2 buckets or zero variance on
+    either side are excluded by INTEGER predicates (n·Σa² − (Σa)² > 0) —
+    no float comparisons in the filter.
+    """
+    if window_hours <= 0:
+        raise ValueError(f"window_hours must be positive: {window_hours}")
+    h = (
+        observed_state(hourly)
+        .withColumn("_hidx", _hour_index())
+        .select(
+            *keys,
+            "bucket_start",
+            "_hidx",
+            F.col(a_col).cast("long").alias("_a"),
+            F.col(b_col).cast("long").alias("_b"),
+        )
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_hidx")
+        .rangeBetween(-(int(window_hours) - 1), 0)
+    )
+    s = h.select(
+        *keys,
+        "bucket_start",
+        F.count(F.lit(1)).over(w).alias("w_n"),
+        F.sum("_a").over(w).alias("sa"),
+        F.sum("_b").over(w).alias("sb"),
+        F.sum(F.col("_a") * F.col("_b")).over(w).alias("sab"),
+        F.sum(F.col("_a") * F.col("_a")).over(w).alias("saa"),
+        F.sum(F.col("_b") * F.col("_b")).over(w).alias("sbb"),
+    )
+    n, sa, sb = F.col("w_n"), F.col("sa"), F.col("sb")
+    sab, saa, sbb = F.col("sab"), F.col("saa"), F.col("sbb")
+    da = n * saa - sa * sa
+    db = n * sbb - sb * sb
+    num = n * sab - sa * sb
+    return (
+        s.filter((n >= 2) & (da > 0) & (db > 0))
+        .select(
+            *keys,
+            "bucket_start",
+            "w_n",
+            (
+                num.cast("double")
+                / (F.sqrt(da.cast("double")) * F.sqrt(db.cast("double")))
+            ).alias("corr"),
+            (num.cast("double") / da.cast("double")).alias("beta"),
+        )
+    )

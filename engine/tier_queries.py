@@ -2598,3 +2598,55 @@ def tier_sliding_hh_24h(spark, sf_dir):
         )
         .orderBy("conv_id", "bucket_start", "value")
     )
+
+
+@register(
+    "tier_sliding_corr_24h",
+    """
+    WITH t0 AS (
+      SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 8, '0')) AS conv_id,
+             ts, CAST(length(props) AS BIGINT) AS token_count
+      FROM events),
+    hourly AS (
+      SELECT conv_id,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hidx,
+             CAST(COUNT(*) AS BIGINT) AS a,
+             CAST(SUM(token_count) AS BIGINT) AS b
+      FROM t0 GROUP BY 1, 2, 3),
+    s AS (
+      SELECT conv_id, bucket_start,
+             CAST(COUNT(*) OVER w AS BIGINT) AS w_n,
+             CAST(SUM(a) OVER w AS BIGINT) AS sa,
+             CAST(SUM(b) OVER w AS BIGINT) AS sb,
+             CAST(SUM(a * b) OVER w AS BIGINT) AS sab,
+             CAST(SUM(a * a) OVER w AS BIGINT) AS saa,
+             CAST(SUM(b * b) OVER w AS BIGINT) AS sbb
+      FROM hourly
+      WINDOW w AS (PARTITION BY conv_id ORDER BY hidx
+                   RANGE BETWEEN 23 PRECEDING AND CURRENT ROW))
+    SELECT conv_id, bucket_start, w_n,
+           CAST(w_n * sab - sa * sb AS DOUBLE)
+             / (sqrt(CAST(w_n * saa - sa * sa AS DOUBLE))
+                * sqrt(CAST(w_n * sbb - sb * sb AS DOUBLE))) AS corr,
+           CAST(w_n * sab - sa * sb AS DOUBLE)
+             / CAST(w_n * saa - sa * sa AS DOUBLE) AS beta
+    FROM s
+    WHERE w_n >= 2 AND w_n * saa - sa * sa > 0 AND w_n * sbb - sb * sb > 0
+    ORDER BY conv_id, bucket_start
+    """,
+)
+def tier_sliding_corr_24h(spark, sf_dir):
+    """M90 rolling metric correlation (engine/sliding.py sliding_corr):
+    trailing-24h Pearson r and regression beta between hourly turn
+    volume and token sum per conversation — six integer window sums in
+    ONE Window node, zero-variance windows excluded by integer
+    predicates, and the two floats' identical expression trees put the
+    correlation series itself under the full-hash gate."""
+    from .sliding import sliding_corr
+
+    t0 = eio.transcripts_from_events(_t(spark, sf_dir, "events"))
+    tiers = erollup.build_tiers(t0)
+    return sliding_corr(tiers["hourly"], "n_turns", "token_sum", 24).orderBy(
+        "conv_id", "bucket_start"
+    )

@@ -482,3 +482,47 @@ def test_streamed_pipeline_serves_identical_sliding(spark, tmp_path):
     assert rows(sliding_kmv_distinct(streamed, "text_kmv64", 24), kcols) == rows(
         sliding_kmv_distinct(ref, "text_kmv64", 24), kcols
     )
+
+
+def test_sliding_corr_golden_and_plan(spark):
+    """M90: a window where b = 3a + 1 gives corr exactly 1.0 and beta 3;
+    constant-a windows are excluded by the integer variance predicate;
+    ONE Window node / one exchange."""
+    from engine.sliding import sliding_corr
+
+    rows = []
+    eid = 0
+    # conv c hours 0-3: a (turns) = 1,2,3,4 ; b (tokens) = 3a+1 via text len
+    for h, a in enumerate([1, 2, 3, 4]):
+        lens = [1] * (a - 1) + [3 * a + 1 - (a - 1)]  # sum of lens = 3a+1
+        for ln in lens:
+            rows.append(("c", eid, "user", "x" * ln, None,
+                         datetime(2024, 1, 1, h, eid % 60)))
+            eid += 1
+    # conv d: constant a=1, b=2 over 3 hours -> zero variance, excluded
+    for h in range(3):
+        rows.append(("d", eid, "user", "yy", None, datetime(2024, 1, 2, h)))
+        eid += 1
+    h = build_tiers(rows_df(spark, rows))["hourly"]
+    out = sliding_corr(h, "n_turns", "token_sum", 24)
+    got = {
+        (r["conv_id"], r["bucket_start"].hour): (r["w_n"], r["corr"], r["beta"])
+        for r in out.collect()
+    }
+    assert got[("c", 1)] == (2, 1.0, 3.0)
+    # perfect linearity up to sqrt rounding (sqrt(da)*sqrt(db) vs sqrt(da*db))
+    n4, c4, b4 = got[("c", 3)]
+    assert (n4, b4) == (4, 3.0) and abs(c4 - 1.0) < 1e-15
+    assert ("c", 0) not in got           # single-bucket window
+    assert not any(k[0] == "d" for k in got)  # zero variance excluded
+    with pytest.raises(ValueError, match="window_hours"):
+        sliding_corr(h, "n_turns", "token_sum", 0)
+
+    h.cache().count()
+    plan = (
+        sliding_corr(h, "n_turns", "token_sum", 24)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    op = plan.split("InMemoryTableScan")[0]
+    assert op.count("Exchange hashpartitioning") == 1, plan
+    assert op.count("+- Window") == 1, plan

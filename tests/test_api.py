@@ -188,3 +188,10 @@ def test_engine_window_analytics_front_door(spark, tmp_path):
     assert key_rows(eng.serve_burstiness(), bcols) == key_rows(
         burstiness_fano(hourly), bcols
     )
+
+    from engine.sliding import sliding_corr
+
+    ccols = ["conv_id", "bucket_start", "w_n", "corr", "beta"]
+    assert key_rows(
+        eng.serve_sliding_corr("n_turns", "token_sum", 12), ccols
+    ) == key_rows(sliding_corr(hourly, "n_turns", "token_sum", 12), ccols)

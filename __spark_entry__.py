@@ -26,6 +26,7 @@ import engine.multimodal  # noqa: F401,E402
 import engine.dedupindex  # noqa: F401,E402
 import engine.drift_queries  # noqa: F401,E402
 import engine.fileindex  # noqa: F401,E402
+import engine.graphrank  # noqa: F401,E402
 import engine.scrub  # noqa: F401,E402
 import engine.seqops  # noqa: F401,E402
 import engine.shardsink  # noqa: F401,E402

@@ -154,8 +154,8 @@ WITH s AS (
 ), st AS (
     SELECT event_type,
            COUNT(*) AS n_sample,
-           SUM(v) AS sum_sample,
-           SUM(v * v) AS sumsq_sample
+           CAST(SUM(v) AS BIGINT) AS sum_sample,
+           CAST(SUM(v * v) AS BIGINT) AS sumsq_sample
     FROM s GROUP BY event_type
 )
 SELECT event_type, n_sample, sum_sample, sumsq_sample,

@@ -379,7 +379,7 @@ def ab_conversion_ztest(spark, sf_dir):
     "new_value_alerts",
     """
     WITH vals AS (
-      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              event_type || '-' || json_extract_string(props, '$.k') AS value,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM events GROUP BY 1, 2),
@@ -389,7 +389,7 @@ def ab_conversion_ztest(spark, sf_dir):
     SELECT f.value, f.first_seen, v.n AS first_day_n
     FROM firsts f JOIN vals v
       ON v.value = f.value AND v.day = f.first_seen
-    WHERE f.first_seen >= DATE '2024-01-08'
+    WHERE f.first_seen >= TIMESTAMP '2024-01-08'
     ORDER BY f.first_seen, f.value
     """,
 )
@@ -408,4 +408,8 @@ def new_value_alerts(spark, sf_dir):
         F.concat(F.col("role"), F.lit("-"), F.get_json_object("text", "$.k")),
     )
     tiers = erollup.build_tiers(t0, freq_cols=["role"])
-    return freq_first_seen(tiers["daily"], "role", datetime(2024, 1, 8))
+    out = freq_first_seen(tiers["daily"], "role", datetime(2024, 1, 8))
+    # DATE columns land as python objects in pandas while the oracle's
+    # arrive as datetime64 — serve the canonical TIMESTAMP on both sides
+    # so the driver's value hash sees one dtype (the AQP-dtype lesson).
+    return out.withColumn("first_seen", F.col("first_seen").cast("timestamp"))

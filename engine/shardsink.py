@@ -189,7 +189,7 @@ from .queries import _t, register  # noqa: E402
              {_hash60_sql('doc_id')} AS h
       FROM documents)
     SELECT doc_id, n_tok,
-           SUM(n_tok) OVER w AS cum_tokens,
+           CAST(SUM(n_tok) OVER w AS BIGINT) AS cum_tokens,
            CAST(FLOOR((SUM(n_tok) OVER w - 1) / {SHARD_BUDGET}.0) AS BIGINT)
              AS shard
     FROM d

@@ -256,10 +256,10 @@ def tier_firstlast_pipeline_monthly(spark, sf_dir):
     SELECT conv_id,
            CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
            COUNT(*) AS n_turns,
-           SUM(token_count) AS token_sum,
+           CAST(SUM(token_count) AS BIGINT) AS token_sum,
            MIN(token_count) AS token_min,
            MAX(token_count) AS token_max,
-           SUM(is_tool) AS tool_sum
+           CAST(SUM(is_tool) AS BIGINT) AS tool_sum
     FROM t0 GROUP BY 1, 2
     """,
 )
@@ -1111,7 +1111,8 @@ def tier_role_freq_monthly(spark, sf_dir):
              role, COUNT(*) AS n
       FROM t0 GROUP BY 1, 2, 3)
     SELECT conv_id, bucket_start, role, n,
-           SUM(n) OVER (PARTITION BY conv_id, bucket_start) AS n_total
+           CAST(SUM(n) OVER (PARTITION BY conv_id, bucket_start) AS BIGINT)
+             AS n_total
     FROM c
     """,
 )

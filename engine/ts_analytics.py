@@ -834,11 +834,11 @@ def corr_value_length_daily(spark, sf_dir):
     """
     WITH f AS (
       SELECT o_custkey,
-             CAST(MIN(date_trunc('month', o_orderdate)) AS DATE) AS cohort
+             CAST(MIN(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS cohort
       FROM orders GROUP BY 1),
     a AS (
       SELECT DISTINCT o_custkey,
-             CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month
       FROM orders)
     SELECT f.cohort,
            CAST(datediff('month', f.cohort, a.month) AS BIGINT) AS offset_m,
@@ -856,11 +856,11 @@ def retention_cohorts_monthly(spark, sf_dir):
     count — no fact-table window."""
     e = _t(spark, sf_dir, "orders")
     f = e.groupBy("o_custkey").agg(
-        F.min(F.date_trunc("month", "o_orderdate")).cast("date").alias("cohort")
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
     )
     a = e.select(
         "o_custkey",
-        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.date_trunc("month", "o_orderdate").alias("month"),
     ).distinct()
     months_between = (
         (F.year("month") - F.year("cohort")) * 12

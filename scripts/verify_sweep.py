@@ -2,12 +2,19 @@
 entry() smoke + every queries() entry vs its DuckDB oracle at sf0.01.
 
 Usage: python scripts/verify_sweep.py [sf_dir] [name_substr ...]
+       python scripts/verify_sweep.py --json OUT.json [sf_dir] [name_substr ...]
+
 With name_substr args, only queries whose name contains any substring run.
 Prints one line per query and a final SUMMARY line; exit 1 on any failure.
+With --json, also writes a per-query artifact in the same shape as the
+driver's CORRECTNESS_r*.json ({name: {rows_match, schema_match, hash_match,
+spark_rows, oracle_rows, err}}) so the full registered set carries
+machine-auditable evidence each round, not just the driver's subset.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import traceback
@@ -18,7 +25,13 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    pats = argv[1:]
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.ui.enabled", "false")
@@ -30,38 +43,61 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as m
-    from tests.oracle_utils import assert_frames_match, duck_run
+    from tests.oracle_utils import assert_frames_match, duck_run, normalize
 
     n = len(m.entry(spark).limit(5).collect())
     print(f"entry_smoke: {n} rows OK", flush=True)
 
     queries = m.queries()
     oracles = m.oracle_sql()
-    if len(sys.argv) > 2:
-        pats = sys.argv[2:]
+    if pats:
         queries = {k: v for k, v in queries.items() if any(p in k for p in pats)}
+    report: dict[str, dict] = {}
     full = rows_only = failed = 0
     for name in sorted(queries):
+        rec = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
         try:
             spark_pdf = queries[name](spark, sf_dir).toPandas()
+            rec["spark_rows"] = int(spark_pdf.shape[0])
             sql = oracles.get(name)
             if sql is None:
-                assert spark_pdf.shape[0] >= 0
                 rows_only += 1
+                rec["err"] = "no_oracle"
                 print(f"{name}: rows-only ({len(spark_pdf)} rows)", flush=True)
                 continue
             duck_pdf = duck_run(sf_dir, sql)
+            rec["oracle_rows"] = int(duck_pdf.shape[0])
+            a, b = normalize(spark_pdf), normalize(duck_pdf)
+            rec["schema_match"] = list(a.columns) == list(b.columns)
+            rec["rows_match"] = len(a) == len(b)
             assert_frames_match(spark_pdf, duck_pdf, name)
+            rec["hash_match"] = True
             full += 1
             print(f"{name}: MATCH ({len(spark_pdf)} rows)", flush=True)
         except Exception as e:  # noqa: BLE001
             failed += 1
+            if rec["hash_match"] is None and rec["err"] is None:
+                rec["hash_match"] = False
+                rec["err"] = str(e)[:500]
             print(f"{name}: FAIL {e}", flush=True)
             traceback.print_exc()
+        finally:
+            report[name] = rec
     print(
         f"SUMMARY: {full} full-match, {rows_only} rows-only, {failed} failed "
         f"of {len(queries)} at {sf_dir}"
     )
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(report)} queries)")
     return 1 if failed else 0
 
 

@@ -50,12 +50,33 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    return "object"
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     assert list(a.columns) == list(b.columns), (
         f"{name}: columns differ: {list(a.columns)} vs {list(b.columns)}"
     )
     assert len(a) == len(b), f"{name}: row counts differ: {len(a)} vs {len(b)}"
+    # The driver hashes VALUES, so int64 123 vs float64 123.0 is a mismatch
+    # even when == coerces — compare post-normalize dtype kinds too.
+    for c in a.columns:
+        ka = _dtype_kind(a[c])
+        kb = _dtype_kind(b[c])
+        assert ka == kb, (
+            f"{name}: column {c} dtype kind differs: spark={a[c].dtype} ({ka}) "
+            f"vs duckdb={b[c].dtype} ({kb}) — driver hash would mismatch"
+        )
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av):

@@ -1058,6 +1058,96 @@ def holt_linear_user_values(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# M95: Holt-Winters additive seasonal (phase-decomposed)
+# ---------------------------------------------------------------------------
+
+HW_PERIOD = 24  # seasonal period: hour-of-day
+
+
+def hw_additive_phase(
+    df, key_cols: list[str], bucket_col: str, value_col: str, period: int = HW_PERIOD
+):
+    """Additive-seasonal Holt smoothing by PHASE DECOMPOSITION: the series is
+    split into `period` phase subsequences (same hour-of-day), and each phase
+    gets its own independent Holt (Brown's double-exponential) level+trend
+    recurrence over its own history. The recombined forecast for a future
+    bucket is the forecast of its phase — level, trend, AND seasonal shape
+    all adapt, which is the additive-seasonal behaviour the coupled
+    Holt-Winters triple recurrence provides.
+
+    Why not the coupled recurrence: HW proper threads one scalar
+    (level, trend) state through EVERY step while the seasonal term updates
+    each step mod p — inherently sequential scalar state that only runs as a
+    per-row Python loop. The phase decomposition replaces it with p
+    independent recurrences per series, each of which is pandas' C-level ewm
+    kernel over one Arrow batch (partitionBy (series, phase)) — no per-row
+    Python anywhere, and MORE parallelism (series × period groups) at 100 TB,
+    at the cost of the level reacting only to its own phase's observations.
+
+    Missing buckets are skipped (the recurrence runs over observed
+    subsequence steps); pair with the gap-fill operators upstream when
+    evenly-spaced semantics are required. Returns the input decorated with
+    (phase, level, trend, forecast_next), where forecast_next predicts this
+    phase's NEXT occurrence (bucket + period hours)."""
+    # phase = hour-of-day for period 24; any divisor of 24 works the same way
+    src = df.withColumn("phase", (F.hour(bucket_col) % period).cast("int"))
+    a = HOLT_ALPHA
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bucket_col, ignore_index=True)
+        s1 = pdf[value_col].ewm(alpha=a, adjust=False).mean()
+        s2 = s1.ewm(alpha=a, adjust=False).mean()
+        pdf["level"] = 2.0 * s1 - s2
+        pdf["trend"] = a / (1.0 - a) * (s1 - s2)
+        pdf["forecast_next"] = pdf["level"] + pdf["trend"]
+        return pdf
+
+    fields = ", ".join(
+        [f"{k} {t}" for k, t in zip(key_cols, ["bigint"] * len(key_cols))]
+        + [f"{bucket_col} timestamp", f"{value_col} double", "phase int"]
+        + ["level double", "trend double", "forecast_next double"]
+    )
+    return src.groupBy(*key_cols, "phase").applyInPandas(smooth, fields)
+
+
+@register("holtwinters_additive_hourly")  # rows-only: recursive per-phase state
+def holtwinters_additive_hourly(spark, sf_dir):
+    """M95: additive-seasonal forecasting baseline over per-user hourly value
+    series (period 24 = hour-of-day), via phase-decomposed Holt recurrences —
+    see hw_additive_phase. Input hourly points are exact integer-cent sums
+    (one final division), so the float recurrence consumes identical inputs
+    under any shuffle; the recurrence itself is pytest-pinned against the
+    literal per-phase formula (tests/test_ts_analytics_hw.py)."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg((F.sum(cents(F.col("value"))) / 100.0).alias("v"))
+    )
+    out = hw_additive_phase(hourly, ["user_id"], "bucket", "v")
+    return out.select(
+        "user_id", "bucket", "phase", "v", "level", "trend", "forecast_next"
+    )
+
+
+def hw_next_period_forecast(decorated, key_cols: list[str], bucket_col: str):
+    """Recombine the per-phase recurrences into the next full period's
+    forecast: one row per (series, phase) carrying the LAST state of that
+    phase and the bucket it predicts (last occurrence + period). One
+    partial+final max-struct aggregate over the decorated frame."""
+    last = decorated.groupBy(*key_cols, "phase").agg(
+        F.max(F.struct(bucket_col, "forecast_next")).alias("s")
+    )
+    return last.select(
+        *key_cols,
+        "phase",
+        (F.col(f"s.{bucket_col}") + F.expr(f"INTERVAL {HW_PERIOD} HOURS")).alias(
+            "forecast_bucket"
+        ),
+        F.col("s.forecast_next").alias("forecast"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # M41: lead-lag detection — lagged cross-correlation from the hourly tier
 # ---------------------------------------------------------------------------
 

@@ -280,6 +280,25 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         rebuild_trial() for _ in range(BENCH_STAGE_TRIALS)
     )
 
+    # PQ coarse re-rank on the stored index (round-5): same probe budget,
+    # candidates scored from 16-byte codes (lists scan column-prunes the
+    # vector column — plan-asserted in tests/test_pq.py), only the top-40
+    # survivors fetch full vectors. At this SF both paths are
+    # scheduler-bound; the row exists so the PQ plan's cost is tracked
+    # round-over-round next to its exact twin.
+    pq_root = os.path.join(base, "bench_simindex_pq")
+    shutil.rmtree(pq_root, ignore_errors=True)
+    pq_idx = SimIndex(spark, pq_root, pq_m=16, pq_ks=32)
+    pq_idx.ingest(em, "all")
+    timings["index_pq_search"] = best(
+        lambda: pq_idx.ivf_topk(
+            F.col("vec_id") < 10, nprobe=4, topk=5, pq_rerank=40
+        )
+    )
+    timings["index_exact_search"] = best(
+        lambda: pq_idx.ivf_topk(F.col("vec_id") < 10, nprobe=4, topk=5)
+    )
+
     # dedup scale-stress (VERDICT r3 #8): 50k synthetic docs with a planted
     # 5k-doc mega-cluster; the star+chain candidate count vs the quadratic
     # all-pairs counterfactual is logged so candidate-explosion regressions

@@ -83,12 +83,21 @@ class SimIndex:
         n_tables: int = 6,
         planes_per_table: int = 5,
         k: int = 16,
+        pq_m: int = 0,
+        pq_ks: int = 16,
     ):
+        """`pq_m` > 0 enables product-quantization codes on the inverted
+        lists (engine/pq.py): every ingested vector also stores an
+        m-subspace code, and `ivf_topk(pq_rerank=R)` scores candidates
+        from codes alone before fetching full vectors for the exact
+        top-k — the I/O shape that survives 1000× vector-store growth."""
         self.spark = spark
         self.root = root
         self.n_tables = n_tables
         self.planes_per_table = planes_per_table
         self.k = k
+        self.pq_m = pq_m
+        self.pq_ks = pq_ks
         self.manifest = Manifest(spark, os.path.join(root, "_manifest"))
 
     # -- stores --------------------------------------------------------------
@@ -183,10 +192,50 @@ class SimIndex:
         )
         return f"cent:{r['n']}:{r['x']}"
 
-    def _config_token(self) -> str:
-        return (
-            f"lsh:{self.n_tables}x{self.planes_per_table}|{self.centroid_token()}"
+    # -- PQ codebooks (frozen at build; retrain = config change) -------------
+    def build_pq(self, em: DataFrame) -> str:
+        """Train and persist the PQ sub-codebooks (engine/pq.py). Returns
+        the codebook content token; like centroid retraining, a codebook
+        change alters every batch fingerprint and marks the index for
+        re-encoding."""
+        from .pq import codebooks_to_df, train_codebooks
+
+        cbs = train_codebooks(em, self.pq_m, self.pq_ks)
+        store = self._store("pq")
+        sid = store.begin("train")
+        try:
+            codebooks_to_df(self.spark, cbs).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(store.snapshot_path(sid), "data"))
+        except Exception:
+            store.abort(sid)
+            raise
+        store.publish(sid)
+        return self.pq_token()
+
+    def pq_codebooks(self):
+        from .pq import df_to_codebooks
+
+        return df_to_codebooks(self._read("pq"))
+
+    def pq_token(self) -> str:
+        if not self._has("pq"):
+            return "pq:none"
+        r = (
+            self._read("pq")
+            .select(
+                F.xxhash64("sub", "code", F.col("ce").cast("string")).alias("h")
+            )
+            .agg(F.bit_xor("h").alias("x"), F.count("*").alias("n"))
+            .first()
         )
+        return f"pq:{self.pq_m}x{self.pq_ks}:{r['n']}:{r['x']}"
+
+    def _config_token(self) -> str:
+        tok = f"lsh:{self.n_tables}x{self.planes_per_table}|{self.centroid_token()}"
+        if self.pq_m:
+            tok += f"|{self.pq_token()}"
+        return tok
 
     # -- ingest --------------------------------------------------------------
     def ingest(self, em: DataFrame, batch_id: str, run_id: str | None = None) -> dict:
@@ -199,6 +248,8 @@ class SimIndex:
             raise ValueError(f"{MERGED_BATCH!r} is reserved for compact()")
         if not self._has("centroids"):
             self.build_centroids(em)
+        if self.pq_m and not self._has("pq"):
+            self.build_pq(em)
         run_id = run_id or new_run_id()
         work = work_manifest(
             em.withColumn("_b", F.lit(batch_id)),
@@ -252,13 +303,18 @@ class SimIndex:
         # its own store directory.
         from concurrent.futures import ThreadPoolExecutor
 
+        ivf_rows = asn.select(bcol, "vec_id", "e", "nrm", "cid")
+        if self.pq_m:
+            from .pq import encode_codes
+
+            ivf_rows = encode_codes(ivf_rows, self.pq_codebooks())
         writes = [
             (
                 "lsh",
                 new_buckets.select(bcol, "vec_id", "tbl", "bucket"),
                 ["batch", "tbl", "bucket"],
             ),
-            ("ivf", asn.select(bcol, "vec_id", "e", "nrm", "cid"), ["batch", "cid"]),
+            ("ivf", ivf_rows, ["batch", "cid"]),
             ("vectors", v.select(bcol, "vec_id", "e", "nrm"), ["batch"]),
             ("pairs", pairs.select(bcol, "vec_a", "vec_b", "sim"), ["batch"]),
         ]
@@ -512,7 +568,8 @@ class SimIndex:
         return self._read("pairs").select("vec_a", "vec_b", "sim")
 
     def ivf_topk(
-        self, query_filter, nprobe: int = 4, topk: int = 5
+        self, query_filter, nprobe: int = 4, topk: int = 5,
+        pq_rerank: int | None = None,
     ) -> DataFrame:
         """IVF search against the STORED lists: queries (vector-store rows
         matching `query_filter`) are assigned to their nprobe nearest
@@ -539,6 +596,40 @@ class SimIndex:
         lists = self._read("ivf")
         sim_x = _dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))
         w_r = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid2")
+        if pq_rerank is not None:
+            # PQ coarse re-rank (engine/pq.py): the probe scan reads only
+            # (vec_id, codes, nrm) from the lists — NOT the vector column —
+            # scores candidates from codes, and only the `pq_rerank`
+            # survivors per query fetch their full vectors for the exact
+            # top-k. With pq_rerank ≥ the candidate count this equals the
+            # exact path bit-for-bit (pytest-pinned).
+            if not self.pq_m:
+                raise ValueError("pq_rerank requires SimIndex(pq_m>0)")
+            from .pq import pq_prune
+
+            cand = (
+                lists.join(F.broadcast(probes), lists.cid == probes.qcid)
+                .filter(F.col("vec_id") != F.col("qid"))
+                .select("qid", "qe", "qnrm", "vec_id", "nrm", "codes")
+            )
+            kept = pq_prune(cand, self.pq_codebooks(), pq_rerank)
+            vecs = self.vectors().select(
+                F.col("vec_id"), F.col("e"), F.col("nrm")
+            )
+            qs = probes.select("qid", "qe", "qnrm").distinct()
+            return (
+                kept.join(vecs, "vec_id")
+                .join(F.broadcast(qs), "qid")
+                .select(
+                    "qid", F.col("vec_id").alias("cid2"), sim_x.alias("sim")
+                )
+                .withColumn("rn", F.row_number().over(w_r))
+                .filter(F.col("rn") <= topk)
+                .select(
+                    "qid", F.col("cid2").alias("cid"),
+                    F.round("sim", 6).alias("sim"), F.col("rn").cast("int"),
+                )
+            )
         return (
             lists.join(F.broadcast(probes), lists.cid == probes.qcid)
             .filter(F.col("vec_id") != F.col("qid"))

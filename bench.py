@@ -789,8 +789,93 @@ def write_baseline_md(scal: dict, bench: dict) -> None:
         f.write("\n".join(lines) + "\n" + history)
 
 
+#: sf1 relational subset (VERDICT r4 item 4): at sf0.1 most relational rows
+#: sit at 0.3-1.2s — inside single-stage steal noise — so the 2× gate needs
+#: a bigger input to mean anything. `--sf1` deterministically upsamples the
+#: sf0.1 fact tables 10× (6M lineitem) and times these with the same
+#: min-of-N protocol.
+SF1_QUERIES = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "window_topk_orders",
+    "region_nation_rollup",
+    "semi_join_customers",
+    "running_revenue",
+]
+
+
+def make_sf1(spark, src_dir: str, dst_dir: str) -> None:
+    """Deterministic 10× upsample of the sf0.1 relational tables: each copy
+    i offsets every key column by i·(max_key+1), so join fan-out, group
+    cardinalities, and window partition counts all scale with the data
+    (pure row duplication without key offsets would just deepen per-key
+    skew). Dimension tables are carried over unchanged — dims are dims.
+    Content is a pure function of the source tables: no RNG anywhere."""
+    if os.path.exists(os.path.join(dst_dir, "_DONE")):
+        return
+    os.makedirs(dst_dir, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    rep = F.broadcast(
+        spark.range(10).select(F.col("id").alias("_rep"))
+    )
+    fact_keys = {
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "customer": ["c_custkey"],
+    }
+    for t in ["region", "nation", "supplier", "part", "events",
+              "documents", "embeddings"]:
+        src = os.path.join(src_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            spark.read.parquet(src).write.mode("overwrite").parquet(
+                os.path.join(dst_dir, f"{t}.parquet")
+            )
+    for t, keys in fact_keys.items():
+        df = spark.read.parquet(os.path.join(src_dir, f"{t}.parquet"))
+        offs = {k: df.agg(F.max(k)).first()[0] + 1 for k in keys}
+        out = df.crossJoin(rep)
+        for k, off in offs.items():
+            out = out.withColumn(k, F.col(k) + F.col("_rep") * F.lit(off))
+        out.drop("_rep").write.mode("overwrite").parquet(
+            os.path.join(dst_dir, f"{t}.parquet")
+        )
+    with open(os.path.join(dst_dir, "_DONE"), "w") as f:
+        f.write("ok")
+
+
+def run_sf1(src_dir: str, cpus: int) -> dict:
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    sf1_dir = os.path.join(base, "bench_sf1")
+    spark = build_session(cpus, app="bench-sf1")
+    make_sf1(spark, src_dir, sf1_dir)
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    timings = {}
+    for name in SF1_QUERIES:
+        timings[f"sf1_{name}"] = round(
+            min(
+                _timed(lambda n=name: _noop(qs[n](spark, sf1_dir)))[0]
+                for _ in range(BENCH_STAGE_TRIALS)
+            ),
+            3,
+        )
+    return {
+        "metric": "sf1_relational_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 1.0,
+        "loadavg": open("/proc/loadavg").read().split()[:3],
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--sf1", action="store_true",
+                    help="time the relational subset on a deterministic 10x "
+                         "upsample of --sf-dir (6M-row lineitem)")
     ap.add_argument("--scaling", action="store_true",
                     help="two-parallelism scaling evidence -> BENCH/BASELINE.md")
     ap.add_argument("--scaling-only", action="store_true",
@@ -812,6 +897,9 @@ def main():
 
     if args.scale_worker:
         print(json.dumps(scale_worker(args.scale_worker, args.table_path)))
+        return
+    if args.sf1:
+        print(json.dumps(run_sf1(args.sf_dir, args.cpus)))
         return
     if args.scaling_only:
         levels = tuple(int(x) for x in args.levels.split(","))

@@ -803,3 +803,97 @@ def doc_repetition_scores(spark, sf_dir):
         (F.count("*") * 1.0 / F.sum("c")).alias("unique_ratio"),
         (F.max("c") * 1.0 / F.sum("c")).alias("top_token_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M97: feature-hashed bag-of-words cosine similarity (hashing trick)
+# ---------------------------------------------------------------------------
+
+#: hashed vector dimensionality, bounded query-doc set, and result depth
+_HB_DIMS = 64
+_HB_QUERY_DOCS = 20
+_HB_TOPK = 5
+
+_HB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents),
+vec AS (
+  SELECT doc_id, CAST(({_tokhash_sql('w')}) % {_HB_DIMS} AS BIGINT) AS dim,
+         COUNT(*) AS cnt
+  FROM tok GROUP BY 1, 2),
+n2 AS (SELECT doc_id, CAST(SUM(cnt * cnt) AS BIGINT) AS n2 FROM vec GROUP BY 1),
+q AS (SELECT doc_id AS qid, dim, cnt AS qcnt FROM vec
+      WHERE doc_id < {_HB_QUERY_DOCS}),
+dots AS (
+  SELECT q.qid, v.doc_id, CAST(SUM(q.qcnt * v.cnt) AS BIGINT) AS dot
+  FROM q JOIN vec v USING (dim) WHERE v.doc_id <> q.qid GROUP BY 1, 2),
+sim AS (
+  SELECT d.qid, d.doc_id, d.dot,
+         d.dot / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+  FROM dots d JOIN n2 a ON a.doc_id = d.qid JOIN n2 b ON b.doc_id = d.doc_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id)
+        AS rn FROM sim)
+SELECT qid, doc_id, dot, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= {_HB_TOPK}
+"""
+
+
+@register("hashed_bow_cosine_topk", _HB_SQL)
+def hashed_bow_cosine_topk(spark, sf_dir):
+    """M97: document similarity by the HASHING TRICK — each doc becomes a
+    {_HB_DIMS}-dim integer term-frequency vector (dim = portable token hash
+    mod {_HB_DIMS}; no vocabulary, no training, the scale property), and
+    similarity is sparse integer dot products: queries are a bounded
+    broadcast set joined on `dim`, so the fan-out is |queries|·|corpus|
+    postings, never corpus². Because counts, dots and norms² are exact
+    integers, the final cosine `dot / (sqrt(n2_q)·sqrt(n2_c))` is the SAME
+    correctly-rounded IEEE expression in both engines — the top-k order and
+    the hash are bit-deterministic with no rounding step. Complements the
+    MinHash (set overlap), SimHash (bit planes) and dense-embedding ANN
+    families with the classic streaming-friendly sparse-vector space."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens_col()).alias("w"))
+    vec = (
+        tok.select("doc_id", (tok_hash(F.col("w")) % _HB_DIMS).alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    n2 = vec.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("n2")
+    )
+    q = vec.filter(F.col("doc_id") < _HB_QUERY_DOCS).select(
+        F.col("doc_id").alias("qid"), "dim", F.col("cnt").alias("qcnt")
+    )
+    dots = (
+        F.broadcast(q)
+        .join(vec, "dim")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(F.col("qcnt") * F.col("cnt")).cast("long").alias("dot"))
+    )
+    qn = n2.select(F.col("doc_id").alias("qid"), F.col("n2").alias("qn2"))
+    sim = (
+        dots.join(F.broadcast(qn), "qid")
+        .join(n2, "doc_id")
+        .select(
+            "qid",
+            "doc_id",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("n2").cast("double"))
+                )
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "doc_id")
+    return (
+        sim.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HB_TOPK)
+        .select("qid", "doc_id", "dot", "cos", F.col("rn").cast("int").alias("rn"))
+    )

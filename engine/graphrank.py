@@ -79,19 +79,25 @@ def pagerank_integer(
     n_iter: int = N_ITER,
     seed_pred: F.Column | None = None,
     checkpoint_every: int | None = 8,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Deterministic integer PageRank over a symmetric (src, dst) edge set.
 
-    rank_{t+1}(v) = tele(v) + Σ_{u→v} (rank_t(u) * 17) div (20 * deg(u)),
-    all in 2^-30 integer units. With ``seed_pred`` (a boolean Column over
-    ``node``) the teleport/init mass is restricted to seed nodes —
-    personalized PageRank. Returns (node, rank) with rank BIGINT.
+    rank_{t+1}(v) = tele(v) + Σ_{u→v} (rank_t(u) * 17 * w_uv) div
+    (20 * W(u)), all in 2^-30 integer units, where w_uv is the integer
+    edge weight (1 without ``weight_col``) and W(u) the node's total
+    out-weight — unweighted behaviour is the w=1 special case, exactly.
+    With ``seed_pred`` (a boolean Column over ``node``) the teleport/init
+    mass is restricted to seed nodes — personalized PageRank. Returns
+    (node, rank) with rank BIGINT.
 
     Every iteration's state is one row per node; lineage is cut with
     localCheckpoint every ``checkpoint_every`` rounds so long runs don't
     accrete a 2·n_iter-join plan.
     """
-    deg = edges_sym.groupBy("src").agg(F.count("*").alias("deg"))
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    edges_sym = edges_sym.select("src", "dst", w.cast("long").alias("_w"))
+    deg = edges_sym.groupBy("src").agg(F.sum("_w").alias("deg"))
     es = edges_sym.join(deg, "src")
     if seed_pred is None:
         tele = F.lit(TELEPORT)
@@ -110,7 +116,7 @@ def pagerank_integer(
             es.join(r.withColumnRenamed("node", "src"), "src")
             .select(
                 "dst",
-                F.expr(f"(rank * {D_NUM}) div ({D_DEN} * deg)").alias("c"),
+                F.expr(f"(rank * {D_NUM} * _w) div ({D_DEN} * deg)").alias("c"),
             )
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
@@ -203,21 +209,37 @@ def triangles(proj: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _pr_cte(tele_expr: str, init_expr: str, n_iter: int = N_ITER) -> str:
+#: default (bipartite, unit-weight) edge CTEs for _pr_cte
+_PR_EDGES = (
+    f"eb AS ({_EB_SQL}),\n"
+    "e AS (SELECT conv AS src, tool AS dst, CAST(1 AS BIGINT) AS w FROM eb"
+    " UNION ALL SELECT tool AS src, conv AS dst, CAST(1 AS BIGINT) AS w FROM eb)"
+)
+
+
+def _pr_cte(
+    tele_expr: str,
+    init_expr: str,
+    n_iter: int = N_ITER,
+    edges_cte: str = _PR_EDGES,
+) -> str:
     """Unrolled integer-PageRank CTE chain ending in r{n_iter}(node, rk).
-    DuckDB's `//` and Spark's `div` agree (floor) for nonnegative operands."""
+    `edges_cte` must define e(src, dst, w); contributions are the weighted
+    recurrence (rk·17·w) // (20·W(u)) — DuckDB's `//` and Spark's `div`
+    agree (floor) for nonnegative operands, and unit weights reduce to the
+    unweighted rule exactly."""
     parts = [
-        f"eb AS ({_EB_SQL})",
-        "e AS (SELECT conv AS src, tool AS dst FROM eb"
-        " UNION ALL SELECT tool AS src, conv AS dst FROM eb)",
-        "deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1)",
+        edges_cte,
+        "deg AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS deg"
+        " FROM e GROUP BY 1)",
         f"n AS (SELECT node, CAST({tele_expr} AS BIGINT) AS tele FROM deg)",
         f"r0 AS (SELECT node, CAST({init_expr} AS BIGINT) AS rk FROM n)",
     ]
     for i in range(1, n_iter + 1):
         parts.append(
             f"c{i} AS (SELECT e.dst AS node,"
-            f" CAST(SUM((r.rk * {D_NUM}) // ({D_DEN} * d.deg)) AS BIGINT) AS c"
+            f" CAST(SUM((r.rk * {D_NUM} * e.w) // ({D_DEN} * d.deg))"
+            f" AS BIGINT) AS c"
             f" FROM e JOIN r{i - 1} r ON e.src = r.node"
             f" JOIN deg d ON e.src = d.node GROUP BY 1)"
         )
@@ -385,4 +407,51 @@ def tool_triangle_count(spark, sf_dir):
         )
         .orderBy(F.desc("triangles"), "node")
         .limit(20)
+    )
+
+
+_WPR_MIN_SHARED = 2
+
+_WPR_EDGES = f"""eb AS ({_EB_SQL}),
+p AS (SELECT a.tool AS tool_a, b.tool AS tool_b,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM eb a JOIN eb b ON a.conv = b.conv AND a.tool < b.tool
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_WPR_MIN_SHARED}),
+e AS (SELECT tool_a AS src, tool_b AS dst, w FROM p
+      UNION ALL SELECT tool_b AS src, tool_a AS dst, w FROM p)"""
+
+_WPR_SQL = (
+    _pr_cte(str(TELEPORT), str(SCALE), edges_cte=_WPR_EDGES)
+    + f"""
+SELECT node, rk AS rank_scaled
+FROM r{N_ITER} ORDER BY rank_scaled DESC, node LIMIT 25
+"""
+)
+
+
+@register("pagerank_tool_weighted", _WPR_SQL)
+def pagerank_tool_weighted(spark, sf_dir):
+    """M91 weighted variant: integer PageRank over the tool–tool projection
+    with edge weight = shared conversations (threshold ≥ 2) — each node's
+    mass splits proportionally to integer edge weights, still floor-div
+    exact: contribution = (rank·17·w) div (20·W(u)). Centrality on the
+    co-usage graph rather than the raw bipartite one."""
+    eb = bipartite_edges(spark, sf_dir)
+    p = project_tools(eb, min_shared=_WPR_MIN_SHARED)
+    sym = p.select(
+        F.col("tool_a").alias("src"),
+        F.col("tool_b").alias("dst"),
+        F.col("shared_convs").alias("w"),
+    ).unionAll(
+        p.select(
+            F.col("tool_b").alias("src"),
+            F.col("tool_a").alias("dst"),
+            F.col("shared_convs").alias("w"),
+        )
+    )
+    r = pagerank_integer(sym, checkpoint_every=None, weight_col="w")
+    return (
+        r.select("node", F.col("rank").alias("rank_scaled"))
+        .orderBy(F.desc("rank_scaled"), "node")
+        .limit(25)
     )

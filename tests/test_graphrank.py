@@ -180,3 +180,43 @@ def test_triangles_on_triangle_free_graph(spark):
     )
     t = triangles(project_tools(eb))
     assert all(r["triangles"] == 0 for r in t.collect())
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    wpairs = [("a", "b", 3), ("b", "c", 1), ("c", "d", 2), ("hub", "a", 5),
+              ("hub", "c", 1), ("x", "y", 7)]
+    df = spark.createDataFrame(wpairs, ["src", "dst", "w"])
+    sym = df.unionAll(
+        df.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(sym, n_iter=4, weight_col="w").collect()
+    }
+    # literal weighted recurrence on the driver
+    edges = wpairs + [(b, a, w) for a, b, w in wpairs]
+    nodes = sorted({u for u, v, _ in edges} | {v for _, v, _ in edges})
+    W = {n: 0 for n in nodes}
+    for u, _, w in edges:
+        W[u] += w
+    rank = {n: SCALE for n in nodes}
+    for _ in range(4):
+        new = {n: TELEPORT for n in nodes}
+        for u, v, w in edges:
+            new[v] += (rank[u] * D_NUM * w) // (D_DEN * W[u])
+        rank = new
+    assert got == rank
+
+
+def test_weighted_unit_equals_unweighted(spark):
+    sym = _sym(spark, EDGES)
+    unw = sorted(map(tuple, pagerank_integer(sym, n_iter=4).collect()))
+    wtd = sorted(
+        map(
+            tuple,
+            pagerank_integer(
+                sym.withColumn("w", F.lit(1)), n_iter=4, weight_col="w"
+            ).collect(),
+        )
+    )
+    assert unw == wtd

@@ -41,3 +41,13 @@ def test_rollup_stage_not_cache_substituted(spark):
     df2.write.format("noop").mode("overwrite").save()
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("InMemoryTableScan") > mem_scans
+
+
+def test_sf1_queries_are_registered():
+    """Every sf1-subset name must exist in the driver registry (the sf1
+    mode reuses the same callables on the upsampled tables)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in bench.SF1_QUERIES:
+        assert name in qs, name

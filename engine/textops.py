@@ -842,8 +842,8 @@ SELECT qid, doc_id, dot, cos, CAST(rn AS INT) AS rn FROM r WHERE rn <= {_HB_TOPK
 @register("hashed_bow_cosine_topk", _HB_SQL)
 def hashed_bow_cosine_topk(spark, sf_dir):
     """M97: document similarity by the HASHING TRICK — each doc becomes a
-    {_HB_DIMS}-dim integer term-frequency vector (dim = portable token hash
-    mod {_HB_DIMS}; no vocabulary, no training, the scale property), and
+    fixed-64-dim integer term-frequency vector (dim = portable token hash
+    mod _HB_DIMS; no vocabulary, no training, the scale property), and
     similarity is sparse integer dot products: queries are a bounded
     broadcast set joined on `dim`, so the fan-out is |queries|·|corpus|
     postings, never corpus². Because counts, dots and norms² are exact

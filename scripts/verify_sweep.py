@@ -24,9 +24,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession  # noqa: E402
 
 
+def determinism_probe(spark) -> bool:
+    """Recipe step 3: the tier pipeline on the synthetic table must produce
+    an identical sorted-frame hash at two shuffle layouts (integer-backed
+    tier state guarantees it). Returns True on match."""
+    import pandas as pd
+
+    from engine.rollup import build_tiers, tier_view
+    from engine.synth import synth_transcripts
+
+    t0 = synth_transcripts(spark, n_convs=40, hot_turns=400)
+    hashes = []
+    for parts in ("4", "32"):
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        m = tier_view(build_tiers(t0)["monthly"], "monthly").toPandas()
+        m = m[sorted(m.columns)].sort_values(
+            by=sorted(m.columns), ignore_index=True
+        )
+        hashes.append(int(pd.util.hash_pandas_object(m.astype(str)).sum()))
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    print(f"determinism_probe: {'MATCH' if hashes[0] == hashes[1] else 'MISMATCH'}"
+          f" ({hashes[0]} vs {hashes[1]})")
+    return hashes[0] == hashes[1]
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     json_out = None
+    probe = False
+    if argv and argv[0] == "--determinism":
+        probe = True
+        argv = argv[1:]
     if argv and argv[0] == "--json":
         json_out = argv[1]
         argv = argv[2:]
@@ -47,6 +75,9 @@ def main() -> int:
 
     n = len(m.entry(spark).limit(5).collect())
     print(f"entry_smoke: {n} rows OK", flush=True)
+
+    if probe:
+        return 0 if determinism_probe(spark) else 1
 
     queries = m.queries()
     oracles = m.oracle_sql()

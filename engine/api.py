@@ -480,6 +480,111 @@ class TierEngine:
             self.pipeline.read_tier("hourly"), min_gap_hours
         )
 
+    # -- graph analytics from freq tier state (M91-M94; raw never read) ----
+    def graph_edges(self, col: str, tier: str = "monthly") -> DataFrame:
+        """Weighted conv↔value bipartite edges recovered ENTIRELY from the
+        `<col>_freq` map tier state: (conv_id, value, weight) with weight =
+        the tier-summed count. The freq maps preserve the full incidence
+        structure, so graph analytics never re-reads raw turns — the same
+        property every other serve_* method banks on. Gap-filled rows are
+        excluded (their maps are LOCF carries, not observations)."""
+        from .rollup import observed_state
+
+        t = observed_state(self.pipeline.read_tier(tier))
+        fq = f"{col}_freq"
+        if fq not in t.columns:
+            raise ValueError(
+                f"{tier} tier has no {fq!r} state — configure freq_cols"
+            )
+        return (
+            t.select("conv_id", F.explode(F.col(fq)).alias("value", "w"))
+            .groupBy("conv_id", "value")
+            .agg(F.sum("w").alias("w"))
+        )
+
+    def serve_pagerank(
+        self,
+        col: str,
+        tier: str = "monthly",
+        n_iter: int = 4,
+        seed_pred=None,
+        weighted: bool = True,
+    ) -> DataFrame:
+        """Integer-exact PageRank over the conv↔value graph from freq tier
+        state (engine/graphrank.py): conversation nodes are 'c:'-prefixed,
+        value nodes 'v:'-prefixed; with `weighted`, mass splits by the
+        tier-summed co-occurrence counts. Returns (node, rank) in 2^-30
+        units — bit-identical under any partitioning."""
+        from .graphrank import pagerank_integer
+
+        e = self.graph_edges(col, tier).select(
+            F.concat(F.lit("c:"), F.col("conv_id")).alias("src"),
+            F.concat(F.lit("v:"), F.col("value")).alias("dst"),
+            "w",
+        )
+        sym = e.unionAll(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        return pagerank_integer(
+            sym,
+            n_iter=n_iter,
+            seed_pred=seed_pred,
+            weight_col="w" if weighted else None,
+        )
+
+    def serve_projection(
+        self, col: str, tier: str = "monthly", min_shared: int = 1
+    ) -> DataFrame:
+        """Value–value co-occurrence projection (shared conversations) from
+        freq tier state — M93 served tier-side."""
+        from .graphrank import project_tools
+
+        eb = self.graph_edges(col, tier).select(
+            F.col("conv_id").alias("conv"), F.col("value").alias("tool")
+        )
+        return project_tools(eb, min_shared=min_shared).select(
+            F.col("tool_a").alias("value_a"),
+            F.col("tool_b").alias("value_b"),
+            "shared_convs",
+        )
+
+    def serve_triangles(
+        self, col: str, tier: str = "monthly", min_shared: int = 1
+    ) -> DataFrame:
+        """Per-value triangle counts + degree on the thresholded projection
+        (M94, degree-oriented) from freq tier state."""
+        from .graphrank import project_tools, triangles
+
+        eb = self.graph_edges(col, tier).select(
+            F.col("conv_id").alias("conv"), F.col("value").alias("tool")
+        )
+        return triangles(project_tools(eb, min_shared=min_shared)).select(
+            F.col("node").alias("value"), "deg", "triangles"
+        )
+
+    def serve_hw_forecast(
+        self, metric: str = "token_sum", period: int = 24
+    ) -> DataFrame:
+        """Next-period additive-seasonal forecast per conversation (M95):
+        phase-decomposed Holt recurrences over the hourly tier's metric
+        series — one row per (conv_id, phase) with the predicted bucket
+        and value. Raw never read; recurrences run as C-level ewm kernels
+        partitioned by (conv, phase)."""
+        from .rollup import observed_state
+        from .ts_analytics import hw_additive_phase, hw_next_period_forecast
+
+        h = observed_state(self.pipeline.read_tier("hourly")).select(
+            "conv_id",
+            F.col("bucket_start").alias("bucket"),
+            F.col(metric).cast("double").alias("v"),
+        )
+        dec = hw_additive_phase(h, ["conv_id"], "bucket", "v", period=period)
+        return hw_next_period_forecast(dec, ["conv_id"], "bucket").select(
+            "conv_id", "phase", "forecast_bucket", "forecast"
+        )
+
     def day_shapes(self, segments: int = 4) -> DataFrame:
         """Rank-SAX shape word per (conversation, day) from the hourly
         tier — PAA segment sums + intra-day rank symbolization, the

@@ -1102,9 +1102,12 @@ def hw_additive_phase(
         pdf["forecast_next"] = pdf["level"] + pdf["trend"]
         return pdf
 
+    # output schema mirrors the input's own key/bucket/value types
+    intypes = {f.name: f.dataType.simpleString() for f in src.schema.fields}
     fields = ", ".join(
-        [f"{k} {t}" for k, t in zip(key_cols, ["bigint"] * len(key_cols))]
-        + [f"{bucket_col} timestamp", f"{value_col} double", "phase int"]
+        [f"{k} {intypes[k]}" for k in key_cols]
+        + [f"{bucket_col} {intypes[bucket_col]}", f"{value_col} double",
+           "phase int"]
         + ["level double", "trend double", "forecast_next double"]
     )
     return src.groupBy(*key_cols, "phase").applyInPandas(smooth, fields)

@@ -195,3 +195,70 @@ def test_engine_window_analytics_front_door(spark, tmp_path):
     assert key_rows(
         eng.serve_sliding_corr("n_turns", "token_sum", 12), ccols
     ) == key_rows(sliding_corr(hourly, "n_turns", "token_sum", 12), ccols)
+
+
+def test_engine_graph_and_forecast_front_door(spark, tmp_path):
+    """Round-5 serving parity: graph analytics recovered from freq tier
+    state must equal the same algorithms run on raw-derived edges, and the
+    HW forecast must equal the library recurrence on the tier series."""
+    from engine.graphrank import pagerank_integer, project_tools, triangles
+    from engine.rollup import observed_state
+    from engine.ts_analytics import hw_additive_phase, hw_next_period_forecast
+
+    t0 = synth_transcripts(spark, n_convs=10, hot_turns=80)
+    eng = TierEngine(spark, str(tmp_path / "g"), freq_cols=["tool"])
+    eng.run(t0, run_id="r1")
+
+    # raw-derived weighted edge truth
+    raw_e = (
+        t0.filter(F.col("tool").isNotNull())
+        .groupBy("conv_id", F.col("tool").alias("value"))
+        .agg(F.count("*").alias("w"))
+    )
+    got_e = eng.graph_edges("tool")
+    assert sorted(map(tuple, got_e.collect())) == sorted(
+        map(tuple, raw_e.collect())
+    )
+
+    # pagerank via the facade == library pagerank on the same edges
+    e = raw_e.select(
+        F.concat(F.lit("c:"), "conv_id").alias("src"),
+        F.concat(F.lit("v:"), "value").alias("dst"),
+        "w",
+    )
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    want_pr = sorted(
+        map(tuple, pagerank_integer(sym, weight_col="w").collect())
+    )
+    got_pr = sorted(map(tuple, eng.serve_pagerank("tool").collect()))
+    assert got_pr == want_pr
+
+    # projection + triangles parity
+    eb = raw_e.select(F.col("conv_id").alias("conv"), F.col("value").alias("tool"))
+    want_proj = sorted(map(tuple, project_tools(eb).collect()))
+    got_proj = sorted(map(tuple, eng.serve_projection("tool").collect()))
+    assert got_proj == want_proj
+    want_tri = sorted(map(tuple, triangles(project_tools(eb)).collect()))
+    got_tri = sorted(map(tuple, eng.serve_triangles("tool").collect()))
+    assert got_tri == want_tri
+
+    # HW forecast parity vs library path on the hourly tier series
+    h = observed_state(eng.tier("hourly")).select(
+        "conv_id",
+        F.col("bucket_start").alias("bucket"),
+        F.col("token_sum").cast("double").alias("v"),
+    )
+    dec = hw_additive_phase(h, ["conv_id"], "bucket", "v")
+    want_fc = sorted(
+        map(
+            tuple,
+            hw_next_period_forecast(dec, ["conv_id"], "bucket")
+            .select("conv_id", "phase", "forecast_bucket", "forecast")
+            .collect(),
+        )
+    )
+    got_fc = sorted(map(tuple, eng.serve_hw_forecast().collect()))
+    assert got_fc == want_fc
+    assert len(got_fc) > 0

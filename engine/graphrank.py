@@ -455,3 +455,145 @@ def pagerank_tool_weighted(spark, sf_dir):
         .orderBy(F.desc("rank_scaled"), "node")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# M98: degree assortativity + M99: fixed-k core membership
+# ---------------------------------------------------------------------------
+
+
+def degree_assortativity(sym: DataFrame) -> DataFrame:
+    """Newman degree assortativity of an undirected graph given as a
+    SYMMETRIC (src, dst) edge set: the Pearson correlation of (deg(src),
+    deg(dst)) over directed edge instances. Every sufficient statistic
+    (n, Σx, Σy, Σxy, Σx², Σy²) is an exact integer partial+final SUM, and
+    r is ONE closed-form IEEE expression over them — bit-identical across
+    engines and partitionings, same discipline as M90's rolling
+    correlation. Returns one row (m_edges, r)."""
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    dd = (
+        sym.join(deg.withColumnRenamed("src", "s2").withColumnRenamed("deg", "dx"),
+                 sym.src == F.col("s2"))
+        .join(deg.withColumnRenamed("src", "d2").withColumnRenamed("deg", "dy"),
+              sym.dst == F.col("d2"))
+        .select("dx", "dy")
+    )
+    s = dd.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    return s.select(
+        n.alias("m_edges"),
+        (
+            num.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+        ).alias("assortativity"),
+    )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def kcore_membership(sym: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Fixed-k core membership by `rounds` peeling iterations: repeatedly
+    drop nodes with degree < k (and their edges). Peeling converges in a
+    data-dependent number of rounds, so the FIXED unrolling is the
+    portability contract — any two engines running the same `rounds` agree
+    exactly, and convergence on a given dataset is asserted separately
+    (pytest: one more round is a no-op). Each round is one degree agg +
+    two semi-joins; the edge set is localCheckpoint'd EVERY round — the
+    degree agg and the join both consume it, so an uncheckpointed loop
+    recomputes the whole prior lineage twice per round (2^rounds blow-up,
+    the engine/graph.py lesson re-learned). Returns the surviving
+    (node, deg) rows — deg is the within-core degree."""
+    e = sym.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        e = (
+            e.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+        ).localCheckpoint(eager=True)
+    return (
+        e.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .select(F.col("src").alias("node"), "deg")
+    )
+
+
+_ASSORT_SQL = f"""
+WITH eb AS ({_EB_SQL}),
+e AS (SELECT conv AS src, tool AS dst FROM eb
+      UNION ALL SELECT tool AS src, conv AS dst FROM eb),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+dd AS (SELECT dx.deg AS x, dy.deg AS y
+       FROM e JOIN deg dx ON e.src = dx.node JOIN deg dy ON e.dst = dy.node),
+s AS (SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM dd)
+SELECT n AS m_edges,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         AS assortativity
+FROM s
+"""
+
+
+@register("graph_assortativity", _ASSORT_SQL)
+def graph_assortativity(spark, sf_dir):
+    """M98: degree assortativity of the conv↔tool bipartite graph — one
+    closed-form IEEE expression over six exact-integer edge sums (bipartite
+    graphs are typically disassortative; the sign is the sanity signal)."""
+    eb = bipartite_edges(spark, sf_dir)
+    return degree_assortativity(_symmetrize(eb))
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    parts = [
+        f"eb AS ({_EB_SQL})",
+        # MATERIALIZED: every e{i}/k{i} is referenced twice downstream —
+        # default CTE inlining duplicates the subtree per reference, which
+        # doubles the plan every round (2^rounds; measured as a hang at 8)
+        "e0 AS MATERIALIZED (SELECT conv AS src, tool AS dst FROM eb"
+        " UNION ALL SELECT tool AS src, conv AS dst FROM eb)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT src FROM e{i} GROUP BY src"
+            f" HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i} e"
+            f" JOIN k{i} a ON e.src = a.src"
+            f" JOIN k{i} b ON e.dst = b.src)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT src AS node, COUNT(*) AS deg FROM e{rounds}"
+        " GROUP BY 1 ORDER BY node"
+    )
+
+
+@register("graph_kcore_members", _kcore_sql(_KCORE_K, _KCORE_ROUNDS))
+def graph_kcore_members(spark, sf_dir):
+    """M99: 3-core membership of the conv↔tool graph by 8 unrolled peeling
+    rounds (fixed unrolling IS the cross-engine contract; convergence on
+    this fixture is pytest-asserted by a 9th-round no-op check). Surviving
+    nodes with their within-core degrees."""
+    eb = bipartite_edges(spark, sf_dir)
+    return kcore_membership(
+        _symmetrize(eb), _KCORE_K, _KCORE_ROUNDS
+    ).orderBy("node")

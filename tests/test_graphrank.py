@@ -220,3 +220,68 @@ def test_weighted_unit_equals_unweighted(spark):
         )
     )
     assert unw == wtd
+
+
+def test_assortativity_matches_numpy(spark):
+    from engine.graphrank import degree_assortativity
+
+    sym = _sym(spark, EDGES)
+    row = degree_assortativity(sym).first()
+    pairs = EDGES + [(b, a) for a, b in EDGES]
+    deg = {}
+    for u, _ in pairs:
+        deg[u] = deg.get(u, 0) + 1
+    x = np.array([deg[u] for u, _ in pairs], dtype=np.float64)
+    y = np.array([deg[v] for _, v in pairs], dtype=np.float64)
+    want = np.corrcoef(x, y)[0, 1]
+    assert row["m_edges"] == len(pairs)
+    assert abs(row["assortativity"] - want) < 1e-12
+
+
+def test_kcore_vs_bruteforce_peel(spark):
+    from engine.graphrank import kcore_membership
+
+    sym = _sym(spark, EDGES)
+    got = {r["node"]: r["deg"] for r in kcore_membership(sym, 2, 8).collect()}
+    # brute-force peel to fixpoint
+    edges = set(EDGES) | {(b, a) for a, b in EDGES}
+    while True:
+        deg = {}
+        for u, _ in edges:
+            deg[u] = deg.get(u, 0) + 1
+        drop = {u for u, d in deg.items() if d < 2}
+        if not drop:
+            break
+        edges = {(u, v) for u, v in edges if u not in drop and v not in drop}
+    want = {}
+    for u, _ in edges:
+        want[u] = want.get(u, 0) + 1
+    assert got == want
+
+
+def test_kcore_fixture_converged(spark):
+    """The registered 8-round unrolling must be a fixpoint on the driver
+    fixture — one more round changes nothing (otherwise the fixed unroll
+    would be reporting a non-converged intermediate)."""
+    from engine.graphrank import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        bipartite_edges,
+        kcore_membership,
+    )
+    from engine.graphrank import _symmetrize as symz
+
+    eb = bipartite_edges(spark, "/root/testdata/sf0.01")
+    a = sorted(
+        map(
+            tuple,
+            kcore_membership(symz(eb), _KCORE_K, _KCORE_ROUNDS).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            kcore_membership(symz(eb), _KCORE_K, _KCORE_ROUNDS + 1).collect(),
+        )
+    )
+    assert a == b and len(a) > 0

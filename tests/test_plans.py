@@ -106,6 +106,9 @@ GLOBAL_AGG_OK = {
     "basket_lift_event_types",  # the basket grand total N: partial
     # count-distinct over the per-basket distinct aggregate — one row per
     # upstream partition crosses the single reducer
+    "graph_assortativity",  # the assortativity read-out is ONE global row:
+    # six integer edge-moment sums fold partial (per partition) before the
+    # single final reduce that evaluates the closed-form r
 }
 
 BNLJ_OK = {

@@ -564,6 +564,36 @@ class TierEngine:
             F.col("node").alias("value"), "deg", "triangles"
         )
 
+    def serve_assortativity(self, col: str, tier: str = "monthly") -> DataFrame:
+        """Degree assortativity of the conv↔value graph from freq tier
+        state (M98) — one bit-exact (m_edges, r) row."""
+        from .graphrank import degree_assortativity
+
+        e = self.graph_edges(col, tier).select(
+            F.concat(F.lit("c:"), "conv_id").alias("src"),
+            F.concat(F.lit("v:"), "value").alias("dst"),
+        )
+        sym = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        return degree_assortativity(sym)
+
+    def serve_kcore(
+        self, col: str, k: int, tier: str = "monthly", rounds: int = 8
+    ) -> DataFrame:
+        """k-core membership of the conv↔value graph from freq tier state
+        (M99, fixed unrolled peeling)."""
+        from .graphrank import kcore_membership
+
+        e = self.graph_edges(col, tier).select(
+            F.concat(F.lit("c:"), "conv_id").alias("src"),
+            F.concat(F.lit("v:"), "value").alias("dst"),
+        )
+        sym = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        return kcore_membership(sym, k, rounds)
+
     def serve_hw_forecast(
         self, metric: str = "token_sum", period: int = 24
     ) -> DataFrame:

@@ -262,3 +262,18 @@ def test_engine_graph_and_forecast_front_door(spark, tmp_path):
     got_fc = sorted(map(tuple, eng.serve_hw_forecast().collect()))
     assert got_fc == want_fc
     assert len(got_fc) > 0
+
+    # assortativity + k-core facade parity on the same edges
+    from engine.graphrank import degree_assortativity, kcore_membership
+
+    e2 = e.drop("w")
+    sym2 = e2.unionAll(
+        e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    want_as = degree_assortativity(sym2).first()
+    got_as = eng.serve_assortativity("tool").first()
+    assert got_as["m_edges"] == want_as["m_edges"]
+    assert got_as["assortativity"] == want_as["assortativity"]
+    want_kc = sorted(map(tuple, kcore_membership(sym2, 2, 8).collect()))
+    got_kc = sorted(map(tuple, eng.serve_kcore("tool", 2).collect()))
+    assert got_kc == want_kc

@@ -74,6 +74,95 @@ _PAIR_THRESHOLD = 0.5
 #: user batch id
 MERGED_BATCH = "__base__"
 
+#: row-block size for the gemm candidate screen in _verify_bucket_pairs —
+#: bounds the similarity block at ~BLOCK × bucket_size doubles
+_VERIFY_BLOCK = 512
+#: screening margin: pairs whose FAST (pairwise-sum) similarity is within
+#: this of the threshold are decided by the exact left-fold recompute. The
+#: reordering error of a 64-term float64 dot is ≤ 64·eps·Σ|aᵢbᵢ| ≤
+#: 64·2.3e-16·(na·nb) (Cauchy–Schwarz), i.e. < 1.5e-14 on the cosine —
+#: 1e-9 over-covers it by 4+ orders, so the fast screen can never drop a
+#: pair the exact computation would keep.
+_VERIFY_MARGIN = 1e-9
+
+
+def _fold_dots(EA, EB):
+    """Row-wise dot products with the same float64 left-fold addition order
+    as the engine's `_dot` JVM expression (aggregate over zip_with): acc
+    starts at 0.0 and adds a[d]·b[d] in ascending d — bit-identical
+    results, vectorized across rows."""
+    import numpy as np
+
+    acc = np.zeros(EA.shape[0], dtype=np.float64)
+    for d in range(EA.shape[1]):
+        acc = acc + EA[:, d] * EB[:, d]
+    return acc
+
+
+def _verify_bucket_pairs(pdf):
+    """Grouped-map verifier for one (tbl, bucket) group: rows are that
+    bucket's members (vec_id, e, is_new). Emits every near-dup pair
+    touching a NEW member — new×new once (lower id first) plus new×stored —
+    with sim ≥ _PAIR_THRESHOLD, as (vec_a=min_id, vec_b=max_id, sim).
+
+    Two-phase exactness: a blocked gemm computes fast similarities for
+    SCREENING only (margin-widened threshold, see _VERIFY_MARGIN); every
+    surviving pair's similarity is then recomputed with the exact left-fold
+    order (_fold_dots) and the exact value both decides the threshold and
+    is emitted. Output is therefore bit-identical to evaluating the `_dot`
+    JVM expression per pair, at dgemm speed."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "vec_a": np.array([], dtype=np.int64),
+            "vec_b": np.array([], dtype=np.int64),
+            "sim": np.array([], dtype=np.float64),
+        }
+    )
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    is_new = pdf["is_new"].to_numpy(dtype=bool)
+    n = len(ids)
+    if n < 2 or not is_new.any():
+        return empty
+    E = np.asarray(pdf["e"].tolist(), dtype=np.float64)
+    nrm = np.sqrt(_fold_dots(E, E))  # exact fold + IEEE sqrt == JVM
+    new_idx = np.flatnonzero(is_new)
+    thresh = _PAIR_THRESHOLD - _VERIFY_MARGIN
+    sel_a: list = []
+    sel_b: list = []
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for s in range(0, len(new_idx), _VERIFY_BLOCK):
+            blk = new_idx[s : s + _VERIFY_BLOCK]
+            S = (E[blk] @ E.T) / (nrm[blk][:, None] * nrm[None, :])
+            ii, jj = np.nonzero(S >= thresh)
+            gi, gj = blk[ii], jj
+            # j stored: keep any order; j new: keep only id_i < id_j so each
+            # new×new pair is enumerated exactly once; never self-pairs
+            keep = (~is_new[gj]) | (ids[gi] < ids[gj])
+            keep &= ids[gi] != ids[gj]
+            sel_a.append(gi[keep])
+            sel_b.append(gj[keep])
+    ia = np.concatenate(sel_a) if sel_a else np.array([], dtype=np.int64)
+    if len(ia) == 0:
+        return empty
+    ib = np.concatenate(sel_b)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = _fold_dots(E[ia], E[ib]) / (nrm[ia] * nrm[ib])
+    m = sims >= _PAIR_THRESHOLD
+    if not m.any():
+        return empty
+    ia, ib, sims = ia[m], ib[m], sims[m]
+    a_ids, b_ids = ids[ia], ids[ib]
+    return pd.DataFrame(
+        {
+            "vec_a": np.minimum(a_ids, b_ids),
+            "vec_b": np.maximum(a_ids, b_ids),
+            "sim": sims,
+        }
+    )
+
 
 class SimIndex:
     def __init__(
@@ -346,67 +435,61 @@ class SimIndex:
     def _pairs_for_batch(
         self, v_new: DataFrame, new_buckets: DataFrame, batch_id: str
     ) -> DataFrame:
-        """Verified near-dup pairs touching the new batch: LSH candidates
-        (broadcast new buckets against stored bucket partitions, plus
-        new-vs-new), then exact cosine ≥ threshold on candidates only.
-        Every join is candidate-bounded."""
-        if self._has("lsh"):
-            stored = self._read("lsh").filter(F.col("batch") != batch_id)
-            nb = F.broadcast(
-                new_buckets.select(
-                    F.col("vec_id").alias("nid"), "tbl", "bucket"
-                )
-            )
-            cross = (
-                stored.join(nb, ["tbl", "bucket"])
-                .filter(F.col("vec_id") != F.col("nid"))
-                .select(
-                    F.least("vec_id", "nid").alias("vec_a"),
-                    F.greatest("vec_id", "nid").alias("vec_b"),
-                )
-            )
-        else:
-            cross = None
-        a, b = new_buckets.alias("a"), new_buckets.alias("b")
-        intra = a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        ).select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        cand = intra if cross is None else intra.unionByName(cross)
-        cand = cand.distinct().localCheckpoint()
+        """Verified near-dup pairs touching the new batch, computed
+        per-bucket inside one grouped Arrow pass (guide §4.2 / §8): the
+        bucket rows carry their vectors into the group, pair enumeration +
+        exact-cosine verification happen batch-vectorized in numpy, and only
+        the surviving (vec_a, vec_b, sim) rows ever leave the worker.
 
-        vs = (
-            self._read("vectors")
-            .filter(F.col("batch") != batch_id)
-            .select("vec_id", "e", "nrm")
-            .unionByName(v_new.select("vec_id", "e", "nrm"))
-            if self._has("vectors")
-            else v_new.select("vec_id", "e", "nrm")
+        The previous shape materialized the full candidate-pair id set
+        (quadratic per bucket — 163M rows for 20k vectors at sf1),
+        distinct'd and localCheckpoint'd it, then joined vectors back on and
+        evaluated an interpreted 64-element HOF dot per pair (~168 s).
+        This shape shuffles only the bucket rows themselves (O(corpus ·
+        n_tables) small rows, 66 MB at sf1) and emits ~1.7k verified rows.
+
+        Semantics are unchanged and bit-exact: the verifier recomputes every
+        emitted (and every near-threshold) similarity with the same float64
+        left-fold addition order as the _dot JVM expression (see
+        _verify_bucket_pairs), so sims, the ≥ threshold set, and the rounded
+        values are identical to the old plan — pytest-pinned against the
+        registered embedding_neardup_pairs oracle query.
+
+        Stored-side reads stay partition-pruned: the stored LSH scan is
+        joined against the broadcast (tbl, bucket) key set of the new batch
+        (dynamic partition pruning restricts it to colliding bucket
+        directories), and only those rows pull their vectors."""
+        nbv = (
+            new_buckets.join(v_new.select("vec_id", "e"), "vec_id")
+            .select("tbl", "bucket", "vec_id", "e", F.lit(True).alias("is_new"))
         )
-        # bound the vector pulls by the candidate id set (broadcast), so the
-        # stored vector scan is column-pruned and never shuffled at corpus
-        # scale; the final join is candidate×candidate sized
-        a_ids = cand.select(F.col("vec_a").alias("vec_id")).distinct()
-        b_ids = cand.select(F.col("vec_b").alias("vec_id")).distinct()
-        a_v = vs.join(F.broadcast(a_ids), "vec_id").select(
-            F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
-            F.col("nrm").alias("na"),
+        rows = nbv
+        if self._has("lsh"):
+            keys = F.broadcast(
+                new_buckets.select("tbl", "bucket").distinct()
+            )
+            pruned = (
+                self._read("lsh")
+                .filter(F.col("batch") != batch_id)
+                .join(keys, ["tbl", "bucket"])
+                .select("tbl", "bucket", "vec_id")
+            )
+            sv = (
+                self._read("vectors")
+                .filter(F.col("batch") != batch_id)
+                .select("vec_id", "e")
+            )
+            stored_rows = pruned.join(sv, "vec_id").select(
+                "tbl", "bucket", "vec_id", "e", F.lit(False).alias("is_new")
+            )
+            rows = nbv.unionByName(stored_rows)
+        pairs = rows.groupBy("tbl", "bucket").applyInPandas(
+            _verify_bucket_pairs, "vec_a bigint, vec_b bigint, sim double"
         )
-        b_v = vs.join(F.broadcast(b_ids), "vec_id").select(
-            F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
-            F.col("nrm").alias("nb"),
-        )
-        sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-        return (
-            cand.join(a_v, "vec_a")
-            .join(b_v, "vec_b")
-            .withColumn("sim", sim)
-            .filter(F.col("sim") >= _PAIR_THRESHOLD)
-            .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
+        # a pair colliding in several tables is emitted once per bucket with
+        # a bitwise-identical sim — dedup AFTER the (tiny) verified set
+        return pairs.distinct().select(
+            "vec_a", "vec_b", F.round("sim", 6).alias("sim")
         )
 
     def _refuse_compacted_reroll(self, batch_id: str) -> None:
@@ -646,7 +729,7 @@ class SimIndex:
 
     def expire(self, keep_last: int = 1) -> dict[str, list[str]]:
         out = {}
-        for name in ("lsh", "ivf", "vectors", "centroids", "pairs"):
+        for name in ("lsh", "ivf", "vectors", "centroids", "pairs", "pq"):
             if self._has(name):
                 out[name] = self._store(name).expire(keep_last=keep_last)
         return out

@@ -454,6 +454,85 @@ def _doc_token_ids(docs: DataFrame) -> DataFrame:
     return tok.select("doc_id", tok_hash(F.col("w")).alias("tid")).distinct()
 
 
+_N_BANDS = 4  # _N_PERMS // _LSH_ROWS; literals live above their SQL twins
+
+
+def _lsh_doc_rows(docs: DataFrame) -> DataFrame:
+    """Fused per-doc LSH front-end: ONE Arrow pass computes, per document,
+    the distinct token-id set, its size, and the banded minhash keys —
+    replacing the explode → two distincts → perm crossJoin → two groupBys
+    pipeline (four shuffles of the exploded token table) with a single
+    narrow map (guide §2.3/§4.2). Returns one row per doc WITH ≥1 token:
+    (doc_id, tids sorted array<long>, n long, band_keys array<long> indexed
+    by band).
+
+    Bit-exactness: the token hash is the same integer fold as tok_hash
+    (Python ord == JVM ascii per code point — unicode-pinned in
+    tests/test_textops_engine.py), minhash/band arithmetic is pure int64,
+    and Python's split(' ') matches F.split(col, ' ') + non-empty filter.
+    Equality of every derived table against the HOF reference pipeline is
+    pytest-pinned."""
+    import pandas as pd
+
+    n_perms, rows_per_band, prime = _N_PERMS, _LSH_ROWS, _MH_PRIME
+
+    def per_batch(it):
+        memo: dict[str, int] = {}
+
+        def th(w: str) -> int:
+            h = memo.get(w)
+            if h is None:
+                h = 0
+                for ch in w:
+                    h = (h * 131 + ord(ch)) % _TOKHASH_P
+                memo[w] = h
+            return h
+
+        for pdf in it:
+            out_id, out_tids, out_n, out_bk = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                tids = sorted({th(w) for w in (text or "").split(" ") if w})
+                if not tids:
+                    continue
+                mh = [
+                    min((1000003 * t + 17 * (p + 1)) % prime for t in tids)
+                    for p in range(n_perms)
+                ]
+                bks = [
+                    sum(
+                        (mh[b * rows_per_band + r] % 1000000007)
+                        * (131 if r == 0 else 1)
+                        for r in range(rows_per_band)
+                    )
+                    for b in range(n_perms // rows_per_band)
+                ]
+                out_id.append(doc_id)
+                out_tids.append(tids)
+                out_n.append(len(tids))
+                out_bk.append(bks)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "tids": pd.Series(out_tids, dtype=object),
+                    "n": pd.Series(out_n, dtype="int64"),
+                    "band_keys": pd.Series(out_bk, dtype=object),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        per_batch,
+        "doc_id bigint, tids array<bigint>, n bigint, band_keys array<bigint>",
+    )
+
+
+def _bands_from_rows(rows: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) exploded from the fused per-doc rows —
+    identical rows to _minhash_bands(_doc_token_ids(docs))."""
+    return rows.select(
+        "doc_id", F.posexplode("band_keys").alias("band", "band_key")
+    )
+
+
 def _minhash_bands(spark, tw: DataFrame) -> DataFrame:
     """(doc_id, band, band_key): banded minhash LSH signatures over the
     token-id table — the bucket assignment shared by candidate generation
@@ -486,7 +565,7 @@ def neardup_candidate_stats(spark, docs: DataFrame) -> dict:
     reverts to quadratic behaviour on a mega-cluster — shows up as these
     two numbers converging."""
     sizes = (
-        _minhash_bands(spark, _doc_token_ids(docs))
+        _bands_from_rows(_lsh_doc_rows(docs))
         .groupBy("band", "band_key")
         .count()
         .agg(
@@ -538,9 +617,17 @@ def neardup_verified_pairs(
     - "star": star edges only (the r3 default, kept for comparison).
     - "pairs": the full within-bucket self-join — exact pair LISTING for
       small/verification workloads; intrinsically quadratic in cluster
-      size, so never the scale path."""
-    tw = _doc_token_ids(docs)
-    bands = _minhash_bands(spark, tw)
+      size, so never the scale path.
+
+    Plan shape (round 6): the fused Arrow front-end (_lsh_doc_rows)
+    computes token sets + band keys in one narrow pass, materialized once
+    (localCheckpoint — ~50 compact bytes/doc) and reused by candidate
+    generation AND verification; Jaccard verification joins each candidate
+    pair to the per-doc token-set rows and counts the overlap inline with
+    array_intersect — no exploded-token shuffle joins. Outputs are
+    bit-identical to the HOF reference pipeline (pytest-pinned)."""
+    rows = _lsh_doc_rows(docs).localCheckpoint()
+    bands = _bands_from_rows(rows)
     if candidates in ("star", "star_chain"):
         bucket_min = bands.groupBy("band", "band_key").agg(
             F.min("doc_id").alias("min_doc")
@@ -580,23 +667,19 @@ def neardup_verified_pairs(
             )
             .distinct()
         )
-    sizes = tw.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ta = tw.select(F.col("doc_id").alias("doc_a"), "tid")
-    tb = tw.select(F.col("doc_id").alias("doc_b"), "tid")
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tid"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    sets_a = rows.select(
+        F.col("doc_id").alias("doc_a"), F.col("tids").alias("_ta"),
+        F.col("n").alias("na"),
+    )
+    sets_b = rows.select(
+        F.col("doc_id").alias("doc_b"), F.col("tids").alias("_tb"),
+        F.col("n").alias("nb"),
     )
     return (
-        inter.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
-            "doc_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
-            "doc_b",
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("_ta", "_tb")).cast("long")
         )
         .filter(
             F.col("n_common") * 1.0

@@ -290,3 +290,53 @@ def test_connected_components_driver_path_parity(spark):
     assert fast == slow
     # chains 1-2-3-4-10-11-12 merged via the 4-10 bridge
     assert (12, 1) in fast and (21, 20) in fast and (32, 30) in fast
+
+
+def test_fused_lsh_rows_match_hof_reference(spark):
+    """Round-6 optimization guard: the fused Arrow LSH front-end
+    (_lsh_doc_rows) must reproduce the HOF reference pipeline exactly —
+    token-id sets, sizes, and banded minhash keys — including on non-ASCII
+    and empty/whitespace documents (Python ord / split(' ') vs JVM
+    ascii / F.split parity)."""
+    from engine.textops import (_bands_from_rows, _doc_token_ids,
+                                _lsh_doc_rows, _minhash_bands)
+
+    base = eio.read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [
+            (90001, "héllo wörld 你好 你好 a😀b"),
+            (90002, "  doubled  spaces   here "),
+            (90003, ""),
+            (90004, "    "),
+            (90005, "naïve café naïve x"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(extra)
+    rows = _lsh_doc_rows(docs)
+
+    tw_ref = _doc_token_ids(docs)
+    got_tids = sorted(
+        (r["doc_id"], t)
+        for r in rows.collect()
+        for t in r["tids"]
+    )
+    want_tids = sorted((r["doc_id"], r["tid"]) for r in tw_ref.collect())
+    assert got_tids == want_tids
+
+    got_sizes = {r["doc_id"]: r["n"] for r in rows.collect()}
+    want_sizes = {
+        r["doc_id"]: r["n"]
+        for r in tw_ref.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got_sizes == want_sizes
+
+    got_bands = sorted(
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in _bands_from_rows(rows).collect()
+    )
+    want_bands = sorted(
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in _minhash_bands(spark, tw_ref).collect()
+    )
+    assert got_bands == want_bands

@@ -104,6 +104,7 @@ from pyspark.sql import functions as F
 
 from .rollup import HLL_LGK, observed_state
 from .snapstore import SnapshotError, SnapStore
+from .io import spread_partitions
 
 KINDS = (
     "sum",
@@ -223,7 +224,8 @@ class ContinuousAggregate:
     def _write_full(self, partials: DataFrame) -> None:
         if not self.versioned:
             (
-                partials.write.partitionBy("bucket_date")
+                spread_partitions(partials, ["bucket_date"])
+                .write.partitionBy("bucket_date")
                 .mode("overwrite")
                 .parquet(self.partials_path)
             )
@@ -238,7 +240,8 @@ class ContinuousAggregate:
                 if "=" in d and os.path.isdir(os.path.join(snap, d)):
                     shutil.rmtree(os.path.join(snap, d))
             (
-                partials.write.option("partitionOverwriteMode", "dynamic")
+                spread_partitions(partials, ["bucket_date"])
+                .write.option("partitionOverwriteMode", "dynamic")
                 .partitionBy("bucket_date")
                 .mode("overwrite")
                 .parquet(snap)
@@ -254,7 +257,8 @@ class ContinuousAggregate:
         if not self.versioned:
             if partials is not None:
                 (
-                    partials.write.option("partitionOverwriteMode", "dynamic")
+                    spread_partitions(partials, ["bucket_date"])
+                    .write.option("partitionOverwriteMode", "dynamic")
                     .partitionBy("bucket_date")
                     .mode("overwrite")
                     .parquet(self.partials_path)
@@ -271,7 +275,8 @@ class ContinuousAggregate:
             snap = store.snapshot_path(sid)
             if partials is not None:
                 (
-                    partials.write.option("partitionOverwriteMode", "dynamic")
+                    spread_partitions(partials, ["bucket_date"])
+                    .write.option("partitionOverwriteMode", "dynamic")
                     .partitionBy("bucket_date")
                     .mode("overwrite")
                     .parquet(snap)

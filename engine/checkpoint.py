@@ -62,6 +62,7 @@ class Manifest:
         self.path = path
         os.makedirs(path, exist_ok=True)
         self._cache: tuple[tuple[str, ...], DataFrame] | None = None
+        self._pdf_cache: tuple[tuple[str, ...], object] | None = None
 
     def read(self) -> DataFrame:
         """The manifest as a LOCAL relation, memoized on the exact commit-
@@ -79,12 +80,61 @@ class Manifest:
             return self.spark.createDataFrame([], MANIFEST_SCHEMA)
         if self._cache is not None and self._cache[0] == files:
             return self._cache[1]
-        table = pa.concat_tables(
-            [pq.read_table(os.path.join(self.path, f)) for f in files]
-        ).cast(_ARROW_SCHEMA)
-        df = self.spark.createDataFrame(table.to_pandas(), MANIFEST_SCHEMA)
+        df = self.spark.createDataFrame(
+            self.read_pandas(), MANIFEST_SCHEMA
+        )
         self._cache = (files, df)
         return df
+
+    def read_pandas(self):
+        """The manifest as a pandas frame, memoized on the same commit-file
+        key as read(). Driver-side consumers (the resume algebra below) use
+        this to answer pending/stale/latest questions with ZERO Spark jobs —
+        a no-op resume previously paid ~4 small jobs per stage just to join
+        a metadata-scale local relation against itself."""
+        files = tuple(
+            sorted(f for f in os.listdir(self.path) if f.endswith(".parquet"))
+        )
+        if self._pdf_cache is not None and self._pdf_cache[0] == files:
+            return self._pdf_cache[1]
+        if not files:
+            import pandas as pd
+
+            pdf = pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in _ARROW_SCHEMA}
+            )
+        else:
+            pdf = (
+                pa.concat_tables(
+                    [pq.read_table(os.path.join(self.path, f)) for f in files]
+                )
+                .cast(_ARROW_SCHEMA)
+                .to_pandas()
+            )
+        self._pdf_cache = (files, pdf)
+        return pdf
+
+    def latest_map(self, stage: str) -> dict[str, str]:
+        """partition_key -> input_snapshot_id of the LATEST commit for
+        `stage`, driver-side. The total order is the same one the Spark
+        pending/stale joins use — max(committed_at, input_snapshot_id) —
+        with identical ASCII string comparison for ties."""
+        pdf = self.read_pandas()
+        if len(pdf) == 0:
+            return {}
+        rows = pdf[pdf["stage"] == stage]
+        if len(rows) == 0:
+            return {}
+        latest = (
+            rows.sort_values(
+                ["committed_at", "input_snapshot_id"], kind="stable"
+            )
+            .groupby("partition_key", sort=False)
+            .tail(1)
+        )
+        return dict(
+            zip(latest["partition_key"], latest["input_snapshot_id"])
+        )
 
     def committed_keys(self, stage: str) -> DataFrame:
         return (
@@ -171,6 +221,7 @@ class Manifest:
         for f in files:
             os.unlink(os.path.join(self.path, f))
         self._cache = None
+        self._pdf_cache = None
         return {
             "files_before": len(files),
             "files_after": 1,
@@ -272,6 +323,31 @@ def pending_partitions(
             | (F.col("_committed_snap") != F.col("input_snapshot_id"))
         )
         .drop("_committed_snap")
+    )
+
+
+def pending_rows(work_rows: list, manifest: Manifest, stage: str) -> list:
+    """Driver-side twin of pending_partitions over ALREADY-COLLECTED work
+    rows (each with partition_key / rows_in / input_snapshot_id): returns
+    the rows not yet committed or whose committed fingerprint differs —
+    zero Spark jobs; the work manifest is evaluated exactly once by the
+    caller's collect."""
+    latest = manifest.latest_map(stage)
+    return [
+        r
+        for r in work_rows
+        if latest.get(r["partition_key"]) != r["input_snapshot_id"]
+    ]
+
+
+def stale_keys(work_keys: set, manifest: Manifest, stage: str) -> list[str]:
+    """Driver-side twin of stale_partitions: committed keys (latest commit
+    not a deletion) absent from the current work-key set. Sorted for
+    deterministic drop/commit order."""
+    return sorted(
+        k
+        for k, s in manifest.latest_map(stage).items()
+        if s != DELETED_SNAPSHOT and k not in work_keys
     )
 
 

@@ -47,7 +47,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .checkpoint import Manifest, new_run_id, pending_partitions, work_manifest
+from .checkpoint import Manifest, new_run_id, pending_rows, work_manifest
 from .corpusops import MIN_SHARED, NGRAM_WORDS, doc_gram_fps
 from .snapstore import SnapStore
 
@@ -127,7 +127,7 @@ class ContamIndex:
             "bench",
             extra_token=f"n:{NGRAM_WORDS}",
         )
-        pending = pending_partitions(work, self.manifest, _BENCH_STAGE).collect()
+        pending = pending_rows(work.collect(), self.manifest, _BENCH_STAGE)
         if not pending:
             return {"updated": False, "bench_token": self.bench_token()}
         fps = (
@@ -192,7 +192,7 @@ class ContamIndex:
             "batch",
             extra_token=f"n:{NGRAM_WORDS}|m:{MIN_SHARED}|bench:{bench_sid}",
         )
-        pending = pending_partitions(work, self.manifest, _BATCH_STAGE).collect()
+        pending = pending_rows(work.collect(), self.manifest, _BATCH_STAGE)
         if not pending:
             return {"batch": batch_id, "ingested": False}
         fps = doc_gram_fps(docs)

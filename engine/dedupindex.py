@@ -56,7 +56,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .checkpoint import Manifest, new_run_id, pending_partitions, work_manifest
+from .checkpoint import Manifest, new_run_id, pending_rows, work_manifest
 from .simindex import MERGED_BATCH
 from .snapstore import SnapStore
 
@@ -138,7 +138,7 @@ class DocDedupIndex:
             "batch",
             extra_token=f"kb:{N_KB}|j:{_JACCARD}",
         )
-        pending = pending_partitions(work, self.manifest, "dedupindex").collect()
+        pending = pending_rows(work.collect(), self.manifest, "dedupindex")
         if not pending:
             return {"batch": batch_id, "ingested": False}
         if batch_id == MERGED_BATCH:

@@ -291,15 +291,14 @@ def _sweep_could_matter(pipe) -> bool:
     input re-presented and a manifest free of those events, every
     partition is re-rollable and was just re-rolled, so the 5-table sweep
     scan is provably redundant (saves ~5 full-table probes per erasure)."""
-    m = pipe.manifest.read()
-    return (
-        m.filter(
-            (F.col("stage") == "retention")
-            | (F.col("input_snapshot_id") == "<rolled-back>")
-        )
-        .limit(1)
-        .count()
-        > 0
+    m = pipe.manifest.read_pandas()
+    if len(m) == 0:
+        return False
+    return bool(
+        (
+            (m["stage"] == "retention")
+            | (m["input_snapshot_id"] == "<rolled-back>")
+        ).any()
     )
 
 

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from .rollup import observed_state
 from .snapstore import SnapshotError, SnapStore
+from .io import spread_partitions
 
 
 class IncrementalConvSummary:
@@ -91,7 +92,8 @@ class IncrementalConvSummary:
         if consumed is None or not os.path.isdir(store.snapshot_path(consumed)):
             # first build, or GC expired the consumed snapshot: full rebuild
             (
-                self._day_partials(hourly, None)
+                spread_partitions(self._day_partials(hourly, None),
+                                  ["bucket_date"])
                 .write.partitionBy("bucket_date")
                 .mode("overwrite")
                 .parquet(self.partials_path)
@@ -104,7 +106,8 @@ class IncrementalConvSummary:
         )
         if changed:
             (
-                self._day_partials(hourly, changed)
+                spread_partitions(self._day_partials(hourly, changed),
+                                  ["bucket_date"])
                 .write.option("partitionOverwriteMode", "dynamic")
                 .partitionBy("bucket_date")
                 .mode("overwrite")
@@ -251,7 +254,8 @@ class IncrementalSlidingView:
         hourly = store.read(self.pipe.spark, as_of=current)
         if consumed is None or not os.path.isdir(store.snapshot_path(consumed)):
             (
-                self._sliding(hourly, None)
+                spread_partitions(self._sliding(hourly, None),
+                                  ["bucket_date"])
                 .write.partitionBy("bucket_date")
                 .mode("overwrite")
                 .parquet(self.series_path)
@@ -275,7 +279,8 @@ class IncrementalSlidingView:
         recompute = [x for x in dirty if x in live]
         if recompute:
             (
-                self._sliding(hourly, recompute)
+                spread_partitions(self._sliding(hourly, recompute),
+                                  ["bucket_date"])
                 .write.option("partitionOverwriteMode", "dynamic")
                 .partitionBy("bucket_date")
                 .mode("overwrite")

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .snapstore import SnapStore
+from .io import spread_partitions
 
 
 class MergeError(ValueError):
@@ -184,7 +185,8 @@ def merge_into(
         try:
             snap = store.snapshot_path(sid)
             (
-                merged.write.option("partitionOverwriteMode", "dynamic")
+                spread_partitions(merged, partition_cols)
+                .write.option("partitionOverwriteMode", "dynamic")
                 .partitionBy(*partition_cols)
                 .mode("overwrite")
                 .parquet(snap)
@@ -200,7 +202,8 @@ def merge_into(
         # the (touched-partitions-only) output before overwriting
         merged = merged.localCheckpoint()
         (
-            merged.write.option("partitionOverwriteMode", "dynamic")
+            spread_partitions(merged, partition_cols)
+            .write.option("partitionOverwriteMode", "dynamic")
             .partitionBy(*partition_cols)
             .mode("overwrite")
             .parquet(target_path)

@@ -32,8 +32,8 @@ from .checkpoint import (
     DELETED_SNAPSHOT,
     Manifest,
     new_run_id,
-    pending_partitions,
-    stale_partitions,
+    pending_rows,
+    stale_keys,
     work_manifest,
 )
 from .codec.chunks import make_chunks
@@ -563,7 +563,8 @@ class TierPipeline:
             if depth is not None and depth != len(partition_cols):
                 self._clear_partition_dirs(snap)
             (
-                out.write.option("partitionOverwriteMode", "dynamic")
+                eio.spread_partitions(out, partition_cols)
+                .write.option("partitionOverwriteMode", "dynamic")
                 .partitionBy(*partition_cols)
                 .mode("overwrite")
                 .parquet(snap)
@@ -824,16 +825,9 @@ class TierPipeline:
         sid = rec[0]
         if not os.path.isdir(store.snapshot_path(sid)):
             return None
-        latest = (
-            self.manifest.read()
-            .filter(F.col("stage") == stage)
-            .groupBy("partition_key")
-            .agg(F.max(F.struct("committed_at", "input_snapshot_id")).alias("_m"))
-            .filter(F.col("_m.input_snapshot_id") == self.ROLLED_BACK)
-            .limit(1)
-            .count()
-        )
-        if latest:
+        # rollback sentinel awaiting heal? — driver-side latest-map lookup
+        # (no Spark job; the manifest is a memoized local table)
+        if self.ROLLED_BACK in self.manifest.latest_map(stage).values():
             return None
         if sid == cur:
             return []
@@ -886,13 +880,21 @@ class TierPipeline:
         the caller knows to run again. Stale-input drops are never budgeted
         (they are metadata-priced and deferring a deletion is a correctness
         hazard, not a cost saving).
+
+        Resume-algebra cost (round 6): the work manifest is evaluated by
+        exactly ONE Spark job (the collect below, or the caller's when it
+        passes pre-collected rows); stale detection and the pending/latest
+        comparison run driver-side against the memoized local manifest —
+        previously each stage paid the input aggregation twice plus four
+        metadata-join jobs, which dominated a no-op resume.
         """
         t0 = time.monotonic()
+        work_rows = work if isinstance(work, list) else work.collect()
         self._drop_stale(
-            stage, run_id, work, out_path, partition_cols[0], lineage, protect,
-            inventory=inventory,
+            stage, run_id, work_rows, out_path, partition_cols[0], lineage,
+            protect, inventory=inventory,
         )
-        pending = pending_partitions(work, self.manifest, stage).collect()
+        pending = pending_rows(work_rows, self.manifest, stage)
         if not pending:
             return 0
         if budget is not None:
@@ -939,7 +941,7 @@ class TierPipeline:
         self,
         stage: str,
         run_id: str,
-        work: DataFrame,
+        work_rows: list,
         out_path: str,
         part: str,
         lineage: str,
@@ -954,26 +956,24 @@ class TierPipeline:
         Driver-side loop is bounded by partition count, never data.
         `protect` exempts keys deliberately absent from the work manifest
         (frozen months finalized by daily retention)."""
-        keys = work
         if inventory is not None:
             # pruned work manifests omit unchanged partitions — absence
             # must not read as deletion, so stale detection runs against
             # the upstream's FULL key inventory (already-prefixed
             # partition_key strings from a directory listing)
-            keys = self.spark.createDataFrame(
-                [(k,) for k in inventory], "partition_key string"
-            )
-        stale = stale_partitions(keys, self.manifest, stage).collect()
+            keys = set(inventory)
+        else:
+            keys = {r["partition_key"] for r in work_rows}
+        stale = stale_keys(keys, self.manifest, stage)
         if protect:
-            stale = [r for r in stale if r["partition_key"] not in protect]
+            stale = [k for k in stale if k not in protect]
         if not stale:
             return 0
         import shutil
 
         doomed_dirs = []
         rows = []
-        for r in stale:
-            key = r["partition_key"]
+        for key in stale:
             val = key.split("=", 1)[1]
             if self.snapshots:
                 doomed_dirs.append(f"{part}={val}")
@@ -1172,7 +1172,9 @@ class TierPipeline:
             self._tier_hash_cols(),
             "mirror",
         )
-        pending = pending_partitions(work, self.manifest, "hourly_bucketed").collect()
+        pending = pending_rows(
+            work.collect(), self.manifest, "hourly_bucketed"
+        )
         if self.snapshots:
             out_ver = None
             if pending:
@@ -1387,6 +1389,14 @@ class TierPipeline:
                 "left_anti",
             )
         t0 = t0.withColumn("bucket_date", F.to_date("ts"))
+        # ONE dedup pass per run: dedup_turns is a full-width window shuffle
+        # of the raw input, and without pinning it both the day fingerprint
+        # scan AND build_hourly would re-execute it (the build's day filter
+        # cannot push below the cross-day dedup window). localCheckpoint
+        # materializes the deduped rows once; every later consumer filters
+        # the pinned partitions (guide §5 — cut lineage when an intermediate
+        # is reused; the ingest-once production shape).
+        t0 = t0.localCheckpoint()
         done = {}
         scans: dict[str, str] = {}
         # stage -> pending keys deferred past this run's budget. A stage
@@ -1554,21 +1564,18 @@ class TierPipeline:
             month_src, month_of, self._tier_hash_cols(), "month"
         )
         frozen = frozen_months(self.manifest)
+        month_work = month_work.collect()
         if frozen:
             pend_frozen = {
-                k.split("=", 1)[1]
-                for k in (
-                    r["partition_key"]
-                    for r in pending_partitions(
-                        month_work, self.manifest, "monthly"
-                    ).collect()
-                )
+                r["partition_key"].split("=", 1)[1]
+                for r in pending_rows(month_work, self.manifest, "monthly")
             } & frozen
             if pend_frozen:
                 done["frozen_skipped"] = sorted(pend_frozen)
-            month_work = month_work.filter(
-                ~F.col("partition_key").isin([f"month={m}" for m in frozen])
-            )
+            frozen_keys = {f"month={m}" for m in frozen}
+            month_work = [
+                r for r in month_work if r["partition_key"] not in frozen_keys
+            ]
 
         def build_monthly(keys):
             months = [k.split("=", 1)[1] for k in keys]

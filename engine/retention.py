@@ -255,7 +255,7 @@ def droppable_conv_buckets(pipe: TierPipeline, stage: str) -> list[int]:
     that resurrection is the intended semantics for activity-based
     retention."""
     assert stage in ("gapfill", "compress"), stage
-    from .checkpoint import pending_partitions, work_manifest
+    from .checkpoint import pending_rows, work_manifest
     from .pipeline import _STATE_HASH_COLS
     from .rollup import observed_state
 
@@ -265,7 +265,7 @@ def droppable_conv_buckets(pipe: TierPipeline, stage: str) -> list[int]:
     )
     pending = {
         r["partition_key"]
-        for r in pending_partitions(work, pipe.manifest, stage).collect()
+        for r in pending_rows(work.collect(), pipe.manifest, stage)
     }
     committed = _committed(pipe.manifest, stage)
     return sorted(

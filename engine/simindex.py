@@ -64,8 +64,9 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .checkpoint import Manifest, new_run_id, pending_partitions, work_manifest
+from .checkpoint import Manifest, new_run_id, pending_rows, work_manifest
 from .simsearch import _dot, _vec_d, lsh_table_buckets
+from .io import spread_partitions
 from .snapstore import SnapStore
 
 _PAIR_THRESHOLD = 0.5
@@ -217,7 +218,8 @@ class SimIndex:
                     ignore_errors=True,
                 )
             (
-                df.write.option("partitionOverwriteMode", "dynamic")
+                spread_partitions(df, partition_cols)
+                .write.option("partitionOverwriteMode", "dynamic")
                 .partitionBy(*partition_cols)
                 .mode("overwrite")
                 .parquet(store.snapshot_path(sid))
@@ -347,7 +349,7 @@ class SimIndex:
             "batch",
             extra_token=self._config_token(),
         )
-        pending = pending_partitions(work, self.manifest, "simindex").collect()
+        pending = pending_rows(work.collect(), self.manifest, "simindex")
         if not pending:
             return {"batch": batch_id, "ingested": False}
         self._refuse_compacted_reroll(batch_id)

@@ -324,7 +324,12 @@ def kmeans_centroids(
     import numpy as np
 
     spark = em.sparkSession
-    v = em.select("vec_id", _vec_d("embedding").alias("e"))
+    # vector norms computed ONCE per vector (not once per (vector, centroid)
+    # crossJoin row — the interpreted HOF dot is the per-row cost, and the
+    # norm reuse cuts it 3×; sqrt(dot(e,e)) is the same double either way)
+    v = em.select("vec_id", _vec_d("embedding").alias("e")).withColumn(
+        "vnrm", F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
     cents = (
         init
         if init is not None
@@ -337,17 +342,21 @@ def kmeans_centroids(
         w = Window.partitionBy("vec_id").orderBy(
             F.desc("dot"), "cid"
         )
-        sim = F.col("dot") / (
-            F.sqrt(_dot(F.col("e"), F.col("e")))
-            * F.sqrt(_dot(F.col("ce"), F.col("ce")))
-        )
+        sim = F.col("dot") / (F.col("vnrm") * F.col("cnrm"))
         assigned = (
-            v.crossJoin(F.broadcast(cents))
+            v.crossJoin(
+                F.broadcast(
+                    cents.withColumn(
+                        "cnrm", F.sqrt(_dot(F.col("ce"), F.col("ce")))
+                    )
+                )
+            )
             .select(
                 "vec_id", "e", "cid",
                 _dot(F.col("e"), F.col("ce")).alias("dot"),
-                sim.alias("sim"),
+                "vnrm", "cnrm",
             )
+            .withColumn("sim", sim)
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
         )

@@ -47,7 +47,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .checkpoint import Manifest, new_run_id, pending_partitions, work_manifest
+from .checkpoint import Manifest, new_run_id, pending_rows, work_manifest
 from .corpusops import dense_freq_rank, token_counts
 from .snapstore import SnapStore
 
@@ -107,7 +107,7 @@ class VocabIndex:
             ["doc_id", "text"],
             "batch",
         )
-        pending = pending_partitions(work, self.manifest, _STAGE).collect()
+        pending = pending_rows(work.collect(), self.manifest, _STAGE)
         if not pending:
             return {"batch": batch_id, "ingested": False, "new_tokens": 0}
 

@@ -182,13 +182,15 @@ class FileIndex:
                 ),
             )
         )
-        stats = df.groupBy("file").agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.min("_k").alias("kmin"),
-            F.max("_k").alias("kmax"),
-        )
+        # ONE scan + ONE shuffle for stats AND Bloom positions (guide §2.3):
+        # the key rides along the exploded position rows, so min/max come
+        # from the same aggregation that collects the distinct bit set;
+        # count(*) is exactly nhashes × file rows (the explode is a constant
+        # nhashes-way expansion), making the rows metric exact. Previously
+        # stats and blooms each re-read every file (two full table scans).
         pos = df.select(
             "file",
+            "_k",
             F.explode(
                 F.array(
                     *[
@@ -198,17 +200,21 @@ class FileIndex:
                 )
             ).alias("pos"),
         )
-        blooms = (
-            pos.groupBy("file")
-            .agg(F.collect_set("pos").alias("poss"))
-            .select("file", _pack_bits(self.nbits)("poss").alias("bloom"))
+        stats = pos.groupBy("file").agg(
+            (F.count(F.lit(1)) / F.lit(self.nhashes)).cast("long").alias("rows"),
+            F.min("_k").alias("kmin"),
+            F.max("_k").alias("kmax"),
+            F.collect_set("pos").alias("poss"),
+        )
+        blooms = stats.select(
+            "file", "rows", "kmin", "kmax",
+            _pack_bits(self.nbits)("poss").alias("bloom"),
         )
         ident = self.spark.createDataFrame(
             [(r, *inv[r]) for r in relpaths], "file string, sz long, mtime_ns long"
         )
         return (
-            stats.join(blooms, "file")
-            .join(F.broadcast(ident), "file")
+            blooms.join(F.broadcast(ident), "file")
             .select("file", "sz", "mtime_ns", "rows", "kmin", "kmax", "bloom")
         )
 

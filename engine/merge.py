@@ -133,10 +133,23 @@ def merge_into(
         return df.filter(cond)
 
     sub = _in_touched(target)
-    # null-safe match flags via a presence literal on each side
+    # null-safe match flags via a presence literal on each side; source-side
+    # value columns are RENAMED (__s_<c>) before the join so the joined
+    # frame has flat, unambiguous names — which is what lets it be
+    # materialized once (below) instead of re-executing per consumer
+    src_cols = [F.col(c) for c in on] + [
+        F.col(c).alias(f"__s_{c}")
+        for c in source.columns
+        if c in data_cols and c not in on
+    ]
     sub2 = sub.withColumn("__t", F.lit(1))
-    src2 = source.withColumn("__s", F.lit(1))
-    joined = sub2.alias("t").join(F.broadcast(src2).alias("s"), on, "full_outer")
+    src2 = source.select(*src_cols).withColumn("__s", F.lit(1))
+    # ONE execution of the probe-scan + join (guide §5): the stats
+    # aggregate, the kept-partition listing and the rewrite below all read
+    # this materialized frame — previously each re-ran the full outer join
+    # (3 executions). Size is touched-partitions + source: the CDC batch
+    # shape this operator is bounded by.
+    joined = sub2.join(F.broadcast(src2), on, "full_outer").localCheckpoint()
     is_matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
     t_only = F.col("__t").isNotNull() & F.col("__s").isNull()
     s_only = F.col("__t").isNull() & F.col("__s").isNotNull()
@@ -147,9 +160,13 @@ def merge_into(
         take_source = is_matched if when_matched == "update" else F.lit(False)
         if when_not_matched == "insert":
             take_source = take_source | s_only
+        if f"__s_{c}" not in joined.columns:
+            # delete-matched sources may carry keys only — the target value
+            # is the only candidate
+            return F.col(c)
         return (
-            F.when(take_source, F.col(f"s.{c}"))
-            .otherwise(F.col(f"t.{c}"))
+            F.when(take_source, F.col(f"__s_{c}"))
+            .otherwise(F.col(c))
             .alias(c)
         )
 
@@ -198,9 +215,8 @@ def merge_into(
             raise
         store.publish(sid)
     else:
-        # plain directory: source files are also the read source — localize
-        # the (touched-partitions-only) output before overwriting
-        merged = merged.localCheckpoint()
+        # plain directory: the write never consumes the files it replaces —
+        # `merged` derives from the materialized join, not the target files
         (
             spread_partitions(merged, partition_cols)
             .write.option("partitionOverwriteMode", "dynamic")

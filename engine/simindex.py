@@ -355,28 +355,25 @@ class SimIndex:
         self._refuse_compacted_reroll(batch_id)
 
         bcol = F.lit(batch_id).alias("batch")
-        v = (
-            em.select("vec_id", _vec_d("embedding").alias("e"))
-            .withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
-        )
         new_buckets = lsh_table_buckets(
             em, self.n_tables, self.planes_per_table
         ).localCheckpoint()
 
-        # IVF assignment against the FROZEN centroids (broadcast k rows);
-        # the list rows carry the vector so probes re-rank without a join
-        c = self.centroids().withColumn(
-            "cnrm", F.sqrt(_dot(F.col("ce"), F.col("ce")))
-        )
-        sim_c = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
-        w_v = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
-        asn = (
-            v.crossJoin(F.broadcast(c.select("cid", "ce", "cnrm")))
-            .select("vec_id", "e", "nrm", "cid", sim_c.alias("sim"))
-            .withColumn("crn", F.row_number().over(w_v))
-            .filter(F.col("crn") == 1)
-            .select("vec_id", "e", "nrm", "cid")
-        )
+        # IVF assignment against the FROZEN centroids, vectorized: ONE
+        # Arrow pass computes every vector's norm + best-centroid
+        # assignment with the exact left-fold float order (bit-identical
+        # nrm/cid/sim to the former n×k crossJoin + interpreted HOF dot +
+        # row_number window — see simsearch.assign_centroids). The
+        # materialized result feeds the ivf write, the vectors write AND
+        # the pair verifier, so the batch is scanned/hashed once, not
+        # three times.
+        from .simsearch import assign_centroids
+
+        asn = assign_centroids(
+            em.select("vec_id", _vec_d("embedding").alias("e")),
+            self.centroids(),
+        ).select("vec_id", "e", "nrm", "cid").localCheckpoint()
+        v = asn.select("vec_id", "e", "nrm")
 
         # near-dup pairs BEFORE appending the batch: new-vs-stored uses the
         # partition-pruned stored index (excluding this batch's own prior

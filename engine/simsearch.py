@@ -11,6 +11,8 @@ exactly.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -33,6 +35,106 @@ def _dot(a, b):
 
 def cosine(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _fold_dots_np(EA, EB):
+    """Row-wise numpy dot products in the same float64 left-fold addition
+    order as the `_dot` JVM expression (acc = 0.0, then + a[d]·b[d] in
+    ascending d) — bit-identical results, vectorized across rows."""
+    import numpy as np
+
+    acc = np.zeros(EA.shape[0], dtype=np.float64)
+    for d in range(EA.shape[1]):
+        acc = acc + EA[:, d] * EB[:, d]
+    return acc
+
+
+def _fold_gemm_np(E, C):
+    """(n, d) × (k, d) → (n, k) dots with the same left-fold order per
+    (vector, centroid) pair as `_dot` — each acc[i, j] accumulates
+    e[d]·c[d] in ascending d, so every dot is bit-identical to the JVM
+    HOF expression while running as d fused numpy ops per batch
+    (guide §4.2; the lsh_table_buckets idiom applied to assignment)."""
+    import numpy as np
+
+    acc = np.zeros((E.shape[0], C.shape[0]), dtype=np.float64)
+    for d in range(E.shape[1]):
+        acc = acc + E[:, d : d + 1] * C[None, :, d]
+    return acc
+
+
+def _collect_centroids(cents: DataFrame):
+    """Driver-side (cids, C, cnrm) sorted ascending by cid (k rows —
+    metadata-scale). cnrm uses the exact fold + IEEE sqrt, matching the
+    JVM `sqrt(_dot(ce, ce))` bit-for-bit."""
+    import numpy as np
+
+    rows = sorted(cents.select("cid", "ce").collect(), key=lambda r: r["cid"])
+    C = np.array([r["ce"] for r in rows], dtype=np.float64)
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cnrm = np.sqrt(_fold_dots_np(C, C))
+    return cids, C, cnrm
+
+
+def assign_centroids(
+    v: DataFrame,
+    cents: DataFrame,
+    n_queries: int = 0,
+    nprobe: int = 1,
+    with_vec: bool = True,
+) -> DataFrame:
+    """Vectorized IVF assignment (replaces the n×k crossJoin + interpreted
+    HOF dot + row_number window): for every vector, centroid similarities
+    are computed per Arrow batch with the exact left-fold order, ranked by
+    (sim DESC, cid ASC) exactly like the former window, and the best
+    assignment (crn=1) is emitted — plus ranks ≤ `nprobe` for vectors with
+    vec_id < `n_queries` (the probe set). Output columns: vec_id,
+    [e, nrm,] cid, sim, crn. Because every sim is bit-identical to the
+    `_dot` expression, assignments, probe sets, and stored nrm values are
+    unchanged from the crossJoin formulation."""
+    import numpy as np
+    import pandas as pd
+
+    cids, C, cnrm = _collect_centroids(cents)
+    k = len(cids)
+    n_top = max(1, min(int(nprobe), k))
+    nq = int(n_queries)
+
+    def gen(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.asarray(pdf["e"].tolist(), dtype=np.float64)
+            vnrm = np.sqrt(_fold_dots_np(E, E))
+            sims = _fold_gemm_np(E, C) / (vnrm[:, None] * cnrm[None, :])
+            # rank by (sim desc, cid asc): columns are cid-ascending, and
+            # stable argsort keeps the lower cid first among exact ties —
+            # the same total order as the former row_number window
+            order = np.argsort(-sims, axis=1, kind="stable")
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            take = np.where(vid < nq, n_top, 1)
+            ridx = np.repeat(np.arange(n), take)
+            crn = np.concatenate([np.arange(1, t + 1) for t in take])
+            cidx = order[ridx, crn - 1]
+            out = {
+                "vec_id": vid[ridx],
+                "cid": cids[cidx],
+                "sim": sims[ridx, cidx],
+                "crn": crn.astype(np.int32),
+            }
+            if with_vec:
+                out["e"] = pdf["e"].iloc[ridx].to_numpy()
+                out["nrm"] = vnrm[ridx]
+            cols = ["vec_id"] + (["e", "nrm"] if with_vec else []) + [
+                "cid", "sim", "crn"
+            ]
+            yield pd.DataFrame({c: out[c] for c in cols})
+
+    schema = "vec_id bigint, " + (
+        "e array<double>, nrm double, " if with_vec else ""
+    ) + "cid bigint, sim double, crn int"
+    return v.select("vec_id", "e").mapInPandas(gen, schema)
 
 
 @register(
@@ -324,12 +426,7 @@ def kmeans_centroids(
     import numpy as np
 
     spark = em.sparkSession
-    # vector norms computed ONCE per vector (not once per (vector, centroid)
-    # crossJoin row — the interpreted HOF dot is the per-row cost, and the
-    # norm reuse cuts it 3×; sqrt(dot(e,e)) is the same double either way)
-    v = em.select("vec_id", _vec_d("embedding").alias("e")).withColumn(
-        "vnrm", F.sqrt(_dot(F.col("e"), F.col("e")))
-    )
+    v = em.select("vec_id", _vec_d("embedding").alias("e"))
     cents = (
         init
         if init is not None
@@ -339,27 +436,10 @@ def kmeans_centroids(
     )
     dim = DIM
     for _ in range(iters):
-        w = Window.partitionBy("vec_id").orderBy(
-            F.desc("dot"), "cid"
-        )
-        sim = F.col("dot") / (F.col("vnrm") * F.col("cnrm"))
-        assigned = (
-            v.crossJoin(
-                F.broadcast(
-                    cents.withColumn(
-                        "cnrm", F.sqrt(_dot(F.col("ce"), F.col("ce")))
-                    )
-                )
-            )
-            .select(
-                "vec_id", "e", "cid",
-                _dot(F.col("e"), F.col("ce")).alias("dot"),
-                "vnrm", "cnrm",
-            )
-            .withColumn("sim", sim)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-        )
+        # vectorized best-centroid assignment (assign_centroids): one Arrow
+        # pass instead of the n×k crossJoin with an interpreted HOF dot per
+        # pair and a row_number window — sims and tie-breaks bit-identical
+        assigned = assign_centroids(v, cents)
         # per-cluster mean: element-wise array sum (zip_with fold) / count
         zero = F.array(*[F.lit(0.0) for _ in range(dim)])
         cents = (
@@ -440,18 +520,18 @@ def ivf_topk_with_centroids(
     nprobe: int = _IVF_NPROBE, topk: int = 5,
 ) -> DataFrame:
     """IVF search against an arbitrary centroid table (e.g. kmeans-trained):
-    same probe/re-rank plan as ivf_cosine_topk."""
-    n = em.select("vec_id", _vec_d("embedding").alias("e")).withColumn(
-        "nrm", F.sqrt(_dot(F.col("e"), F.col("e")))
-    )
-    c = cents.withColumn("cnrm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
-    sim_c = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
-    w_v = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
-    asn = (
-        n.crossJoin(F.broadcast(c))
-        .select("vec_id", "cid", sim_c.alias("sim"))
-        .withColumn("crn", F.row_number().over(w_v))
-    )
+    same probe/re-rank semantics as ivf_cosine_topk, with assignment and
+    re-rank dots computed in exact-left-fold Arrow batches instead of
+    interpreted HOF expressions (bit-identical sims, see assign_centroids)."""
+    import numpy as np
+    import pandas as pd
+
+    n = em.select("vec_id", _vec_d("embedding").alias("e"))
+    # one Arrow pass yields both the list assignment (crn=1 for everyone)
+    # and the query probe set (crn ≤ nprobe for vec_id < n_queries)
+    asn = assign_centroids(
+        n, cents, n_queries=n_queries, nprobe=nprobe, with_vec=False
+    ).localCheckpoint()
     lists = asn.filter(F.col("crn") == 1).select("vec_id", "cid")
     probes = asn.filter(
         (F.col("vec_id") < n_queries) & (F.col("crn") <= nprobe)
@@ -459,15 +539,25 @@ def ivf_topk_with_centroids(
     cand = probes.join(lists, probes.qcid == lists.cid).filter(
         F.col("vec_id") != F.col("qid")
     ).select("qid", F.col("vec_id").alias("cid"))
-    nq = n.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
-                  F.col("nrm").alias("qnrm"))
-    nc = n.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce2"),
-                  F.col("nrm").alias("cnrm2"))
-    sim_x = _dot(F.col("qe"), F.col("ce2")) / (F.col("qnrm") * F.col("cnrm2"))
+
+    @F.pandas_udf("double")
+    def _pair_sim(qe: pd.Series, ce: pd.Series) -> pd.Series:
+        A = np.asarray(qe.tolist(), dtype=np.float64)
+        B = np.asarray(ce.tolist(), dtype=np.float64)
+        if A.size == 0:
+            return pd.Series([], dtype=np.float64)
+        # same IEEE sequence as _dot(qe, ce2)/(sqrt(_dot(qe,qe))·sqrt(...))
+        return pd.Series(
+            _fold_dots_np(A, B)
+            / (np.sqrt(_fold_dots_np(A, A)) * np.sqrt(_fold_dots_np(B, B)))
+        )
+
+    nq = n.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+    nc = n.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce2"))
     w_q = Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
     return (
         cand.join(nq, "qid").join(nc, "cid")
-        .select("qid", "cid", sim_x.alias("sim"))
+        .select("qid", "cid", _pair_sim("qe", "ce2").alias("sim"))
         .withColumn("rn", F.row_number().over(w_q))
         .filter(F.col("rn") <= topk)
         .select("qid", "cid", "sim")

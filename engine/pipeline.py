@@ -1621,9 +1621,13 @@ class TierPipeline:
             return self._finish_run(run_id, done, scans, left)
         scans["series"] = "full"
         hourly = self.series_input(run_id)
+        # collect the conv-bucket work manifest ONCE: gapfill and compress
+        # share the same keys/fingerprints, and passing the DataFrame to both
+        # stages would re-execute the full-hourly fingerprint aggregation
+        # twice (each _run_stage collects its `work` input)
         cb_work = work_manifest(
             hourly, F.col("conv_bucket").cast("string"), _STATE_HASH_COLS, "cb"
-        )
+        ).collect()
 
         def build_gapfill(keys):
             cbs = [int(k.split("=", 1)[1]) for k in keys]

@@ -25,6 +25,17 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # local-mode shuffle sizing; a real cluster overrides via spark-submit conf
     "spark.sql.shuffle.partitions": "32",
+    # File-listing strategy (guide §6): above this many paths Spark lists
+    # partition directories with a DISTRIBUTED job — each such listing costs
+    # a full scheduler round-trip (~0.5-1 s here), and a 475-day tier read
+    # pays it on every spark.read.parquet call. On a local/POSIX store the
+    # driver's own thread-pool listing of a few thousand dirs is
+    # milliseconds, so keep the job path for genuinely huge path sets only.
+    # Production (object stores, 10^5+ partitions): lower via this env var —
+    # the distributed listing is the right tool there.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": os.environ.get(
+        "SPARK_GRAFT_LIST_JOB_THRESHOLD", "4096"
+    ),
     # keep broadcast joins for the small dimension tables
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

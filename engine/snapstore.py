@@ -56,6 +56,13 @@ _SNAPS = "_snaps"
 _CURRENT = "_CURRENT"
 
 
+#: published-snapshot DataFrame memo: (id(spark), snapshot dir) -> DataFrame.
+#: Safe because published snapshot trees are immutable (CoW — every write,
+#: drop or compaction begins a NEW snapshot id); bounded by a clear-on-cap.
+_READ_CACHE: dict = {}
+_READ_CACHE_CAP = 512
+
+
 class SnapshotError(RuntimeError):
     pass
 
@@ -241,17 +248,31 @@ class SnapStore:
     def read(self, spark: SparkSession, as_of: str | None = None) -> DataFrame:
         """DataFrame over the published (or `as_of`) snapshot. The returned
         plan is pinned to that snapshot's immutable file tree: concurrent
-        publishes never change what this reader sees."""
+        publishes never change what this reader sees.
+
+        PUBLISHED snapshots are memoized per (session, snapshot dir): their
+        trees are immutable by construction (every mutation begins a NEW
+        snapshot), so the DataFrame — and crucially its already-computed
+        file listing — can be reused by every later consult. A resume run
+        re-reads each tier a handful of times per stage; without the memo
+        each read re-listed hundreds of partition dirs. Staged (unpublished)
+        snapshots are never cached: WAP writes mutate them in place."""
         sid = self.resolve(as_of) if as_of is not None else self.current_id()
         if sid is None:
             raise SnapshotError(f"{self.root}: no published snapshot")
         path = self.snapshot_path(sid)
         if not os.path.isdir(path):
             raise SnapshotError(f"{self.root}: snapshot {sid!r} expired or unknown")
-        return (
-            spark.read.option("basePath", path)
-            .parquet(*_data_dirs(path))
-        )
+        key = (id(spark), path)
+        cached = _READ_CACHE.get(key)
+        if cached is not None:
+            return cached
+        df = spark.read.option("basePath", path).parquet(*_data_dirs(path))
+        if self.meta(sid).get("published"):
+            if len(_READ_CACHE) >= _READ_CACHE_CAP:
+                _READ_CACHE.clear()
+            _READ_CACHE[key] = df
+        return df
 
     # -- changelog -----------------------------------------------------------
     def diff(self, snap_a: str, snap_b: str) -> dict[str, list[str]]:

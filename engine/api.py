@@ -611,9 +611,9 @@ class TierEngine:
             F.col(metric).cast("double").alias("v"),
         )
         dec = hw_additive_phase(h, ["conv_id"], "bucket", "v", period=period)
-        return hw_next_period_forecast(dec, ["conv_id"], "bucket").select(
-            "conv_id", "phase", "forecast_bucket", "forecast"
-        )
+        return hw_next_period_forecast(
+            dec, ["conv_id"], "bucket", period=period
+        ).select("conv_id", "phase", "forecast_bucket", "forecast")
 
     def day_shapes(self, segments: int = 4) -> DataFrame:
         """Rank-SAX shape word per (conversation, day) from the hourly

@@ -1132,20 +1132,27 @@ def holtwinters_additive_hourly(spark, sf_dir):
     )
 
 
-def hw_next_period_forecast(decorated, key_cols: list[str], bucket_col: str):
+def hw_next_period_forecast(
+    decorated, key_cols: list[str], bucket_col: str, period: int = HW_PERIOD
+):
     """Recombine the per-phase recurrences into the next full period's
     forecast: one row per (series, phase) carrying the LAST state of that
     phase and the bucket it predicts (last occurrence + period). One
-    partial+final max-struct aggregate over the decorated frame."""
+    partial+final max-struct aggregate over the decorated frame.
+
+    `period` must match the period the phases were decomposed with
+    (ADVICE r5): the recurrence's forecast_next predicts the phase's next
+    occurrence — `period` hours after its last one — so labelling it with
+    a hardcoded 24h bucket misaligned value and bucket for period != 24."""
     last = decorated.groupBy(*key_cols, "phase").agg(
         F.max(F.struct(bucket_col, "forecast_next")).alias("s")
     )
     return last.select(
         *key_cols,
         "phase",
-        (F.col(f"s.{bucket_col}") + F.expr(f"INTERVAL {HW_PERIOD} HOURS")).alias(
-            "forecast_bucket"
-        ),
+        (
+            F.col(f"s.{bucket_col}") + F.expr(f"INTERVAL {int(period)} HOURS")
+        ).alias("forecast_bucket"),
         F.col("s.forecast_next").alias("forecast"),
     )
 

@@ -95,3 +95,35 @@ def test_hw_next_period_rows_align_with_last_observation(spark):
         lr = last.loc[(row.user_id, row.phase)]
         assert row.forecast == lr["forecast_next"]
         assert (row.forecast_bucket - lr["bucket"]).total_seconds() == 3600 * HW_PERIOD
+
+
+def test_hw_next_period_bucket_tracks_custom_period(spark):
+    """ADVICE r5: with period != 24 the forecast bucket must be the phase's
+    NEXT occurrence (last + period hours), not a hardcoded 24h step."""
+    from engine import io as eio
+
+    e = eio.read_table(spark, SF_DIR, "events")
+    from pyspark.sql import functions as F
+
+    from engine.ts_analytics import cents, hw_additive_phase
+
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg((F.sum(cents(F.col("value"))) / 100.0).alias("v"))
+    period = 12
+    dec = hw_additive_phase(hourly, ["user_id"], "bucket", "v", period=period)
+    fc = hw_next_period_forecast(
+        dec, ["user_id"], "bucket", period=period
+    ).toPandas()
+    last = (
+        dec.toPandas()
+        .sort_values("bucket")
+        .groupby(["user_id", "phase"])
+        .tail(1)
+        .set_index(["user_id", "phase"])
+    )
+    assert len(fc)
+    for row in fc.itertuples():
+        lr = last.loc[(row.user_id, row.phase)]
+        assert row.forecast == lr["forecast_next"]
+        assert (row.forecast_bucket - lr["bucket"]).total_seconds() == 3600 * period

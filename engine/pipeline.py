@@ -1587,24 +1587,29 @@ class TierPipeline:
                 }
             )
 
-        done["monthly"] = self._run_stage(
-            "monthly", run_id, month_work, build_monthly,
-            self.tier_path("monthly"), ["bucket_month"], "daily",
-            protect={f"month={m}" for m in frozen},
-            inventory=month_inv,
-            budget=budget, left=left,
-        )
-        if self.snapshots and not self.wap and not left.get("monthly"):
-            cur_d = self._store(self.table_path("daily")).current_id()
-            if cur_d is not None:
-                self._record_reconciled("monthly", cur_d)
+        def monthly_stage() -> int:
+            n = self._run_stage(
+                "monthly", run_id, month_work, build_monthly,
+                self.tier_path("monthly"), ["bucket_month"], "daily",
+                protect={f"month={m}" for m in frozen},
+                inventory=month_inv,
+                budget=budget, left=left,
+            )
+            if self.snapshots and not self.wap and not left.get("monthly"):
+                cur_d = self._store(self.table_path("daily")).current_id()
+                if cur_d is not None:
+                    self._record_reconciled("monthly", cur_d)
+            return n
+
         if "gapfill" not in stages:
+            done["monthly"] = monthly_stage()
             return self._finish_run(run_id, done, scans, left)
 
-        # 4. gap-fill, keyed by conv_bucket (series must stay whole;
-        # observed rows only — the gapfill table derives its own fills).
-        # In bucketed mode this is the conv_id-bucketed mirror: gapfill and
-        # compress below then plan with zero Exchange (series_input).
+        # 4+5. gap-fill and compress, keyed by conv_bucket (series must stay
+        # whole; observed rows only — the gapfill table derives its own
+        # fills). In bucketed mode this is the conv_id-bucketed mirror:
+        # gapfill and compress below then plan with zero Exchange
+        # (series_input).
         # Series-stage short-circuit (snapshot mode): when the hourly
         # snapshot is inode-identical to what BOTH series stages last
         # reconciled, their full-bucket fingerprints cannot have changed
@@ -1612,60 +1617,86 @@ class TierPipeline:
         # touch, and both stages outright. (Per-bucket partial pruning is
         # deliberately not attempted: a bucket's fingerprint spans its
         # every day, and layout-1 hourly cannot dir-prune on conv_bucket.)
-        ch_g = self._changed_upstream_days("gapfill", "hourly")
-        ch_c = self._changed_upstream_days("compress", "hourly")
-        if ch_g == [] and ch_c == [] and "compress" in stages:
-            done["gapfill"] = 0
-            done["compress"] = 0
-            scans["series"] = "pruned-noop"
-            return self._finish_run(run_id, done, scans, left)
-        scans["series"] = "full"
-        hourly = self.series_input(run_id)
-        # collect the conv-bucket work manifest ONCE: gapfill and compress
-        # share the same keys/fingerprints, and passing the DataFrame to both
-        # stages would re-execute the full-hourly fingerprint aggregation
-        # twice (each _run_stage collects its `work` input)
-        cb_work = work_manifest(
-            hourly, F.col("conv_bucket").cast("string"), _STATE_HASH_COLS, "cb"
-        ).collect()
+        def series_stages() -> dict:
+            out: dict = {}
+            ch_g = self._changed_upstream_days("gapfill", "hourly")
+            ch_c = self._changed_upstream_days("compress", "hourly")
+            if ch_g == [] and ch_c == [] and "compress" in stages:
+                scans["series"] = "pruned-noop"
+                return {"gapfill": 0, "compress": 0}
+            scans["series"] = "full"
+            hourly = self.series_input(run_id)
+            # collect the conv-bucket work manifest ONCE: gapfill and
+            # compress share the same keys/fingerprints, and passing the
+            # DataFrame to both stages would re-execute the full-hourly
+            # fingerprint aggregation twice (each _run_stage collects its
+            # `work` input)
+            cb_work = work_manifest(
+                hourly, F.col("conv_bucket").cast("string"),
+                _STATE_HASH_COLS, "cb",
+            ).collect()
 
-        def build_gapfill(keys):
-            cbs = [int(k.split("=", 1)[1]) for k in keys]
-            inp = hourly.filter(F.col("conv_bucket").isin(cbs))
-            series = hourly_series(inp)
-            return gapfill(series, self.fill_method).withColumn(
-                "conv_bucket", _conv_bucket()
+            def build_gapfill(keys):
+                cbs = [int(k.split("=", 1)[1]) for k in keys]
+                inp = hourly.filter(F.col("conv_bucket").isin(cbs))
+                series = hourly_series(inp)
+                return gapfill(series, self.fill_method).withColumn(
+                    "conv_bucket", _conv_bucket()
+                )
+
+            out["gapfill"] = self._run_stage(
+                "gapfill", run_id, cb_work, build_gapfill,
+                self.gapfill_path, ["conv_bucket"], "hourly",
+                budget=budget, left=left,
             )
+            if self.snapshots and not self.wap and not left.get("gapfill"):
+                cur_h = self._store(self.table_path("hourly")).current_id()
+                if cur_h is not None:
+                    self._record_reconciled("gapfill", cur_h)
+            if "compress" not in stages:
+                return out
 
-        done["gapfill"] = self._run_stage(
-            "gapfill", run_id, cb_work, build_gapfill,
-            self.gapfill_path, ["conv_bucket"], "hourly",
-            budget=budget, left=left,
-        )
-        if self.snapshots and not self.wap and not left.get("gapfill"):
-            cur_h = self._store(self.table_path("hourly")).current_id()
-            if cur_h is not None:
-                self._record_reconciled("gapfill", cur_h)
-        if "compress" not in stages:
-            return self._finish_run(run_id, done, scans, left)
+            def build_compress(keys):
+                cbs = [int(k.split("=", 1)[1]) for k in keys]
+                inp = hourly.filter(F.col("conv_bucket").isin(cbs))
+                return make_chunks(hourly_series(inp), tier="hourly").withColumn(
+                    "conv_bucket", _conv_bucket()
+                )
 
-        # 5. compress hourly series into chunk blobs, keyed by conv_bucket
-        def build_compress(keys):
-            cbs = [int(k.split("=", 1)[1]) for k in keys]
-            inp = hourly.filter(F.col("conv_bucket").isin(cbs))
-            return make_chunks(hourly_series(inp), tier="hourly").withColumn(
-                "conv_bucket", _conv_bucket()
+            out["compress"] = self._run_stage(
+                "compress", run_id, cb_work, build_compress,
+                self.chunks_path, ["conv_bucket"], "hourly",
+                budget=budget, left=left,
             )
+            if self.snapshots and not self.wap and not left.get("compress"):
+                cur_h = self._store(self.table_path("hourly")).current_id()
+                if cur_h is not None:
+                    self._record_reconciled("compress", cur_h)
+            return out
 
-        done["compress"] = self._run_stage(
-            "compress", run_id, cb_work, build_compress,
-            self.chunks_path, ["conv_bucket"], "hourly",
-            budget=budget, left=left,
-        )
-        if self.snapshots and not self.wap and not left.get("compress"):
-            cur_h = self._store(self.table_path("hourly")).current_id()
-            if cur_h is not None:
-                self._record_reconciled("compress", cur_h)
+        # The monthly stage reads only the DAILY tier; the series stages
+        # read only the HOURLY tier and write independent tables — the two
+        # legs share no data dependency, so overlap them (guide §2.6:
+        # Spark's scheduler runs concurrent driver-thread jobs fine, and
+        # the second leg's tasks back-fill the first leg's stragglers).
+        # Shared driver state is thread-safe by construction: manifest
+        # commits are one-immutable-file-per-commit, done/scans/left
+        # writes touch disjoint keys, and the tables/stores are disjoint
+        # paths. WAP runs keep the serial order: staged-snapshot
+        # bookkeeping (_staged/_buffered_rows/_staged_mirror) is
+        # deliberately not made concurrent.
+        if self.wap:
+            done["monthly"] = monthly_stage()
+            done.update(series_stages())
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                mf = ex.submit(monthly_stage)
+                sf = ex.submit(series_stages)
+                series_done = sf.result()
+                done["monthly"] = mf.result()
+            done.update(series_done)
 
         return self._finish_run(run_id, done, scans, left)
 
